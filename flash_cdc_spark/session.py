@@ -1,0 +1,89 @@
+"""SparkSession factory.
+
+Defaults are chosen for the dual target:
+
+- local test/bench runs on ``local[N]`` (driver-provided container), and
+- a real multi-executor cluster at ~100 TB, where the same settings
+  (AQE, skew-join handling, broadcast threshold) are what you want anyway.
+
+Scale notes (100 TB design point):
+
+- AQE is the single most important switch: it coalesces the
+  statically-sized shuffle partitions, re-plans sort-merge joins into
+  broadcast joins when runtime stats allow, and splits skewed partitions
+  (``spark.sql.adaptive.skewJoin.enabled``).
+- ``spark.sql.shuffle.partitions`` is only the *initial* number under AQE;
+  we set it from the core count locally, and a cluster deployment would set
+  it to ~2-3x total cores (AQE coalesces down).
+- Arrow is enabled for every pandas-UDF / toPandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "flash-cdc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    Parameters mirror what a deployment would template: master URL,
+    shuffle-partition seed, and arbitrary overrides.
+    """
+    cores = _default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Adaptive execution: runtime re-planning, skew splitting ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- Shuffle sizing (initial; AQE coalesces) ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow for every Python<->JVM columnar boundary ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
+        # --- Broadcast joins for small dims (driver testdata dims are tiny;
+        #     on a cluster the 10MB default would also catch region/nation) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # --- Scan parallelism: default 128MB split is right for the 100 TB
+        #     target; local parquet files are far smaller anyway ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- Quiet + deterministic local runs ---
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
