@@ -1,0 +1,41 @@
+"""Query registry — the driver-facing inventory.
+
+Every implemented operator/query registers here with a Spark
+implementation ``(spark, sf_dir) -> DataFrame`` and (when
+SQL-expressible) a DuckDB oracle SQL string over the same parquet
+tables. ``__spark_entry__.py`` re-exports this registry to the driver.
+
+Registration is side-effect-on-import: importing
+:mod:`flash_cdc_spark.queries` pulls in every query module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle=None`` marks a non-SQL-expressible op
+    (driver falls back to a rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Import for registration side effects (order = inventory order).
+from flash_cdc_spark.queries import batch  # noqa: E402,F401
+from flash_cdc_spark.queries import events  # noqa: E402,F401
+from flash_cdc_spark.queries import changefeed  # noqa: E402,F401
+from flash_cdc_spark.queries import llm  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE", "query"]

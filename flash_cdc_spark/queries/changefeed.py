@@ -1,0 +1,142 @@
+"""Flagship query: the reference's entire per-event pipeline
+(decode → normalize → since-filter → explode → align → truthy-filter →
+project; ``app/services/sf_pubsub.py:603-789``) run as ONE declarative
+DataFrame query — and oracle-checked end-to-end against DuckDB.
+
+Since the driver tables carry no real change-event envelope, the
+envelope is *derived deterministically* from the ``events`` table (same
+derivation on both engines), exercising every pipeline branch:
+
+- 1–3 ``recordIds`` per event        (``event_id % 3 + 1``),
+- mixed timestamp units ms/s/ns/tiny (``event_id % 4``),
+- scalar flags from ``event_type`` (purchase→'true', click→'1',
+  view→'no', signup→'yes', error→NULL) and positional *list* flags on
+  every 5th event — both truthy-variants and drop-variants,
+- a ``since``-mode cutoff (2024-01-10) that drops early + tiny-ts events
+  while their offsets would still advance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.operators.changefeed import changefeed_pipeline
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+TOPIC = "/data/OpportunityChangeEvent"
+INSTANCE_URL = "https://flash.example.com"
+# 2024-01-10T00:00:00Z in epoch ms — mid-range of the events table.
+SINCE_CUTOFF_MS = 1_704_844_800_000
+
+
+def synth_decoded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the canonical decoded-change-event DataFrame from the
+    ``events`` table (deterministic; mirrored 1:1 in the oracle SQL)."""
+    e = load_table(spark, sf_dir, "events")
+    n_ids = (F.col("event_id") % 3 + 1).cast("int")
+    ms = F.unix_millis(F.col("ts"))
+    commit_raw = (
+        F.when(F.col("event_id") % 4 == 0, ms)
+        .when(F.col("event_id") % 4 == 1, F.floor(ms / 1000).cast("bigint"))
+        .when(F.col("event_id") % 4 == 2, ms * F.lit(1_000_000))
+        .otherwise(F.lit(42))
+    )
+    record_ids = F.transform(
+        F.sequence(F.lit(0), n_ids - 1),
+        lambda i: F.concat(F.lit("r"), F.col("event_id").cast("string"), F.lit("_"), i.cast("string")),
+    )
+    scalar_flag = (
+        F.when(F.col("event_type") == "purchase", F.lit("true"))
+        .when(F.col("event_type") == "click", F.lit("1"))
+        .when(F.col("event_type") == "view", F.lit("no"))
+        .when(F.col("event_type") == "signup", F.lit("yes"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    arr_flag = F.transform(
+        F.sequence(F.lit(0), n_ids - 1),
+        lambda i: F.when((F.col("event_id") + i) % 2 == 0, F.lit("true")).otherwise(
+            F.lit("false")
+        ),
+    )
+    is_arr_variant = F.col("event_id") % 5 == 0
+    return e.select(
+        F.struct(
+            F.col("event_type").alias("entityName"),
+            F.lit("UPDATE").alias("changeType"),
+            record_ids.alias("recordIds"),
+            commit_raw.alias("commitTimestamp"),
+        ).alias("ChangeEventHeader"),
+        F.when(~is_arr_variant, scalar_flag).alias("FlashField__c"),
+        F.when(is_arr_variant, arr_flag).alias("FlashField__c_arr"),
+        F.col("props").alias("OtherField__c"),
+        F.col("value").alias("Amount__c"),
+    )
+
+
+@query(
+    "q_changefeed_flagship",
+    oracle=f"""
+    WITH env AS (
+        SELECT event_id, event_type,
+               event_id % 3 + 1 AS n_ids,
+               CASE CAST(event_id % 4 AS INT)
+                    WHEN 0 THEN epoch_ms(ts)
+                    WHEN 1 THEN epoch_ms(ts) // 1000
+                    WHEN 2 THEN epoch_ms(ts) * 1000000
+                    ELSE 42 END AS commit_raw
+        FROM events
+    ), exploded AS (
+        SELECT event_id, event_type, n_ids, commit_raw,
+               unnest(range(n_ids)) AS record_pos
+        FROM env
+    ), flagged AS (
+        SELECT *,
+               'r' || CAST(event_id AS VARCHAR) || '_' || CAST(record_pos AS VARCHAR)
+                   AS record_id,
+               CASE WHEN event_id % 5 = 0
+                    THEN CASE WHEN (event_id + record_pos) % 2 = 0
+                              THEN 'true' ELSE 'false' END
+                    ELSE CASE event_type
+                              WHEN 'purchase' THEN 'true'
+                              WHEN 'click'    THEN '1'
+                              WHEN 'view'     THEN 'no'
+                              WHEN 'signup'   THEN 'yes'
+                              ELSE NULL END
+               END AS flag,
+               CASE WHEN commit_raw > 100000000000000 THEN commit_raw // 1000000
+                    WHEN commit_raw > 100000000000    THEN commit_raw
+                    WHEN commit_raw > 1000000000      THEN commit_raw * 1000
+                    ELSE commit_raw END AS commit_ms
+        FROM exploded
+    )
+    SELECT record_id,
+           event_type  AS entity_name,
+           'UPDATE'    AS change_type,
+           commit_ms,
+           CAST(record_pos AS INT) AS record_pos,
+           '{TOPIC}'        AS topic,
+           '{INSTANCE_URL}' AS instance_url
+    FROM flagged
+    WHERE commit_ms >= {SINCE_CUTOFF_MS}
+      AND flag IN ('true', '1', 'yes')
+    """,
+)
+def q_changefeed_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full changefeed pipeline in ``since`` mode over the synthesized
+    envelope. Plan: narrow single-stage (filters → generate → project),
+    no shuffle — embarrassingly parallel at any scale."""
+    decoded = synth_decoded_events(spark, sf_dir)
+    out = changefeed_pipeline(
+        decoded, TOPIC, INSTANCE_URL, drop_before_ms=SINCE_CUTOFF_MS
+    )
+    return out.select(
+        "record_id",
+        "entity_name",
+        "change_type",
+        "commit_ms",
+        "record_pos",
+        F.col("payload.data")[0]["subscriptionTopic"].alias("topic"),
+        F.col("payload.data")[0]["instanceUrl"].alias("instance_url"),
+    )

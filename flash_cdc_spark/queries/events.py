@@ -1,0 +1,178 @@
+"""Event-stream analytics, batch-expressed (the same shapes run as
+Structured Streaming in :mod:`flash_cdc_spark.streaming.windows`; batch
+versions here are the oracle-checkable surface).
+
+Covers: tumbling windows (``F.window``), sliding windows, gap-based
+sessionization (window functions; streaming twin = ``session_window``),
+and pivoted conditional aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")  # alphabetical
+
+
+@query(
+    "q_events_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           count(*)   AS n_events,
+           sum(value) AS total_value,
+           avg(value) AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — ``F.window`` (identical
+    semantics to the streaming version with a watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "q_events_sliding_6h",
+    oracle="""
+    WITH buckets AS (
+        SELECT ts, value,
+               date_trunc('hour', ts) AS h
+        FROM events
+    ), offsets AS (
+        SELECT h - INTERVAL (o) HOUR AS win_start, value
+        FROM buckets CROSS JOIN (SELECT unnest([0,1,2,3,4,5]) AS o)
+    )
+    SELECT win_start, count(*) AS n_events, sum(value) AS total_value
+    FROM offsets
+    GROUP BY win_start
+    """,
+)
+def q_events_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 6-hour span, 1-hour slide (each event lands in six
+    overlapping windows — exactly what ``F.window(ts, '6 hours', '1 hour')``
+    produces). Output keyed by window start."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq,
+           count(*)   AS n_events,
+           min(ts)    AS session_start,
+           max(ts)    AS session_end,
+           sum(value) AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag → new-session
+    flag → running sum = session id → per-session aggregate. Streaming
+    twin: ``session_window(ts, '30 minutes')``."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_ms > 1_800_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("value").alias("session_value"),
+    )
+
+
+@query(
+    "q_events_daily_pivot",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted per-day counts, one column per event type (explicit value
+    list → no extra distinct-values job; missing cells filled with 0)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@query(
+    "q_events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the JSON ``props`` column with
+    ``get_json_object`` (JVM-side) and aggregate the extracted field."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,286 @@
+"""LLM-training-data pipeline queries over ``documents`` and
+``embeddings`` — dedup, text analysis, similarity search.
+
+These are first-class engine components (north-star scope), not ports:
+the reference has no document processing at all. Design point is 100 TB:
+
+- dedup keys are computed with built-in hash/string functions (JVM,
+  codegen) — one shuffle on the dedup key, no Python;
+- the brute-force kNN is a blocked cross join kept for the oracle path;
+  the scale path is the LSH-bucketed variant (see
+  :mod:`flash_cdc_spark.operators.similarity`);
+- all token/shingle work uses ``split``/``transform``/``filter``
+  higher-order functions — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "q_dedup_exact_summary",
+    oracle="""
+    SELECT count(*)                                    AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT)   AS n_distinct_texts,
+           count(*) - CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dupes
+    FROM documents
+    """,
+)
+def q_dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup profile: hash-groupBy on md5(text). At scale this is
+    one shuffle on a 128-bit key; the kept-rows variant is
+    ``dropDuplicates(["text_hash"])``."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_exact_dupes"),
+    )
+
+
+@query(
+    "q_dedup_fingerprint_groups",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           count(*)                         AS n_docs,
+           CAST(min(doc_id) AS BIGINT)      AS keeper_doc_id,
+           CAST(max(doc_id) AS BIGINT)      AS max_doc_id
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups by *token-set fingerprint* (order/multiplicity-
+    insensitive text normalization, OpenRefine-style): docs that are
+    permutations / repetition-variants of the same vocabulary collide.
+    Keeper = min doc_id, the standard deterministic survivor rule."""
+    d = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    return (
+        d.select(F.col("doc_id"), fingerprint.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "q_text_quality_by_source",
+    oracle="""
+    WITH tok AS (
+        SELECT source, lang, text,
+               length(text)                                   AS n_chars_actual,
+               len(string_split(text, ' '))                   AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the','a','of','and'))) AS n_stopwords
+        FROM documents
+    )
+    SELECT source,
+           count(*)                                         AS n_docs,
+           avg(n_chars_actual)                              AS avg_chars,
+           CAST(sum(n_tokens) AS BIGINT)                    AS total_tokens,
+           avg(n_tokens)                                    AS avg_tokens,
+           avg(CAST(n_stopwords AS DOUBLE) / n_tokens)      AS stopword_ratio,
+           avg(CAST(n_chars_actual - n_tokens + 1 AS DOUBLE) / n_tokens) AS avg_token_len
+    FROM tok
+    GROUP BY source
+    """,
+)
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score profile per source: length, token count, stopword
+    ratio, average token length — all higher-order functions, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin("the", "a", "of", "and")))
+    n_chars = F.length("text")
+    tok = d.select(
+        "source",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+    )
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars_actual").alias("avg_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.avg(F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        F.avg(
+            (F.col("n_chars_actual") - F.col("n_tokens") + F.lit(1)).cast("double")
+            / F.col("n_tokens")
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_text_token_classes",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+'))    AS INT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+'))    AS INT) AS n_number_tokens,
+           CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INT) AS n_other_chars
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def q_text_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (word / number / other classes) —
+    the character-class patterns are dialect-portable by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_word_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_number_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).alias("n_other_chars"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "q_text_lang_heuristic",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS en_score,
+               len(string_split(text, ' '))                                     AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(CASE WHEN CAST(en_score AS DOUBLE) / n_tokens > 0.05
+                           THEN 1 END) AS BIGINT) AS n_pred_en
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def q_text_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic vs the labeled ``lang`` column
+    (the synthetic corpus shares one vocabulary, so the heuristic's
+    EN-marker rate is uniform across labels — the point is the shape:
+    score → threshold → confusion profile)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    en_score = F.size(F.filter(tokens, lambda t: t.isin("the", "a")))
+    scored = d.select(
+        "lang",
+        en_score.alias("en_score"),
+        F.size(tokens).alias("n_tokens"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(
+            F.when(F.col("en_score").cast("double") / F.col("n_tokens") > 0.05, F.lit(1))
+        ).alias("n_pred_en"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@query(
+    "q_embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector plumbing check: L2 norms via higher-order aggregate over
+    the ``array<float>`` column (double math, rounded for cross-engine
+    float stability)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id", "label", F.round(F.sqrt(sq_sum), 6).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+@query(
+    "q_knn_bruteforce",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings
+    ), pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-query probe set: broadcast the
+    query side, JVM-side ``zip_with`` dot product, per-query top-k window.
+    This is the exact baseline the ANN variants are measured against; at
+    100 TB the probe set stays broadcastable and the corpus side streams."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    vecs = e.select("vec_id", "label", v.alias("v"), nrm.alias("nrm"))
+    q = (
+        vecs.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
