@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with the `noop` sink — full plan execution,
+no collect/serialization overhead polluting the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flash_cdc_spark.queries import QUERIES  # noqa: E402
+from flash_cdc_spark.session import get_spark  # noqa: E402
+from flash_cdc_spark.tables import default_sf_dir  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q_window_topk_orders",
+    "q_events_sessionize",
+    "q_events_tumbling_hour",
+    "q_changefeed_flagship",
+    "q_dedup_fingerprint_groups",
+    "q_text_quality_by_source",
+    "q_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="flash-cdc-bench")
+    # warm the JVM + parquet reader path so query 1 doesn't absorb
+    # one-time startup cost (codegen, reader init, FS metadata)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from flash_cdc_spark.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "events").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
