@@ -1,0 +1,134 @@
+"""Webhook delivery sink (reference K1 + K3).
+
+K1 — HTTP POST with bounded retry (``app/services/sf_pubsub.py:333-356``):
+15 s timeout, ≤3 attempts, exponential backoff 1 s ×2 capped at 30 s,
+plus 0–0.25 s jitter; success = any 2xx.
+
+K3 — conditional commit (``sf_pubsub.py:752-780``): the replay cursor
+advances only when every attempted webhook for the batch succeeded.
+Structured Streaming gives the identical contract for free: the
+``foreachBatch`` function must return without raising for the micro-batch
+to commit; any raise → no offset commit → the whole batch replays on
+restart (at-least-once with replay-on-failure, duplicate-delivery window
+identical to the reference's).
+
+Scale design: posts run executor-side via ``foreachPartition`` — one
+connection context per partition, thousands of concurrent senders on a
+cluster — never a driver-side ``collect()``. Per-record ordering within a
+partition matches the reference's sequential per-event loop; global
+ordering (which the reference also does not guarantee across clients) is
+not promised.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import time
+import urllib.error
+import urllib.request
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+__all__ = ["RetryPolicy", "post_with_retry", "http_transport", "webhook_batch_writer", "WebhookDeliveryError"]
+
+Transport = Callable[[str, str], int]  # (url, json_body) -> http status
+
+
+class WebhookDeliveryError(RuntimeError):
+    """Raised inside foreachBatch when a record exhausts its retries —
+    failing the micro-batch so offsets do NOT commit (K3)."""
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Reference constants from ``_post_webhook`` (sf_pubsub.py:333-354)."""
+
+    timeout_s: float = 15.0
+    max_attempts: int = 3
+    backoff_initial_s: float = 1.0
+    backoff_factor: float = 2.0
+    backoff_cap_s: float = 30.0
+    jitter_max_s: float = 0.25
+
+
+def http_transport(timeout_s: float = 15.0) -> Transport:
+    """Default stdlib transport: POST JSON, return status code."""
+
+    def _post(url: str, body: str) -> int:
+        req = urllib.request.Request(
+            url, data=body.encode("utf-8"), headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return resp.status
+        except urllib.error.HTTPError as exc:  # non-2xx still yields a code
+            return exc.code
+
+    return _post
+
+
+def post_with_retry(
+    transport: Transport,
+    url: str,
+    body: str,
+    policy: RetryPolicy = RetryPolicy(),
+    sleep: Callable[[float], None] = time.sleep,
+) -> bool:
+    """K1: ≤max_attempts posts with capped exponential backoff + jitter;
+    True iff some attempt returned 2xx."""
+    delay = policy.backoff_initial_s
+    for attempt in range(1, policy.max_attempts + 1):
+        try:
+            status = transport(url, body)
+        except Exception:
+            status = -1
+        if 200 <= status < 300:
+            return True
+        if attempt < policy.max_attempts:
+            sleep(min(delay, policy.backoff_cap_s) + random.uniform(0, policy.jitter_max_s))
+            delay *= policy.backoff_factor
+    return False
+
+
+def webhook_batch_writer(
+    url: str,
+    transport_factory: Callable[[], Transport] = http_transport,
+    policy: RetryPolicy = RetryPolicy(),
+    payload_col: str = "payload_json",
+):
+    """Build the ``foreachBatch`` function delivering each row's payload.
+
+    All-or-nothing per micro-batch (K3): the first exhausted-retry record
+    raises :class:`WebhookDeliveryError` from its executor task; the
+    batch function re-raises → Structured Streaming does not commit the
+    offsets → the batch replays on restart.
+    """
+
+    def _deliver_partition(rows: Iterator) -> None:
+        transport = transport_factory()
+        for row in rows:
+            body = row[payload_col]
+            if not post_with_retry(transport, url, body, policy):
+                raise WebhookDeliveryError(
+                    f"webhook delivery failed after {policy.max_attempts} attempts"
+                )
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(payload_col).foreachPartition(_deliver_partition)
+
+    return _batch_fn
+
+
+def collecting_batch_writer(sink: list):
+    """Test/debug sink: append (batch_id, rows) to a driver-side list.
+    JSON-serializes rows so assertions don't hold Row objects."""
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        sink.append((batch_id, [json.loads(r) for r in
+                                [row["payload_json"] for row in batch_df.collect()]]))
+
+    return _batch_fn

@@ -1,0 +1,220 @@
+"""End-to-end streaming tests: pipeline manager + webhook sink +
+replay modes + at-least-once redelivery (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+import time
+
+import pytest
+from pyspark.sql import Row
+
+from flash_cdc_spark.sources.changelog import ReplayArgs, encode_seq
+from flash_cdc_spark.streaming.pipelines import (
+    PipelineConfig,
+    PipelineManager,
+    STREAM_SCHEMA,
+    classify_error,
+    FatalConfigError,
+)
+from flash_cdc_spark.streaming.webhook import RetryPolicy, post_with_retry
+
+FAST_POLICY = RetryPolicy(
+    timeout_s=2.0, max_attempts=2, backoff_initial_s=0.01, backoff_cap_s=0.02,
+    jitter_max_s=0.0,
+)
+
+
+class _CaptureHandler(http.server.BaseHTTPRequestHandler):
+    server_version = "capture"
+
+    def do_POST(self):  # noqa: N802
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length).decode("utf-8")
+        with self.server.lock:
+            self.server.requests.append(json.loads(body))
+            fail = self.server.fail_remaining > 0
+            if fail:
+                self.server.fail_remaining -= 1
+        self.send_response(500 if fail else 200)
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture()
+def webhook_server():
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CaptureHandler)
+    server.requests = []
+    server.fail_remaining = 0
+    server.lock = threading.Lock()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _event_row(seq, ids, flag=None, flag_arr=None, ts=1_700_000_000_000):
+    return (
+        {"entityName": "Opportunity", "changeType": "UPDATE", "recordIds": list(ids),
+         "commitTimestamp": ts},
+        flag,
+        flag_arr,
+        None,
+        None,
+        seq,
+    )
+
+
+def _mk_config(tmp_path, server, pid=1):
+    return PipelineConfig(
+        id=pid,
+        name=f"client-{pid}",
+        topic="/data/OpportunityChangeEvent",
+        webhook_url=f"http://127.0.0.1:{server.server_address[1]}/hook",
+        instance_url="https://inst.example.com",
+        source_path=str(tmp_path / "source"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+
+
+def _delivered_ids(server):
+    return sorted(req["data"][0]["Id"] for req in server.requests)
+
+
+def test_pipeline_end_to_end_delivery(spark, tmp_path, webhook_server):
+    _write_events(
+        spark,
+        str(tmp_path / "source"),
+        [
+            _event_row(1, ["a1"], flag="true"),
+            _event_row(2, ["b1", "b2"], flag_arr=["true", "false"]),
+            _event_row(3, ["c1"], flag="no"),
+            _event_row(4, [], flag="true"),
+        ],
+    )
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    config = _mk_config(tmp_path, webhook_server)
+    mgr.start(config)
+    mgr.wait(1, timeout_s=120)
+    assert _delivered_ids(webhook_server) == ["a1", "b1"]
+    status = mgr.status(1)
+    assert status["status"] == "stopped" and status["batches_seen"] >= 1
+
+
+def test_failed_batch_replays_after_restart(spark, tmp_path, webhook_server):
+    """K3: webhook failure → batch uncommitted → restart redelivers."""
+    _write_events(spark, str(tmp_path / "source"), [_event_row(1, ["x1"], flag="true")])
+    webhook_server.fail_remaining = 10  # every attempt of first run fails
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY, backoff_initial_s=0.05,
+                          backoff_cap_s=0.1)
+    config = _mk_config(tmp_path, webhook_server, pid=2)
+    mgr.start(config)
+    # wait until the first delivery attempts happened, then stop the retries
+    deadline = time.time() + 60
+    while time.time() < deadline and len(webhook_server.requests) < 2:
+        time.sleep(0.2)
+    mgr.stop(2)
+    assert webhook_server.fail_remaining <= 8  # attempts happened, all failed
+    n_failed_attempts = len(webhook_server.requests)
+    assert n_failed_attempts >= 2
+    # recover the endpoint; restart in stored mode → the batch replays
+    webhook_server.fail_remaining = 0
+    mgr2 = PipelineManager(spark, retry_policy=FAST_POLICY)
+    mgr2.start(config, ReplayArgs(mode="stored"))
+    mgr2.wait(2, timeout_s=120)
+    assert _delivered_ids(webhook_server)[-1] == "x1"
+    assert len(webhook_server.requests) > n_failed_attempts
+
+
+def test_since_mode_drops_old_but_advances(spark, tmp_path, webhook_server):
+    cutoff_ms = 1_700_000_000_000
+    _write_events(
+        spark,
+        str(tmp_path / "source"),
+        [
+            _event_row(1, ["old1"], flag="true", ts=cutoff_ms - 60_000),
+            _event_row(2, ["new1"], flag="true", ts=cutoff_ms + 60_000),
+        ],
+    )
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    config = _mk_config(tmp_path, webhook_server, pid=3)
+    # since_minutes chosen so now - N minutes lands exactly on cutoff_ms
+    now_ms = int(time.time() * 1000)
+    since_minutes = max(1, (now_ms - cutoff_ms) // 60_000)
+    mgr.start(config, ReplayArgs(mode="since", since_minutes=since_minutes))
+    mgr.wait(3, timeout_s=120)
+    assert _delivered_ids(webhook_server) == ["new1"]
+
+
+def test_latest_mode_skips_existing(spark, tmp_path, webhook_server):
+    _write_events(spark, str(tmp_path / "source"), [_event_row(5, ["e5"], flag="true")])
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    config = _mk_config(tmp_path, webhook_server, pid=4)
+    mgr.start(config, ReplayArgs(mode="latest"))
+    mgr.wait(4, timeout_s=120)
+    assert webhook_server.requests == []
+
+
+def test_custom_mode_seeks_past_cursor(spark, tmp_path, webhook_server):
+    _write_events(
+        spark,
+        str(tmp_path / "source"),
+        [_event_row(1, ["s1"], flag="true"), _event_row(2, ["s2"], flag="true"),
+         _event_row(3, ["s3"], flag="true")],
+    )
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    config = _mk_config(tmp_path, webhook_server, pid=5)
+    mgr.start(config, ReplayArgs(mode="custom", replay_seq_b64=encode_seq(1)))
+    mgr.wait(5, timeout_s=120)
+    assert _delivered_ids(webhook_server) == ["s2", "s3"]
+
+
+def test_custom_mode_invalid_cursor_falls_back_to_latest(spark, tmp_path, webhook_server):
+    _write_events(spark, str(tmp_path / "source"), [_event_row(1, ["z1"], flag="true")])
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    config = _mk_config(tmp_path, webhook_server, pid=6)
+    mgr.start(config, ReplayArgs(mode="custom", replay_seq_b64="%%%not-b64%%%"))
+    mgr.wait(6, timeout_s=120)
+    assert webhook_server.requests == []  # latest → nothing redelivered
+
+
+def test_fatal_classification_and_validate():
+    assert classify_error(FatalConfigError("bad client"))
+    assert classify_error(RuntimeError("grpc PERMISSION_DENIED on topic"))
+    assert not classify_error(RuntimeError("connection reset by peer"))
+
+
+def test_validate_dry_run(spark, tmp_path, webhook_server):
+    mgr = PipelineManager(spark)
+    config = _mk_config(tmp_path, webhook_server, pid=7)
+    result = mgr.validate(config)
+    assert not result["ok"]  # source dir doesn't exist yet
+    (tmp_path / "source").mkdir()
+    assert mgr.validate(config)["ok"]
+    bad = PipelineConfig(**{**config.__dict__, "topic": "/bad/Topic"})
+    assert not mgr.validate(bad)["ok"]
+
+
+def test_post_with_retry_backoff_and_success():
+    calls = []
+
+    def flaky(url, body):
+        calls.append(url)
+        return 500 if len(calls) < 3 else 200
+
+    sleeps = []
+    ok = post_with_retry(flaky, "http://u", "{}",
+                         RetryPolicy(max_attempts=3, backoff_initial_s=1.0,
+                                     jitter_max_s=0.0),
+                         sleep=sleeps.append)
+    assert ok and len(calls) == 3
+    assert sleeps == [1.0, 2.0]  # 1s then x2

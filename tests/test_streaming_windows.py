@@ -1,0 +1,86 @@
+"""Streaming windowed/stateful operators vs their batch equivalents
+(the batch twins are DuckDB-oracle-checked in test_oracle.py, so
+matching them transitively validates the streaming side)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.streaming import windows as W
+from flash_cdc_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    """The sf0.001 events table re-written to a temp dir (µs timestamps)
+    and opened as a file stream."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    batch = load_table(spark, sf_dir, "events")
+    batch.coalesce(2).write.mode("overwrite").parquet(path)
+    schema = batch.schema
+    return spark.readStream.schema(schema).parquet(path), batch
+
+
+def _run_to_memory(spark, sdf, name, output_mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    # complete mode so the final (not-yet-watermark-closed) windows emit too
+    got = _run_to_memory(spark, W.tumbling_counts(stream), "t_tumbling",
+                         output_mode="complete").collect()
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    )
+    got_map = {(r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6)) for r in got}
+    exp_map = {(r["w"]["start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6)) for r in expected}
+    assert got_map == exp_map
+
+
+def test_session_windows_matches_batch_sessionize(spark, events_stream, sf_dir):
+    from flash_cdc_spark.queries.events import q_events_sessionize
+
+    stream, _ = events_stream
+    got = _run_to_memory(spark, W.session_windows(stream), "t_sessions",
+                         output_mode="complete").collect()
+    batch_sessions = q_events_sessionize(spark, sf_dir).collect()
+    # session_window(gap=30m) must produce the same (user, start, n) sets
+    got_set = {(r["user_id"], r["session_start"], r["n_events"]) for r in got}
+    exp_set = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch_sessions}
+    assert got_set == exp_set
+
+
+def test_dedup_within_watermark(spark, events_stream):
+    stream, batch = events_stream
+    deduped = _run_to_memory(spark, W.dedup_within_watermark(stream), "t_dedup")
+    assert deduped.count() == batch.count()  # event_id unique already
+    assert deduped.select("event_id").distinct().count() == batch.count()
+
+
+def test_running_user_totals_stateful(spark, events_stream):
+    stream, batch = events_stream
+    got = _run_to_memory(spark, W.running_user_totals(stream), "t_state",
+                         output_mode="update").collect()
+    # final state per user (last emit) must equal the batch totals
+    final = {}
+    for r in got:
+        final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert final == expected
