@@ -1,0 +1,234 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, all engineered for the 100 TB design point and all (but
+the driver-side helpers) expressed as pure column expressions / joins —
+no Python UDFs anywhere:
+
+- **exact**: ``md5(text)`` hash-groupBy (one shuffle on a 128-bit key);
+- **fingerprint**: token-set normalization (order/multiplicity
+  insensitive) — see :mod:`flash_cdc_spark.queries.llm`;
+- **MinHash + LSH banding**: k hash functions over token shingles →
+  per-band bucket join → candidate pairs → exact Jaccard verify. The
+  candidate join is the *only* pairwise step and touches just
+  band-bucket collisions, never the n² pair space;
+- **SimHash**: 32-bit signature from per-token hashes; banding on
+  signature bytes → candidates → Hamming-distance verify (integer ops);
+- **embedding near-dup**: cosine ≥ τ pairs within LSH/label blocks
+  (see :mod:`flash_cdc_spark.operators.similarity`).
+
+Hash choice: every hash is ``md5`` of a string expression, compared (or
+min-reduced) on its *hex prefix* — lexicographic order on fixed-width
+lowercase hex equals numeric order, so signatures are portable across
+engines (the DuckDB oracles reproduce them bit-for-bit; no dialect-
+specific hash or hex→int casts anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_col",
+    "shingles_col",
+    "minhash_signature",
+    "minhash_bands",
+    "minhash_candidate_pairs",
+    "jaccard_verified_pairs",
+    "simhash_signatures",
+    "simhash_candidate_pairs",
+]
+
+HEX_WIDTH = 16  # 64-bit hex prefix of md5 — plenty for min-hashing
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles as an array column: shingle_i =
+    tokens[i] .. tokens[i+n-1] joined by spaces (0-based i up to len-n).
+    Built with sequence/transform — vectorized, no explode needed until
+    the band join."""
+    # guard: sequence(0, -1) would generate a DESCENDING range in Spark,
+    # so short docs (< n tokens) must map to an empty index list
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(0), F.size(tokens) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + F.lit(k + 1)) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, parts))
+
+
+def _minhash_one(shingles: Column, j: int) -> Column:
+    """min over shingles of the 64-bit hex prefix of md5(j ':' shingle)."""
+    return F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, HEX_WIDTH),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> list[Column]:
+    """k independent min-hashes (hex-string min == numeric min)."""
+    return [_minhash_one(shingles, j).alias(f"mh_{j}") for j in range(k)]
+
+
+def minhash_bands(sig_prefix: str = "mh_", k: int = 16, bands: int = 4) -> list[Column]:
+    """LSH banding: band b = md5 of its rows' concatenated min-hashes.
+    Two docs collide on a band iff that band's signature rows all match."""
+    rows_per_band = k // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"{sig_prefix}{b * rows_per_band + r}") for r in range(rows_per_band)]
+        out.append(F.md5(F.concat_ws(",", *cols)).alias(f"band_{b}"))
+    return out
+
+
+def minhash_candidate_pairs(
+    banded: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Bucket-join per band → distinct unordered candidate pairs.
+
+    Scale: the shuffle key is (band_index, band_hash); only true
+    collisions meet. Skewed mega-buckets (boilerplate text) are the known
+    hazard — AQE skew-join handles moderate skew, and a production run
+    would cap bucket width first (count + filter)."""
+    stacked = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    candidates: DataFrame,
+    doc_shingles: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    shingles_col_name: str = "shingles",
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs via shingle-set
+    sizes + intersection size (computed with ``array_intersect`` after a
+    two-sided join — candidates are few, so this stays cheap)."""
+    a = doc_shingles.select(
+        F.col(id_col).alias("doc_a"), F.col(shingles_col_name).alias("sh_a")
+    )
+    b = doc_shingles.select(
+        F.col(id_col).alias("doc_b"), F.col(shingles_col_name).alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
+        "double"
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _hex_digit_value(h: Column, pos: int) -> Column:
+    """Value 0–15 of hex digit at 1-based ``pos`` — arithmetic only, so
+    the DuckDB oracle can reproduce it verbatim."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document: ``(id_col, simhash: bigint)``.
+
+    For bit j (0..31): over the document's *distinct* tokens, count how
+    many have bit j set in the first 8 hex digits of md5(token); the
+    signature bit is set iff ones ≥ n/2 (majority, i.e. the +1/-1 sum is
+    ≥ 0). Implementation: explode distinct tokens → md5 once per token →
+    ONE groupBy with 32 conditional sums (single shuffle; each sum is a
+    partial-aggregatable expression). Bit extraction is arithmetic only
+    (hexdigit value, floor-div, mod) so the DuckDB oracle reproduces it
+    verbatim."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("t"),
+    ).select(id_col, F.md5(F.col("t")).alias("h"))
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(32):
+        pos = j // 4 + 1  # which hex digit (1-based)
+        shift = 3 - (j % 4)  # bit within the digit, MSB first
+        bit = (F.floor(_hex_digit_value(F.col("h"), pos) / F.lit(2**shift)) % 2).cast("int")
+        aggs.append(F.sum(bit).alias(f"ones_{j}"))
+    counted = toks.groupBy(id_col).agg(*aggs)
+
+    sig = F.lit(0).cast("bigint")
+    for j in range(32):
+        sig = sig + F.when(
+            F.lit(2) * F.col(f"ones_{j}") - F.col("n") >= 0, F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return counted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    docs_with_simhash: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32-bit signature into four
+    8-bit bytes (pigeonhole: hamming ≤ 3 ⇒ at least one byte equal),
+    bucket-join per byte, verify with exact Hamming distance."""
+    bytes_arr = F.array(
+        *[
+            (F.floor(F.col(sim_col) / F.lit(2 ** (8 * b))) % 256).cast("int").alias(f"b{b}")
+            for b in range(4)
+        ]
+    )
+    stacked = docs_with_simhash.select(
+        F.col(id_col), F.col(sim_col), F.posexplode(bytes_arr).alias("byte_idx", "byte_val")
+    )
+    l, r = stacked.alias("l"), stacked.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.byte_idx") == F.col("r.byte_idx"))
+            & (F.col("l.byte_val") == F.col("r.byte_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col(f"l.{sim_col}").alias("sim_a"),
+            F.col(f"r.{sim_col}").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cands.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -37,5 +37,6 @@ from flash_cdc_spark.queries import batch  # noqa: E402,F401
 from flash_cdc_spark.queries import events  # noqa: E402,F401
 from flash_cdc_spark.queries import changefeed  # noqa: E402,F401
 from flash_cdc_spark.queries import llm  # noqa: E402,F401
+from flash_cdc_spark.queries import neardup  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,369 @@
+"""Near-duplicate detection + ANN + multimodal queries — the scale-path
+operators, each oracle-checked bit-for-bit where SQL-expressible.
+
+Hash portability: every signature is md5-hex based and compared/min-
+reduced on hex strings or derived via arithmetic-only bit extraction, so
+Spark and DuckDB compute byte-identical signatures (no dialect hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.operators import multimodal as MM
+from flash_cdc_spark.operators import similarity as SIM
+from flash_cdc_spark.operators.dedup import (
+    jaccard_verified_pairs,
+    minhash_bands,
+    minhash_candidate_pairs,
+    minhash_signature,
+    shingles_col,
+    simhash_candidate_pairs,
+    simhash_signatures,
+    tokens_col,
+)
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+# Shared DuckDB CTE fragments -------------------------------------------------
+
+_DUCK_MINHASH = """
+    docs AS (
+        SELECT doc_id, list_distinct({shingle_expr}) AS sh
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    mh AS (
+        SELECT doc_id, j,
+               min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 16)) AS h
+        FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j)
+        GROUP BY doc_id, j
+    ),
+    band AS (
+        SELECT doc_id, CAST(j // 4 AS INT) AS band_idx,
+               md5(string_agg(h, ',' ORDER BY j)) AS band_hash
+        FROM mh GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM band l JOIN band r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    ),
+    veri AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN docs a ON c.doc_a = a.doc_id
+        JOIN docs b ON c.doc_b = b.doc_id
+    )
+"""
+
+_TOKENS = "string_split(text, ' ')"
+_TRIGRAMS = (
+    "list_transform(range(CASE WHEN len(string_split(text,' ')) >= 3 "
+    "THEN len(string_split(text,' ')) - 2 ELSE 0 END), "
+    "i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] "
+    "|| ' ' || string_split(text,' ')[i+3])"
+)
+
+
+def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", shingles_col(tokens_col("text"), n=n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = docs.select("doc_id", *minhash_signature(F.col("shingles"), k=16))
+    banded = sig.select("doc_id", *minhash_bands(k=16, bands=4))
+    cands = minhash_candidate_pairs(banded, bands=4)
+    return jaccard_verified_pairs(cands, docs, threshold=0.0)
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle="WITH " + _DUCK_MINHASH.format(shingle_expr=_TOKENS) + """
+    SELECT doc_a,
+           count(*)            AS n_dup_partners,
+           max(jaccard)        AS max_jaccard,
+           CAST(min(doc_b) AS BIGINT) AS first_partner
+    FROM veri WHERE jaccard >= 0.8
+    GROUP BY doc_a
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4 bands × 4 rows) near-dups on token sets,
+    verified with exact Jaccard ≥ 0.8, aggregated to per-doc dup stats
+    (the tiny synthetic vocabulary makes raw pair lists quadratic in the
+    clique of full-vocabulary docs — per-doc aggregation keeps the
+    output linear, which is also the production shape: a doc → its dup
+    count + representative partner). The bucket join is the only
+    pairwise step — candidates, not n²."""
+    pairs = _minhash_pipeline(spark, sf_dir, n=1).filter(F.col("jaccard") >= 0.8)
+    return pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_dup_partners"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("doc_b").alias("first_partner"),
+    )
+
+
+@query(
+    "q_dedup_ngram_lsh_candidates",
+    oracle="WITH " + _DUCK_MINHASH.format(shingle_expr=_TRIGRAMS) + """
+    SELECT doc_a, doc_b, jaccard FROM veri
+    """,
+)
+def q_dedup_ngram_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-shingle variant: all LSH candidate pairs with their exact
+    n-gram Jaccard (the synthetic corpus has no true trigram near-dups,
+    so this surfaces the candidate mechanics — band collisions are
+    deterministic given the hash, hence oracle-stable)."""
+    return _minhash_pipeline(spark, sf_dir, n=3)
+
+
+_DUCK_SIMHASH_SIG = """
+    sdocs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+    stok AS (SELECT doc_id, md5(unnest(toks)) AS h, len(toks) AS n FROM sdocs),
+    sbits AS (
+        SELECT doc_id, j, max(n) AS n,
+               sum((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   // (CASE CAST(j % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4
+                                               WHEN 2 THEN 2 ELSE 1 END) % 2) AS ones
+        FROM stok CROSS JOIN (SELECT unnest(range(32)) AS j)
+        GROUP BY doc_id, j
+    ),
+    ssig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN 2 * ones - n >= 0 THEN power(2, j) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM sbits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q_dedup_simhash_signatures",
+    oracle="WITH " + _DUCK_SIMHASH_SIG + """
+    SELECT doc_id, simhash FROM ssig ORDER BY doc_id LIMIT 500
+    """,
+)
+def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signatures (bit-exact across engines
+    — the strongest check on the signature computation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(d).orderBy("doc_id").limit(500)
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle="WITH " + _DUCK_SIMHASH_SIG + """
+    , sbytes AS (
+        -- NB: keep the divisor BIGINT — x // <double> in DuckDB does NOT
+        -- floor, and the CAST would then round-half-up
+        SELECT doc_id, simhash, CAST(b AS INT) AS byte_idx,
+               (simhash // CAST(power(2, 8 * b) AS BIGINT)) % 256 AS byte_val
+        FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS b)
+    ),
+    scand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               l.simhash AS sim_a, r.simhash AS sim_b
+        FROM sbytes l JOIN sbytes r
+          ON l.byte_idx = r.byte_idx AND l.byte_val = r.byte_val
+         AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM scand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-banding (pigeonhole for Hamming ≤ 3
+    on one of four bytes... a 32-bit sig with hamming ≤ 3 must agree on
+    ≥ 1 full byte) → bucket join → exact Hamming verify."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(d)
+    return simhash_candidate_pairs(sigs, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# ANN / embedding similarity
+# --------------------------------------------------------------------------
+
+def _duck_vecs_cte() -> str:
+    return """
+    vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings
+    )"""
+
+
+def _duck_bucket_cte() -> str:
+    return f"""
+    comp AS (
+        SELECT vec_id, p, sum(w * v[d + 1]) AS s
+        FROM vecs, {SIM.planes_sql_values()}
+        GROUP BY vec_id, p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN s >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM comp GROUP BY vec_id
+    )"""
+
+
+@query(
+    "q_sim_lsh_buckets",
+    oracle="WITH " + _duck_vecs_cte() + "," + _duck_bucket_cte() + """
+    SELECT b.bucket, count(*) AS n_vecs, CAST(min(v.vec_id) AS BIGINT) AS min_vec_id
+    FROM buckets b JOIN vecs v USING (vec_id)
+    GROUP BY b.bucket
+    """,
+)
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram over all embeddings (8 deterministic
+    hyperplanes → 256 buckets). Checks the whole signature pipeline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    bucketed = e.select("vec_id", SIM.lsh_bucket(v).alias("bucket"))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@query(
+    "q_sim_ann_lsh_topk",
+    oracle="WITH " + _duck_vecs_cte() + "," + _duck_bucket_cte() + """
+    , pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
+               qb.bucket
+        FROM vecs q
+        JOIN buckets qb ON q.vec_id = qb.vec_id
+        JOIN buckets cb ON cb.bucket = qb.bucket
+        JOIN vecs c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, bucket, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 restricted to the probe's LSH bucket — the scale path
+    (one shuffle on bucket id vs the brute-force cross product)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), k=3)
+
+
+@query(
+    "q_sim_embedding_neardup",
+    oracle="WITH " + _duck_vecs_cte() + """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM vecs a JOIN vecs b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+)
+def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (blocking
+    keeps the pair space linear per block — at 100 TB the block key
+    would be an LSH bucket instead of a label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = F.round(
+        SIM.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+@query(
+    "q_multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents ORDER BY doc_id LIMIT 300
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column + typed metadata struct (text bytes
+    stand in for image/audio payloads; same plumbing)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "media", F.encode(F.col("text"), "utf-8")
+    )
+    with_meta = MM.with_media_metadata(d, "media")
+    return (
+        with_meta.select(
+            "doc_id",
+            F.col("media_meta.mime").alias("mime"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.col("media_meta.checksum").alias("checksum"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               least(octet_length(encode(text)) // 64, 8) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(f * 64 AS INT) AS byte_offset
+    FROM media CROSS JOIN LATERAL (SELECT unnest(range(n_frames)) AS f) t
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: one row per sampled frame offset, JVM-side
+    explode (a video row → its frame rows without touching Python)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "media", F.encode(F.col("text"), "utf-8")
+    )
+    frames = MM.sample_frames(d, "media")
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int"),
+        F.col("byte_offset").cast("int"),
+    )
+
+
+@query("q_multimodal_decode_features")  # mapInPandas — rows-only check
+def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    (deterministic fake decode — the real codec is the only stubbed
+    piece; schema/batching/partitioning are production-shaped)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "media", F.encode(F.col("text"), "utf-8")
+    )
+    return MM.fake_decode_features(d, "media")

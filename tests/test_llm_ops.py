@@ -1,0 +1,136 @@
+"""Unit tests for dedup/similarity/multimodal operators (edge cases the
+oracle queries don't isolate)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.operators import multimodal as MM
+from flash_cdc_spark.operators import similarity as SIM
+from flash_cdc_spark.operators.dedup import (
+    jaccard_verified_pairs,
+    minhash_bands,
+    minhash_candidate_pairs,
+    minhash_signature,
+    shingles_col,
+    simhash_signatures,
+    tokens_col,
+)
+
+
+def test_shingles_short_doc_yields_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a",), ("a b c d",)], "text string")
+    rows = df.select(shingles_col(tokens_col("text"), 3).alias("sh")).collect()
+    assert rows[0]["sh"] == []
+    assert rows[1]["sh"] == []
+    assert rows[2]["sh"] == ["a b c", "b c d"]
+
+
+def test_minhash_identical_token_sets_collide_all_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w p q r s"), (2, "s r q p w z y x"), (3, "totally different words here now ok fine yes")],
+        "doc_id long, text string",
+    )
+    docs = df.select("doc_id", shingles_col(tokens_col("text"), 1).alias("shingles"))
+    sig = docs.select("doc_id", *minhash_signature(F.col("shingles"), k=16))
+    banded = sig.select("doc_id", *minhash_bands())
+    pairs = minhash_candidate_pairs(banded).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    verified = jaccard_verified_pairs(
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"), docs, 0.9
+    ).collect()
+    assert verified[0]["jaccard"] == 1.0
+
+
+def test_simhash_permutation_invariant_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]  # order-insensitive
+    assert sigs[1] != sigs[3]
+    assert 0 <= sigs[1] < 2**32
+    # deterministic across runs
+    sigs2 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sigs == sigs2
+
+
+def test_lsh_bucket_matches_python_reference(spark):
+    vec = [0.1 * ((i % 5) - 2) for i in range(SIM.DIM)]
+    expected = 0
+    for p in range(SIM.N_PLANES):
+        if sum(w * x for w, x in zip(SIM.PLANES[p], vec)) >= 0:
+            expected += 2**p
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    got = df.select(SIM.lsh_bucket(SIM.as_double_vec("embedding")).alias("b")).first()["b"]
+    # float32 storage perturbs the dot product; recompute reference from
+    # the float32-rounded values
+    import struct
+
+    vec32 = [struct.unpack("f", struct.pack("f", x))[0] for x in vec]
+    expected32 = sum(
+        2**p
+        for p in range(SIM.N_PLANES)
+        if sum(w * x for w, x in zip(SIM.PLANES[p], vec32)) >= 0
+    )
+    assert got == expected32
+
+
+def test_lsh_topk_subset_of_bruteforce_when_same_bucket(spark, sf_dir):
+    from flash_cdc_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 3)
+    brute = SIM.brute_force_topk(e, probes, k=50).collect()
+    ann = SIM.lsh_topk(e, probes, k=3).collect()
+    brute_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    # every ANN hit must be a genuine (potentially lower-ranked) neighbor
+    for r in ann:
+        assert r["cosine"] <= 1.0 and (r["query_id"] != r["neighbor_id"])
+    # ANN candidates restricted to same bucket → recall subset check only
+    # meaningful for top-of-list; assert rank-1 ANN is in brute top-50
+    rank1 = [(r["query_id"], r["neighbor_id"]) for r in ann if r["rk"] == 1]
+    for pair in rank1:
+        assert pair in brute_pairs
+
+
+def test_multimodal_metadata_and_fake_decode(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "abc")], "doc_id long, text string")
+    media = df.withColumn("media", F.encode("text", "utf-8"))
+    meta = MM.with_media_metadata(media).select("doc_id", "media_meta.*").collect()
+    by_id = {r["doc_id"]: r for r in meta}
+    assert by_id[1]["n_bytes"] == 11
+    assert by_id[1]["checksum"] == hashlib.md5(b"hello world").hexdigest()
+    feats = MM.fake_decode_features(media).collect()
+    fby = {r["doc_id"]: r for r in feats}
+    assert fby[2]["n_bytes"] == 3
+    assert len(fby[1]["features"]) == MM.FEATURE_DIM
+    assert all(0 <= x < 1 for x in fby[1]["features"])
+    # deterministic
+    assert MM.fake_decode_features(media).collect() == feats
+
+
+def test_multimodal_strict_decode_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string").withColumn(
+        "media", F.encode("text", "utf-8")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        MM.fake_decode_features(df, strict=True).collect()
+
+
+def test_frame_sampling_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 40), (3, "c" * 1000)], "doc_id long, text string"
+    ).withColumn("media", F.encode("text", "utf-8"))
+    frames = MM.sample_frames(df, "media").collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["byte_offset"])
+    assert len(per_doc[1]) == 4  # 300//64
+    assert 2 not in per_doc  # 40 bytes < one frame
+    assert len(per_doc[3]) == 8  # capped at max_frames
+    assert per_doc[1] == [0, 64, 128, 192]
