@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators.changefeed import changefeed_pipeline
 from flash_cdc_spark.queries import query
+from flash_cdc_spark.schemas import DECODED_CHANGE_EVENT
+from flash_cdc_spark.sources.registry import SchemaRegistry, decode_envelope
 from flash_cdc_spark.tables import load_table
 
 TOPIC = "/data/OpportunityChangeEvent"
@@ -139,4 +141,69 @@ def q_changefeed_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_pos",
         F.col("payload.data")[0]["subscriptionTopic"].alias("topic"),
         F.col("payload.data")[0]["instanceUrl"].alias("instance_url"),
+    )
+
+
+@query(
+    "q_envelope_decode",
+    oracle="""
+    SELECT 'evt-' || CAST(event_id AS VARCHAR) AS event_id,
+           CASE WHEN event_id % 2 = 0 THEN 'schema-v1' ELSE 'schema-v2' END
+               AS schema_id,
+           event_type AS entity_name,
+           'UPDATE'   AS change_type,
+           CAST(event_id % 3 + 1 AS INT) AS n_record_ids,
+           epoch_ms(ts) AS commit_raw
+    FROM events
+    """,
+)
+def q_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/S5: transport envelope (binary payload + schema_id) decoded
+    through the schema registry. The payload is a JSON-encoded
+    DecodedChangeEvent (Avro when the spark-avro jar is loaded — not in
+    this container, detected at runtime); two schema ids exercise the
+    registry's when-chain (schema-evolution path). The oracle computes
+    the same projection directly — the encode→decode roundtrip must be
+    lossless."""
+    # FIXTURES.md §1 envelope derived from events: id, replay cursor,
+    # topic, schema_id, binary JSON payload
+    ev = load_table(spark, sf_dir, "events")
+    n_ids = (F.col("event_id") % 3 + 1).cast("int")
+    record_ids = F.transform(
+        F.sequence(F.lit(0), n_ids - 1),
+        lambda i: F.concat(F.lit("r"), F.col("event_id").cast("string"), F.lit("_"),
+                           i.cast("string")),
+    )
+    payload_struct = F.struct(
+        F.struct(
+            F.col("event_type").alias("entityName"),
+            F.lit("UPDATE").alias("changeType"),
+            record_ids.alias("recordIds"),
+            F.unix_millis("ts").alias("commitTimestamp"),
+        ).alias("ChangeEventHeader"),
+    )
+    envelope = ev.select(
+        F.concat(F.lit("evt-"), F.col("event_id").cast("string")).alias("event_id"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("replay_id"),
+        F.lit(TOPIC).alias("topic_name"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("schema-v1"))
+        .otherwise(F.lit("schema-v2"))
+        .alias("schema_id"),
+        F.encode(F.to_json(payload_struct), "utf-8").alias("payload"),
+    )
+    import pyspark.sql.types as T
+
+    registry = SchemaRegistry()
+    header_only = DECODED_CHANGE_EVENT["ChangeEventHeader"].dataType
+    payload_schema = T.StructType([T.StructField("ChangeEventHeader", header_only)])
+    registry.register("schema-v1", payload_schema)
+    registry.register("schema-v2", payload_schema)
+    decoded_env = decode_envelope(envelope, registry)
+    return decoded_env.select(
+        "event_id",
+        "schema_id",
+        F.col("decoded.ChangeEventHeader.entityName").alias("entity_name"),
+        F.col("decoded.ChangeEventHeader.changeType").alias("change_type"),
+        F.size("decoded.ChangeEventHeader.recordIds").alias("n_record_ids"),
+        F.col("decoded.ChangeEventHeader.commitTimestamp").alias("commit_raw"),
     )

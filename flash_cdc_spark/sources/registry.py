@@ -1,0 +1,100 @@
+"""Schema registry + envelope decode (reference P1/S5).
+
+The reference fetches an Avro schema per ``schema_id`` from the Pub/Sub
+server, caches it in a dict, and decodes each event's ``payload`` bytes
+with it (``app/services/sf_pubsub.py:308-330``); the pre-flight warms
+the cache and fails fast on missing topics (``533-550``).
+
+Here the registry is an explicit map ``schema_id → (StructType, avro
+json)``. Decode strategy per schema id (schema evolution = one branch
+per id, exactly the reference's cache-miss-then-decode behavior):
+
+- **Avro** via ``from_avro`` when the spark-avro data source is loaded
+  (it is not bundled in this container — detected at runtime);
+- **JSON fallback** via ``from_json`` on the UTF-8 payload otherwise —
+  same shape: binary payload + registry schema → typed struct.
+
+Scale note: the registry is driver-side and tiny; the decode itself is
+a per-row expression (codegen, no shuffle). Multi-schema streams decode
+as a ``when`` chain over ``schema_id`` — no repartitioning by schema.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["SchemaRegistry", "avro_available", "decode_envelope"]
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro data source is loaded in this session."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(to_avro(F.struct("id"))).schema
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class SchemaRegistry:
+    """``schema_id → schema`` cache (reference: dict at
+    ``sf_pubsub.py:313``; populated on miss at ``315-323``)."""
+
+    schemas: dict[str, T.StructType] = field(default_factory=dict)
+    avro_json: dict[str, str] = field(default_factory=dict)
+
+    def register(self, schema_id: str, schema: T.StructType, avro: str | None = None) -> None:
+        self.schemas[schema_id] = schema
+        if avro:
+            self.avro_json[schema_id] = avro
+
+    def get(self, schema_id: str) -> T.StructType:
+        """Fail-fast on unknown schema ids (reference S5 pre-flight:
+        NOT_FOUND → fatal, ``sf_pubsub.py:544-549``)."""
+        if schema_id not in self.schemas:
+            raise KeyError(f"schema_id {schema_id!r} not in registry")
+        return self.schemas[schema_id]
+
+
+def decode_envelope(
+    envelope: DataFrame,
+    registry: SchemaRegistry,
+    payload_col: str = "payload",
+    schema_id_col: str = "schema_id",
+    use_avro: bool = False,
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Decode ``payload`` bytes into a typed ``decoded`` struct using the
+    per-row ``schema_id``'s registered schema.
+
+    With several registered ids the decode is a ``when`` chain — each
+    branch only fires for its id, so adding a new schema version is a new
+    branch (schema evolution without touching old events).
+    """
+    if not registry.schemas:
+        raise ValueError("empty schema registry")
+
+    def _branch(schema_id: str) -> Column:
+        schema = registry.get(schema_id)
+        if use_avro:
+            from pyspark.sql.avro.functions import from_avro
+
+            return from_avro(F.col(payload_col), registry.avro_json[schema_id])
+        return F.from_json(F.col(payload_col).cast("string"), schema)
+
+    ids = sorted(registry.schemas)
+    if len(ids) == 1:
+        return envelope.withColumn(out_col, _branch(ids[0]))
+    # when-chain over schema ids; unknown ids decode to null (the
+    # reference would RPC-fetch them — here that's a registry miss)
+    expr = None
+    for sid in ids:
+        cond = F.col(schema_id_col) == F.lit(sid)
+        expr = F.when(cond, _branch(sid)) if expr is None else expr.when(cond, _branch(sid))
+    return envelope.withColumn(out_col, expr)
