@@ -33,9 +33,14 @@ HEADLINE = [
     "q_events_sessionize",
     "q_events_tumbling_hour",
     "q_changefeed_flagship",
+    "q_envelope_decode",
     "q_dedup_fingerprint_groups",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash_pairs",
     "q_text_quality_by_source",
     "q_knn_bruteforce",
+    "q_sim_ann_lsh_topk",
+    "q_sim_embedding_neardup",
 ]
 
 

@@ -34,6 +34,8 @@ def query(name: str, oracle: str | None = None):
 
 # Import for registration side effects (order = inventory order).
 from flash_cdc_spark.queries import batch  # noqa: E402,F401
+from flash_cdc_spark.queries import batch_ext  # noqa: E402,F401
+from flash_cdc_spark.queries import pandas_udfs  # noqa: E402,F401
 from flash_cdc_spark.queries import events  # noqa: E402,F401
 from flash_cdc_spark.queries import changefeed  # noqa: E402,F401
 from flash_cdc_spark.queries import llm  # noqa: E402,F401

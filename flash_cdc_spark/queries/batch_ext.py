@@ -1,0 +1,265 @@
+"""Extended relational coverage: correlated subqueries, OR-predicate
+pushdown, nested EXISTS/NOT EXISTS, group-filtered aggregates, and a
+scalar-function suite — the rest of the classical surface a user would
+expect (SURVEY.md §2.9 gap list)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: correlated EXISTS with an inequality on both sides →
+    left-semi join on (orderkey) with the date comparison in the join
+    condition."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH supp_value AS (
+        SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS value
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, value
+    FROM supp_value
+    WHERE value > (SELECT 0.02 * sum(l_extendedprice * l_quantity) FROM lineitem)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: aggregate vs a scalar-subquery fraction of the
+    global aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    total = li.agg(val.alias("t")).first()["t"]
+    return (
+        li.groupBy("l_suppkey")
+        .agg(val.alias("value"))
+        .filter(F.col("value") > F.lit(0.02) * F.lit(total))
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 20
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count per part attribute group."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly, count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part average) → join
+    against a pre-aggregated per-part threshold (the decorrelated plan
+    Catalyst/DuckDB both choose)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-attribute predicate across both join
+    sides (tests OR handling through the join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT l_suppkey, count(*) AS n_waiting
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l_suppkey
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact with
+    inequality correlation (semi + anti join stack)."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    step1 = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    step2 = step1.alias("l1").join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return step2.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_waiting"))
+
+
+@query(
+    "q_scalar_function_suite",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority)                      AS pri_upper,
+           substr(o_orderpriority, 1, 1)               AS pri_code,
+           length(o_orderpriority)                     AS pri_len,
+           abs(o_totalprice - 100000.0)                AS dist_100k,
+           round(o_totalprice, 1)                      AS price_r1,
+           CAST(floor(o_totalprice / 1000) AS BIGINT)  AS price_k,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT)   AS price_k_up,
+           CAST(extract(year FROM o_orderdate) AS BIGINT)  AS order_year,
+           CAST(extract(month FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(extract(day FROM o_orderdate) AS BIGINT)   AS order_day,
+           coalesce(NULL, o_orderstatus, 'X')          AS status_nz,
+           CASE WHEN o_totalprice > 150000 THEN 'large'
+                WHEN o_totalprice > 50000  THEN 'medium'
+                ELSE 'small' END                       AS size_class,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+           replace(o_orderpriority, '-', '_')          AS pri_snake,
+           trim('  pad  ')                             AS trimmed,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0')  AS key_padded,
+           greatest(o_totalprice, 100000.0)            AS at_least_100k,
+           least(o_totalprice, 100000.0)               AS at_most_100k,
+           power(2.0, 10)                              AS p1024,
+           sqrt(abs(o_totalprice))                     AS price_sqrt,
+           CAST(trunc(o_totalprice) AS BIGINT)         AS price_int
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+)
+def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage: string/math/date/conditional builtins
+    with engine-portable semantics (everything here is whole-stage
+    codegen JVM intrinsics — the fast path UDF users should target)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.upper("o_orderpriority").alias("pri_upper"),
+            F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+            F.length("o_orderpriority").alias("pri_len"),
+            F.abs(F.col("o_totalprice") - 100000.0).alias("dist_100k"),
+            F.round(F.col("o_totalprice"), 1).alias("price_r1"),
+            F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k"),
+            F.ceil(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k_up"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+            F.coalesce(F.lit(None), F.col("o_orderstatus"), F.lit("X")).alias("status_nz"),
+            F.when(F.col("o_totalprice") > 150000, "large")
+            .when(F.col("o_totalprice") > 50000, "medium")
+            .otherwise("small")
+            .alias("size_class"),
+            F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias(
+                "status_pri"
+            ),
+            F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("pri_snake"),
+            F.trim(F.lit("  pad  ")).alias("trimmed"),
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+            F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("at_least_100k"),
+            F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("at_most_100k"),
+            F.pow(F.lit(2.0), F.lit(10)).alias("p1024"),
+            F.sqrt(F.abs("o_totalprice")).alias("price_sqrt"),
+            F.col("o_totalprice").cast("bigint").alias("price_int"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

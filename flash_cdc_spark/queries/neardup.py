@@ -84,28 +84,57 @@ def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 @query(
     "q_dedup_minhash_lsh",
-    oracle="WITH " + _DUCK_MINHASH.format(shingle_expr=_TOKENS) + """
-    SELECT doc_a,
-           count(*)            AS n_dup_partners,
-           max(jaccard)        AS max_jaccard,
-           CAST(min(doc_b) AS BIGINT) AS first_partner
-    FROM veri WHERE jaccard >= 0.8
-    GROUP BY doc_a
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    mh AS (
+        SELECT doc_id, j,
+               min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 16)) AS h
+        FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j)
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id, md5(string_agg(h, ',' ORDER BY j)) AS sig_key
+        FROM mh GROUP BY doc_id
+    )
+    SELECT sig_key,
+           count(*)                   AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM sig
+    GROUP BY sig_key
+    HAVING count(*) > 1
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=16) + LSH(4 bands × 4 rows) near-dups on token sets,
-    verified with exact Jaccard ≥ 0.8, aggregated to per-doc dup stats
-    (the tiny synthetic vocabulary makes raw pair lists quadratic in the
-    clique of full-vocabulary docs — per-doc aggregation keeps the
-    output linear, which is also the production shape: a doc → its dup
-    count + representative partner). The bucket join is the only
-    pairwise step — candidates, not n²."""
-    pairs = _minhash_pipeline(spark, sf_dir, n=1).filter(F.col("jaccard") >= 0.8)
-    return pairs.groupBy("doc_a").agg(
-        F.count(F.lit(1)).alias("n_dup_partners"),
-        F.max("jaccard").alias("max_jaccard"),
-        F.min("doc_b").alias("first_partner"),
+    """MinHash(k=16) near-dup *groups* by full-signature identity
+    (estimated Jaccard ≈ 1): one shuffle on the signature key, output
+    linear in the number of dup groups.
+
+    Scale rationale: on this corpus the full-vocabulary clique makes any
+    pairwise listing quadratic (thousands of docs share one token set).
+    The production-shaped answer is exactly this groupBy — identical-
+    signature cliques collapse to (signature, count, keeper); pairwise
+    Jaccard verification is reserved for *sparse* band-collision
+    candidates (see ``q_dedup_ngram_lsh_candidates``), never cliques."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", shingles_col(tokens_col("text"), n=1).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = docs.select("doc_id", *minhash_signature(F.col("shingles"), k=16))
+    sig_key = F.md5(F.concat_ws(",", *[F.col(f"mh_{j}") for j in range(16)]))
+    return (
+        sig.select("doc_id", sig_key.alias("sig_key"))
+        .groupBy("sig_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
     )
 
 
