@@ -134,6 +134,61 @@ def project_webhook_payload(
     return df.withColumn("payload", payload).withColumn("payload_json", F.to_json(payload))
 
 
+def changefeed_with_delivery_flag(
+    decoded: DataFrame,
+    topic: str,
+    instance_url: str,
+    drop_before_ms: int | None = None,
+    scalar_flag_col: str = "FlashField__c",
+    array_flag_col: str = "FlashField__c_arr",
+    passthrough: tuple[str, ...] = ("replay_seq",),
+) -> DataFrame:
+    """Variant that KEEPS dropped rows with a ``deliver`` flag instead of
+    filtering them — the shape the offset-mirroring sink needs: the
+    reference advances the replay cursor for since-dropped, empty-ids,
+    and flag-false events alike (``sf_pubsub.py:621-668``, ``752-780``),
+    so the sink must see every event's cursor even when nothing is
+    posted. Uses ``posexplode_outer`` so empty/null ``recordIds`` events
+    survive as one non-deliverable row."""
+    df = decoded.withColumns(
+        {
+            "entity_name": F.col(f"{HEADER}.entityName"),
+            "change_type": F.col(f"{HEADER}.changeType"),
+            "commit_ms": normalize_commit_ms(F.col(f"{HEADER}.commitTimestamp")),
+        }
+    )
+    since_ok = (
+        F.lit(True)
+        if drop_before_ms is None
+        else F.col("commit_ms").isNull() | (F.col("commit_ms") >= F.lit(drop_before_ms))
+    )
+    df = df.select(
+        "*",
+        F.posexplode_outer(F.col(f"{HEADER}.recordIds")).alias("record_pos", "record_id"),
+    )
+    df = df.withColumn(
+        "flag_value", align_positional(scalar_flag_col, array_flag_col, "record_pos")
+    ).withColumn("flag_norm", truthy_flag(F.col("flag_value")))
+    deliver = (
+        since_ok
+        & F.col("record_id").isNotNull()
+        & F.col("flag_norm").eqNullSafe(F.lit(True))
+    )
+    df = df.withColumn("deliver", deliver)
+    df = project_webhook_payload(df, topic, instance_url)
+    keep = [c for c in passthrough if c in decoded.columns]
+    return df.select(
+        *keep,
+        "record_id",
+        "entity_name",
+        "change_type",
+        "commit_ms",
+        "record_pos",
+        "deliver",
+        "payload_json",
+    )
+
+
 def changefeed_pipeline(
     decoded: DataFrame,
     topic: str,

@@ -396,3 +396,71 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media", F.encode(F.col("text"), "utf-8")
     )
     return MM.fake_decode_features(d, "media")
+
+
+@query(
+    "q_fingerprint_winnowing",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               list_transform(range(length(text) - 4),
+                              i -> substr(md5(substr(text, CAST(i + 1 AS INT), 5)), 1, 16))
+                   AS hl
+        FROM documents
+        WHERE length(text) >= 8
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(hl) - 3),
+                   j -> list_min(list_transform(range(4), k -> hl[CAST(j + k + 1 AS INT)]))))
+                   AS fps
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS INT) AS n_fingerprints,
+           list_min(fps)         AS min_fp,
+           list_max(fps)         AS max_fp
+    FROM winnowed
+    ORDER BY doc_id
+    LIMIT 300
+    """,
+)
+def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by *winnowing* (Schleimer et al.: rolling
+    k-gram hashes, keep the minimum of each sliding window): char
+    5-grams → 64-bit md5-hex rolling hashes → window-4 minima → distinct
+    fingerprint set. All higher-order functions, no explode until
+    nothing (stays one narrow pass); matching docs share fingerprints
+    robustly under local edits — the standard plagiarism/near-dup
+    sketch."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    gram_idx = F.sequence(F.lit(0), F.length("text") - 5)
+    hl = F.transform(
+        gram_idx,
+        lambda i: F.substring(F.md5(F.substr(F.col("text"), i + 1, F.lit(5))), 1, 16),
+    )
+    grams = d.select("doc_id", hl.alias("hl"))
+    win_idx = F.sequence(F.lit(0), F.size("hl") - 4)
+    fps = F.array_distinct(
+        F.transform(
+            win_idx,
+            lambda j: F.array_min(
+                F.transform(F.sequence(F.lit(0), F.lit(3)),
+                            lambda k: F.element_at(F.col("hl"), j + k + 1))
+            ),
+        )
+    )
+    return (
+        grams.select(
+            "doc_id",
+            fps.alias("fps"),
+        )
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )

@@ -27,7 +27,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from flash_cdc_spark.operators.changefeed import changefeed_pipeline
+from flash_cdc_spark.operators.changefeed import (
+    changefeed_pipeline,
+    changefeed_with_delivery_flag,
+)
 from flash_cdc_spark.schemas import DECODED_CHANGE_EVENT
 from flash_cdc_spark.sources.changelog import (
     ReplayArgs,
@@ -36,7 +39,10 @@ from flash_cdc_spark.sources.changelog import (
     read_changelog_stream,
     resolve_replay,
 )
-from flash_cdc_spark.streaming.webhook import webhook_batch_writer
+from flash_cdc_spark.streaming.webhook import (
+    webhook_batch_writer,
+    webhook_batch_writer_with_offsets,
+)
 
 import pyspark.sql.types as T
 
@@ -81,6 +87,7 @@ class PipelineConfig:
     checkpoint_root: str
     flow_batch_size: int = 100  # → maxFilesPerTrigger analog
     is_active: bool = True
+    offsets_path: str | None = None  # K2 queryable offset mirror (parquet)
 
     def checkpoint_dir(self) -> str:
         return os.path.join(self.checkpoint_root, f"pipeline-{self.id}")
@@ -145,16 +152,31 @@ class PipelineManager:
             replay=replay,
             max_files_per_trigger=max(1, config.flow_batch_size // 100),
         )
-        delivered = changefeed_pipeline(
-            source, config.topic, config.instance_url, drop_before_ms=replay.drop_before_ms
-        )
-        writer_kwargs = {}
         sink_kwargs = {}
         if self.transport_factory:
             sink_kwargs["transport_factory"] = self.transport_factory
         if self.retry_policy:
             sink_kwargs["policy"] = self.retry_policy
-        batch_fn = webhook_batch_writer(config.webhook_url, **sink_kwargs)
+        if config.offsets_path:
+            # K2 mirror: keep dropped rows (deliver flag) so the offset
+            # row advances even for all-filtered batches
+            delivered = changefeed_with_delivery_flag(
+                source, config.topic, config.instance_url,
+                drop_before_ms=replay.drop_before_ms,
+            )
+            batch_fn = webhook_batch_writer_with_offsets(
+                config.webhook_url,
+                config.offsets_path,
+                config.id,
+                config.topic,
+                **sink_kwargs,
+            )
+        else:
+            delivered = changefeed_pipeline(
+                source, config.topic, config.instance_url,
+                drop_before_ms=replay.drop_before_ms,
+            )
+            batch_fn = webhook_batch_writer(config.webhook_url, **sink_kwargs)
         sup = self._pipelines[config.id]
 
         def _counting_batch_fn(df, batch_id):
@@ -166,7 +188,7 @@ class PipelineManager:
             .queryName(f"pipeline-{config.id}")
             .option("checkpointLocation", config.checkpoint_dir())
             .trigger(**self.trigger)
-            .start(**writer_kwargs)
+            .start()
         )
 
     # -- C1/C2 supervisor -------------------------------------------------
@@ -304,3 +326,34 @@ class PipelineManager:
     def stop_all(self) -> None:
         for pid in list(self._pipelines):
             self.stop(pid)
+
+    # -- S4 idle watchdog --------------------------------------------------
+    @staticmethod
+    def is_idle(last_progress: dict | None, now_ms: int, idle_reset_s: float = 300.0) -> bool:
+        """Reference S4 (``sf_pubsub.py:588-596``): a stream with no
+        message for IDLE_RESET_SECONDS is considered wedged. Here: no
+        progress event (or none newer than the horizon) → idle."""
+        if not last_progress:
+            return True
+        ts = last_progress.get("timestamp")
+        if not ts:
+            return True
+        from datetime import datetime, timezone
+
+        parsed = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        age_s = now_ms / 1000.0 - parsed.replace(tzinfo=timezone.utc).timestamp()
+        return age_s > idle_reset_s
+
+    def watchdog_tick(self, idle_reset_s: float = 300.0) -> list[int]:
+        """Restart every running-but-idle pipeline; returns restarted
+        ids. Call periodically from the deployment's scheduler (the
+        reference runs the equivalent check inside each listener)."""
+        restarted = []
+        now_ms = int(time.time() * 1000)
+        for pid, sup in list(self._pipelines.items()):
+            if sup.query and sup.query.isActive and self.is_idle(
+                sup.query.lastProgress, now_ms, idle_reset_s
+            ):
+                self.restart(pid)
+                restarted.append(pid)
+        return restarted

@@ -123,6 +123,70 @@ def webhook_batch_writer(
     return _batch_fn
 
 
+def webhook_batch_writer_with_offsets(
+    url: str,
+    offsets_path: str,
+    pipeline_id: int,
+    topic: str,
+    transport_factory: Callable[[], Transport] = http_transport,
+    policy: RetryPolicy = RetryPolicy(),
+    payload_col: str = "payload_json",
+    deliver_col: str = "deliver",
+    seq_col: str = "replay_seq",
+):
+    """K2 variant: posts only rows flagged ``deliver`` and, once the
+    whole batch delivered, appends a *queryable offset mirror* row
+    ``(pipeline_id, topic, batch_id, last_replay_seq, n_events,
+    n_delivered)`` to a parquet table — the reference's Postgres
+    ``listener_offsets`` store (``sf_pubsub.py:104-176``) made
+    queryable. The mirror is written AFTER delivery succeeds, inside the
+    same foreachBatch, so it shares the conditional-commit contract
+    (failed delivery → no mirror row, no checkpoint commit → replay);
+    the authoritative cursor remains Spark's checkpoint (R6)."""
+
+    def _deliver_partition(rows: Iterator) -> None:
+        transport = transport_factory()
+        for row in rows:
+            if not row[deliver_col]:
+                continue
+            if not post_with_retry(transport, url, row[payload_col], policy):
+                raise WebhookDeliveryError(
+                    f"webhook delivery failed after {policy.max_attempts} attempts"
+                )
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df.persist()
+        try:
+            batch_df.select(deliver_col, payload_col).foreachPartition(_deliver_partition)
+            stats = batch_df.agg(
+                F.max(seq_col).alias("last_seq"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col(deliver_col).cast("int")).alias("n_delivered"),
+            ).first()
+            if stats["n_events"]:
+                spark = batch_df.sparkSession
+                spark.createDataFrame(
+                    [
+                        (
+                            pipeline_id,
+                            topic,
+                            batch_id,
+                            stats["last_seq"],
+                            stats["n_events"],
+                            stats["n_delivered"] or 0,
+                        )
+                    ],
+                    "pipeline_id int, topic string, batch_id long, "
+                    "last_replay_seq long, n_events long, n_delivered long",
+                ).write.mode("append").parquet(offsets_path)
+        finally:
+            batch_df.unpersist()
+
+    return _batch_fn
+
+
 def collecting_batch_writer(sink: list):
     """Test/debug sink: append (batch_id, rows) to a driver-side list.
     JSON-serializes rows so assertions don't hold Row objects."""

@@ -218,3 +218,40 @@ def test_post_with_retry_backoff_and_success():
                          sleep=sleeps.append)
     assert ok and len(calls) == 3
     assert sleeps == [1.0, 2.0]  # 1s then x2
+
+
+def test_offset_mirror_advances_even_when_all_dropped(spark, tmp_path, webhook_server):
+    """K2: the queryable offset mirror records every batch's max cursor,
+    including batches where nothing was delivered (since-drop / flag
+    false / empty recordIds)."""
+    _write_events(
+        spark,
+        str(tmp_path / "source"),
+        [
+            _event_row(1, ["d1"], flag="true"),
+            _event_row(2, ["d2"], flag="false"),  # dropped, offset advances
+            _event_row(3, [], flag="true"),  # empty ids, offset advances
+        ],
+    )
+    config = _mk_config(tmp_path, webhook_server, pid=10)
+    config.offsets_path = str(tmp_path / "offsets")
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    mgr.start(config)
+    mgr.wait(10, timeout_s=120)
+    assert _delivered_ids(webhook_server) == ["d1"]
+    offs = spark.read.parquet(config.offsets_path).orderBy("batch_id").collect()
+    assert offs  # mirror rows written
+    assert max(r["last_replay_seq"] for r in offs) == 3  # advanced past dropped
+    assert sum(r["n_delivered"] for r in offs) == 1
+    assert sum(r["n_events"] for r in offs) == 3
+
+
+def test_watchdog_idle_detection():
+    from flash_cdc_spark.streaming.pipelines import PipelineManager as PM
+
+    now_ms = 1_700_000_000_000
+    assert PM.is_idle(None, now_ms)  # no progress at all
+    fresh = {"timestamp": "2023-11-14T22:13:10.000Z"}  # ~10s before now_ms
+    assert not PM.is_idle(fresh, now_ms, idle_reset_s=300)
+    stale = {"timestamp": "2023-11-14T20:00:00.000Z"}
+    assert PM.is_idle(stale, now_ms, idle_reset_s=300)
