@@ -41,6 +41,26 @@ __all__ = [
 
 HEX_WIDTH = 16  # 64-bit hex prefix of md5 — plenty for min-hashing
 
+# Affine min-hash family: h_j(s) = (A_j * v(s) + B_j) mod P over a
+# single 60-bit md5-derived integer v(s) — ONE md5 per shingle instead
+# of k (the md5 is the expensive part; the mixes are integer ops).
+# P = 2^31-1 keeps A_j * (v mod P) within int64.
+MINHASH_P = 2_147_483_647
+
+
+def _affine_params(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(k):
+        a = int(hashlib.md5(f"mh_a_{j}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mh_b_{j}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_PARAMS = _affine_params(32)  # enough for any k <= 32
+
 
 def tokens_col(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
@@ -63,19 +83,31 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, parts))
 
 
-def _minhash_one(shingles: Column, j: int) -> Column:
-    """min over shingles of the 64-bit hex prefix of md5(j ':' shingle)."""
-    return F.array_min(
-        F.transform(
-            shingles,
-            lambda s: F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, HEX_WIDTH),
-        )
+def shingle_values(shingles: Column) -> Column:
+    """One 60-bit integer per shingle, reduced mod P: v = first 15 hex
+    digits of md5(shingle) (``conv`` hex→dec is exact below 2^63).
+    DuckDB twin: ``CAST('0x' || substr(md5(s),1,15) AS BIGINT) % P``."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MINHASH_P),
     )
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> list[Column]:
-    """k independent min-hashes (hex-string min == numeric min)."""
-    return [_minhash_one(shingles, j).alias(f"mh_{j}") for j in range(k)]
+def minhash_signature(vals: Column, k: int = 16) -> list[Column]:
+    """k affine min-hashes over a *materialized* per-shingle value array
+    (compute ``shingle_values`` into a real column first so the md5 runs
+    once per shingle, not once per hash function)."""
+    def _mix(a: int, b: int):
+        # single-arg closure: PySpark infers lambda arity from the
+        # signature, so default-arg captures would misread as 3-ary
+        return lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(MINHASH_P)
+
+    out = []
+    for j in range(k):
+        a, b = MINHASH_PARAMS[j]
+        out.append(F.array_min(F.transform(vals, _mix(a, b))).alias(f"mh_{j}"))
+    return out
 
 
 def minhash_bands(sig_prefix: str = "mh_", k: int = 16, bands: int = 4) -> list[Column]:
@@ -84,7 +116,10 @@ def minhash_bands(sig_prefix: str = "mh_", k: int = 16, bands: int = 4) -> list[
     rows_per_band = k // bands
     out = []
     for b in range(bands):
-        cols = [F.col(f"{sig_prefix}{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [
+            F.col(f"{sig_prefix}{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         out.append(F.md5(F.concat_ws(",", *cols)).alias(f"band_{b}"))
     return out
 

@@ -18,6 +18,7 @@ from flash_cdc_spark.operators.dedup import (
     minhash_bands,
     minhash_candidate_pairs,
     minhash_signature,
+    shingle_values,
     shingles_col,
     simhash_candidate_pairs,
     simhash_signatures,
@@ -28,21 +29,32 @@ from flash_cdc_spark.tables import load_table
 
 # Shared DuckDB CTE fragments -------------------------------------------------
 
+def _duck_affine_params_cte() -> str:
+    from flash_cdc_spark.operators.dedup import MINHASH_PARAMS
+
+    rows = ",".join(f"({j},{a},{b})" for j, (a, b) in enumerate(MINHASH_PARAMS[:16]))
+    return f"(VALUES {rows}) AS ab(j, a, b)"
+
+
 _DUCK_MINHASH = """
     docs AS (
         SELECT doc_id, list_distinct({shingle_expr}) AS sh
         FROM documents
     ),
-    tok AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    tok AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(unnest(sh)), 1, 15) AS BIGINT)
+                   % 2147483647 AS v
+        FROM docs
+    ),
     mh AS (
-        SELECT doc_id, j,
-               min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 16)) AS h
-        FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j)
+        SELECT doc_id, j, min((a * v + b) % 2147483647) AS h
+        FROM tok CROSS JOIN {params}
         GROUP BY doc_id, j
     ),
     band AS (
         SELECT doc_id, CAST(j // 4 AS INT) AS band_idx,
-               md5(string_agg(h, ',' ORDER BY j)) AS band_hash
+               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY j)) AS band_hash
         FROM mh GROUP BY doc_id, j // 4
     ),
     cand AS (
@@ -76,7 +88,8 @@ def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     docs = d.select(
         "doc_id", shingles_col(tokens_col("text"), n=n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sig = docs.select("doc_id", *minhash_signature(F.col("shingles"), k=16))
+    vals = docs.withColumn("vals", shingle_values(F.col("shingles")))
+    sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
     banded = sig.select("doc_id", *minhash_bands(k=16, bands=4))
     cands = minhash_candidate_pairs(banded, bands=4)
     return jaccard_verified_pairs(cands, docs, threshold=0.0)
@@ -84,20 +97,24 @@ def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 @query(
     "q_dedup_minhash_lsh",
-    oracle="""
+    oracle=("""
     WITH docs AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
         FROM documents
     ),
-    tok AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    tok AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(unnest(sh)), 1, 15) AS BIGINT)
+                   % 2147483647 AS v
+        FROM docs
+    ),
     mh AS (
-        SELECT doc_id, j,
-               min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 16)) AS h
-        FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j)
+        SELECT doc_id, j, min((a * v + b) % 2147483647) AS h
+        FROM tok CROSS JOIN {params}
         GROUP BY doc_id, j
     ),
     sig AS (
-        SELECT doc_id, md5(string_agg(h, ',' ORDER BY j)) AS sig_key
+        SELECT doc_id, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY j)) AS sig_key
         FROM mh GROUP BY doc_id
     )
     SELECT sig_key,
@@ -107,7 +124,7 @@ def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     FROM sig
     GROUP BY sig_key
     HAVING count(*) > 1
-    """,
+    """).format(params=_duck_affine_params_cte()),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) near-dup *groups* by full-signature identity
@@ -124,8 +141,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id", shingles_col(tokens_col("text"), n=1).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sig = docs.select("doc_id", *minhash_signature(F.col("shingles"), k=16))
-    sig_key = F.md5(F.concat_ws(",", *[F.col(f"mh_{j}") for j in range(16)]))
+    vals = docs.withColumn("vals", shingle_values(F.col("shingles")))
+    sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
+    sig_key = F.md5(F.concat_ws(",", *[F.col(f"mh_{j}").cast("string") for j in range(16)]))
     return (
         sig.select("doc_id", sig_key.alias("sig_key"))
         .groupBy("sig_key")
@@ -140,7 +158,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_ngram_lsh_candidates",
-    oracle="WITH " + _DUCK_MINHASH.format(shingle_expr=_TRIGRAMS) + """
+    oracle="WITH " + _DUCK_MINHASH.format(shingle_expr=_TRIGRAMS, params=_duck_affine_params_cte()) + """
     SELECT doc_a, doc_b, jaccard FROM veri
     """,
 )

@@ -15,6 +15,7 @@ from flash_cdc_spark.operators.dedup import (
     minhash_bands,
     minhash_candidate_pairs,
     minhash_signature,
+    shingle_values,
     shingles_col,
     simhash_signatures,
     tokens_col,
@@ -35,7 +36,8 @@ def test_minhash_identical_token_sets_collide_all_bands(spark):
         "doc_id long, text string",
     )
     docs = df.select("doc_id", shingles_col(tokens_col("text"), 1).alias("shingles"))
-    sig = docs.select("doc_id", *minhash_signature(F.col("shingles"), k=16))
+    vals = docs.withColumn("vals", shingle_values(F.col("shingles")))
+    sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
     banded = sig.select("doc_id", *minhash_bands())
     pairs = minhash_candidate_pairs(banded).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
