@@ -255,3 +255,46 @@ def test_watchdog_idle_detection():
     assert not PM.is_idle(fresh, now_ms, idle_reset_s=300)
     stale = {"timestamp": "2023-11-14T20:00:00.000Z"}
     assert PM.is_idle(stale, now_ms, idle_reset_s=300)
+
+
+def test_email_alerter_with_fake_transport(spark, tmp_path, webhook_server):
+    """K4: fatal pipeline error fires the mail hook (transport faked)."""
+    from flash_cdc_spark.streaming.alerts import EmailAlerter, SmtpSettings
+
+    outbox = []
+    alerter = EmailAlerter(
+        SmtpSettings(host="mail.example.com", recipients=("ops@example.com",)),
+        transport=lambda settings, msg: outbox.append(msg),
+    )
+    # fatal error path: topic preflight failure classified fatal
+    _write_events(spark, str(tmp_path / "source"), [_event_row(1, ["m1"], flag="true")])
+    config = _mk_config(tmp_path, webhook_server, pid=11)
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY, alert=alerter.alert)
+    sup_cls = type(mgr)
+
+    # inject a fatal failure by pointing at a config whose build raises
+    from flash_cdc_spark.streaming.pipelines import FatalConfigError
+
+    def boom(cfg, replay):
+        raise FatalConfigError("oauth invalid_client")
+
+    mgr._build_query = boom
+    mgr.start(config)
+    mgr.wait(11, timeout_s=60)
+    status = mgr.status(11)
+    assert status["fatal"] and status["status"] == "error"
+    assert len(outbox) == 1
+    assert "pipeline 11" in outbox[0]["Subject"]
+    assert "invalid_client" in outbox[0].get_content()
+    assert alerter.sent == [(11, "fatal: oauth invalid_client")]
+
+
+def test_email_alerter_transport_failure_does_not_raise():
+    from flash_cdc_spark.streaming.alerts import EmailAlerter, SmtpSettings
+
+    def failing(settings, msg):
+        raise ConnectionError("smtp down")
+
+    alerter = EmailAlerter(SmtpSettings(host="x"), transport=failing)
+    assert alerter.alert(1, "err") is False
+    assert alerter.sent == []
