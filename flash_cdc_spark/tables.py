@@ -32,6 +32,11 @@ def default_sf_dir() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Harden against foreign sessions (the driver's verify runs these
+    # queries in ITS session): timestamp semantics must match the naive-
+    # UTC DuckDB oracle regardless of the host session's timezone.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read the raw int64 nanos and floor to microseconds
