@@ -167,6 +167,10 @@ def webhook_batch_writer_with_offsets(
             ).first()
             if stats["n_events"]:
                 spark = batch_df.sparkSession
+                # idempotent on replay: each batch overwrites ITS OWN
+                # partition (dynamic partition overwrite), so a redelivered
+                # batch can't double-append its mirror row
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
                 spark.createDataFrame(
                     [
                         (
@@ -180,7 +184,7 @@ def webhook_batch_writer_with_offsets(
                     ],
                     "pipeline_id int, topic string, batch_id long, "
                     "last_replay_seq long, n_events long, n_delivered long",
-                ).write.mode("append").parquet(offsets_path)
+                ).write.partitionBy("batch_id").mode("overwrite").parquet(offsets_path)
         finally:
             batch_df.unpersist()
 

@@ -93,6 +93,58 @@ def dedup_within_watermark(
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich the event stream against a slowly-
+    changing dimension (broadcast per micro-batch; the static side is
+    re-resolved each batch, so a refreshed dim table is picked up)."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def stream_stream_purchase_after_click(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to a preceding
+    click by the same user within ``within``. Both sides watermarked so
+    the join state is bounded (Spark evicts rows older than watermark +
+    interval); the time-bound is mandatory for streaming joins."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count + value sum, emitted once per micro-batch per

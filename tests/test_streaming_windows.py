@@ -84,3 +84,45 @@ def test_running_user_totals_stateful(spark, events_stream):
         .collect()
     }
     assert final == expected
+
+
+def test_stream_static_enrich(spark, events_stream):
+    stream, batch = events_stream
+    dim = batch.select("user_id").distinct().withColumn(
+        "tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    got = _run_to_memory(spark, W.stream_static_enrich(stream, dim), "t_enrich")
+    assert got.count() == batch.count()
+    bad = got.filter(
+        (F.col("user_id") % 2 == 0) & (F.col("tier") != "even")
+    ).count()
+    assert bad == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    got = _run_to_memory(
+        spark, W.stream_stream_purchase_after_click(stream), "t_ssjoin"
+    ).collect()
+    # batch equivalent of the same interval join
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    expected = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+    ).select("purchase_id", "click_id").collect()
+    got_pairs = {(r["purchase_id"], r["click_id"]) for r in got}
+    exp_pairs = {(r["purchase_id"], r["click_id"]) for r in expected}
+    # streaming inner join with availableNow + watermark may hold back
+    # late-horizon rows; every emitted pair must be correct and coverage
+    # must be substantial
+    assert got_pairs <= exp_pairs
+    assert len(got_pairs) >= len(exp_pairs) * 0.9
