@@ -38,6 +38,9 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash_pairs",
     "q_text_quality_by_source",
+    "q_text_tfidf_top_terms",
+    "q_fingerprint_winnowing",
+    "q07_volume_shipping",
     "q_knn_bruteforce",
     "q_sim_ann_lsh_topk",
     "q_sim_embedding_neardup",

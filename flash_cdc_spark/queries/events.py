@@ -176,3 +176,19 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count(F.lit(1)).alias("n")
     )
+
+
+@query("q_events_sketches")  # approximate results — rows-only check
+def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates for the 100 TB path: HyperLogLog++
+    distinct counts and quantile sketches (``approx_count_distinct`` /
+    ``approx_percentile``) — constant memory per group regardless of
+    cardinality, mergeable across partitions (vs the exact distinct's
+    expand-shuffle). Approximate → no SQL oracle; accuracy is asserted
+    against exact values in tests/test_sketches.py."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))").alias("value_pcts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -284,3 +284,61 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "q_text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, source, term, count(*) AS tf
+        FROM tok GROUP BY doc_id, source, term
+    ),
+    df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               sum(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        GROUP BY tf.source, tf.term
+    ),
+    ranked AS (
+        SELECT source, term, round(score, 6) AS score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY round(score, 6) DESC, term) AS rk
+        FROM scored
+    )
+    SELECT source, term, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency × smoothed inverse document frequency,
+    aggregated per source, top-3 terms each. Two shuffles (tf groupBy,
+    df groupBy) + a broadcast of the tiny df/N sides — the standard
+    distributed TF-IDF shape (what Spark MLlib's HashingTF+IDF computes,
+    expressed relationally so it's oracle-checkable)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("source", "term")
+        .agg(F.sum(F.col("tf") * idf).alias("raw_score"))
+        .select("source", "term", F.round("raw_score", 6).alias("score"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "term", "score", F.col("rk").cast("int").alias("rk"))
+    )

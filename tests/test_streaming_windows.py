@@ -126,3 +126,35 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
     # must be substantial
     assert got_pairs <= exp_pairs
     assert len(got_pairs) >= len(exp_pairs) * 0.9
+
+
+def test_continuous_rollup_matches_batch_and_is_idempotent(spark, events_stream, tmp_path):
+    from flash_cdc_spark.streaming.rollup import continuous_rollup
+
+    stream, batch = events_stream
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    q = continuous_rollup(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in batch.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd-HH-mm").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == expected
+    # idempotence: re-running over the same checkpoint adds nothing
+    q2 = continuous_rollup(stream, out, ckpt)
+    q2.awaitTermination(120)
+    got2 = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == expected
