@@ -35,8 +35,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Harden against foreign sessions (the driver's verify runs these
     # queries in ITS session): timestamp semantics must match the naive-
     # UTC DuckDB oracle regardless of the host session's timezone.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # (unconditional set: conf.get validates even the *default* value in
+    # sessions where the key is unset, so a get-then-set would throw)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read the raw int64 nanos and floor to microseconds
