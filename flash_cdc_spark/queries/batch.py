@@ -670,3 +670,104 @@ def q_admin_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="c_custkey",
         defaults={"n_orders": 0, "last_status": "none", "total_spend": 0.0},
     )
+
+
+@query(
+    "q_window_frames_advanced",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ntile(4) OVER w_price AS INT)        AS price_quartile,
+           percent_rank() OVER w_price               AS pct_rank,
+           cume_dist() OVER w_price                  AS cume,
+           first_value(o_orderkey) OVER w_time       AS first_order,
+           last_value(o_orderkey) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                     AS last_order,
+           sum(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+                RANGE BETWEEN 31536000000 PRECEDING AND CURRENT ROW)
+                                                     AS trailing_year_spend
+    FROM orders
+    WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           w_time  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_frames_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame coverage beyond ranking: ntile, percent_rank,
+    cume_dist, first/last_value with explicit ROWS frames, and a
+    RANGE frame over epoch-ms (trailing-365-day running spend)."""
+    o = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-31_536_000_000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w_price).cast("int").alias("price_quartile"),
+        F.percent_rank().over(w_price).alias("pct_rank"),
+        F.cume_dist().over(w_price).alias("cume"),
+        F.first("o_orderkey").over(w_time).alias("first_order"),
+        F.last("o_orderkey")
+        .over(w_time.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("last_order"),
+        F.sum("o_totalprice").over(w_range).alias("trailing_year_spend"),
+    )
+
+
+@query(
+    "q_array_function_suite",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                                   AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT)                    AS n_distinct,
+           CAST(list_contains(toks, 'the') AS BOOLEAN)              AS has_the,
+           list_sort(list_distinct(toks))[1]                        AS first_token_sorted,
+           list_reverse_sort(list_distinct(toks))[1]                AS last_token_sorted,
+           CAST(coalesce(list_position(toks, 'data'), 0) AS INT)    AS data_pos,
+           CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT)  AS n_long_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT)
+                                                                    AS total_chars,
+           coalesce(array_to_string(list_sort(list_distinct(list_filter(toks,
+               t -> t IN ('scan','join','sort')))), ','), '')       AS ops_present
+    FROM base
+    """,
+)
+def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function coverage: size, distinct, contains,
+    sort (asc/desc), position (1-based), filter, transform+aggregate,
+    and a filter→sort→join composition — all JVM-side, no explode."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("first_token_sorted"),
+        F.element_at(F.reverse(F.array_sort(F.array_distinct(toks))), 1).alias(
+            "last_token_sorted"
+        ),
+        F.array_position(toks, "data").cast("int").alias("data_pos"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.filter(toks, lambda t: t.isin("scan", "join", "sort")))
+            ),
+            ",",
+        ).alias("ops_present"),
+    )

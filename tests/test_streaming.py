@@ -298,3 +298,34 @@ def test_email_alerter_transport_failure_does_not_raise():
     alerter = EmailAlerter(SmtpSettings(host="x"), transport=failing)
     assert alerter.alert(1, "err") is False
     assert alerter.sent == []
+
+
+def test_supervisor_restarts_after_transient_failure(spark, tmp_path, webhook_server):
+    """C1/C2: a transient mid-stream failure (endpoint 500s exhaust the
+    retry budget → batch fails → query dies) is retried by the
+    supervisor with backoff; once the endpoint recovers, the SAME
+    supervised pipeline delivers the event (continuous trigger)."""
+    _write_events(spark, str(tmp_path / "source"), [_event_row(1, ["t1"], flag="true")])
+    webhook_server.fail_remaining = 4  # first 4 posts fail (2 per query run)
+    mgr = PipelineManager(
+        spark,
+        retry_policy=FAST_POLICY,
+        backoff_initial_s=0.05,
+        backoff_cap_s=0.2,
+        trigger={"processingTime": "200 milliseconds"},
+    )
+    config = _mk_config(tmp_path, webhook_server, pid=12)
+    mgr.start(config)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            status = mgr.status(12)
+            delivered = [r["data"][0]["Id"] for r in webhook_server.requests]
+            if "t1" in delivered and webhook_server.fail_remaining == 0:
+                break
+            time.sleep(0.3)
+        status = mgr.status(12)
+        assert status["restarts"] >= 1  # supervisor actually restarted it
+        assert _delivered_ids(webhook_server)[-1] == "t1"
+    finally:
+        mgr.stop(12)
