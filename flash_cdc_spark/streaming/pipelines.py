@@ -24,7 +24,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from flash_cdc_spark.operators.changefeed import (
@@ -177,6 +177,11 @@ class PipelineManager:
                 drop_before_ms=replay.drop_before_ms,
             )
             batch_fn = webhook_batch_writer(config.webhook_url, **sink_kwargs)
+        # C6 custom metrics: per-batch delivered-row count surfaces in
+        # lastProgress["observedMetrics"]["pipeline_metrics"]
+        delivered = delivered.observe(
+            "pipeline_metrics", F.count(F.lit(1)).alias("rows_out")
+        )
         sup = self._pipelines[config.id]
 
         def _counting_batch_fn(df, batch_id):
@@ -318,6 +323,9 @@ class PipelineManager:
             "restarts": sup.restarts,
             "batches_seen": sup.batches_seen,
             "num_input_rows": (progress or {}).get("numInputRows"),
+            "observed": ((progress or {}).get("observedMetrics") or {}).get(
+                "pipeline_metrics"
+            ),
         }
 
     def status_all(self) -> dict[int, dict]:
