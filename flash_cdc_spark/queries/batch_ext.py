@@ -376,3 +376,127 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@query(
+    "q_full_outer_nation_presence",
+    oracle="""
+    WITH cust_n AS (
+        SELECT c_nationkey AS nkey, count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ),
+    supp_n AS (
+        SELECT s_nationkey AS nkey, count(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cust_n.nkey, supp_n.nkey) AS nkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers,
+           CASE WHEN cust_n.nkey IS NULL THEN 'suppliers_only'
+                WHEN supp_n.nkey IS NULL THEN 'customers_only'
+                ELSE 'both' END AS presence
+    FROM cust_n FULL OUTER JOIN supp_n ON cust_n.nkey = supp_n.nkey
+    """,
+)
+def q_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nation presence across two aggregates with
+    null-side classification + coalesced defaults."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = c.join(s, c.c_nkey == s.s_nkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_nkey", "s_nkey").alias("nkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.when(F.col("c_nkey").isNull(), "suppliers_only")
+        .when(F.col("s_nkey").isNull(), "customers_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@query(
+    "q_multiset_ops",
+    oracle="""
+    SELECT 'intersect_all' AS op, l_returnflag, l_linestatus FROM (
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 3
+        INTERSECT ALL
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.09
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, l_returnflag, l_linestatus FROM (
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 3
+        EXCEPT ALL
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.09
+    )
+    """,
+)
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL preserve
+    duplicate multiplicities — counts, not just membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 3).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_discount") > 0.09).select("l_returnflag", "l_linestatus")
+    inter = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "*")
+    diff = a.exceptAll(b).select(F.lit("except_all").alias("op"), "*")
+    return inter.unionByName(diff)
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'P')            AS status_or_null,
+               CASE WHEN o_totalprice < 2000 THEN NULL
+                    ELSE o_totalprice END            AS price_or_null
+        FROM orders WHERE o_orderkey < 3000
+    )
+    SELECT o_orderkey, status_or_null,
+           coalesce(status_or_null, '?')             AS status_nz,
+           (status_or_null IS NOT DISTINCT FROM 'F') AS is_f_nullsafe,
+           (price_or_null IS NULL)                   AS price_missing,
+           CAST(row_number() OVER (ORDER BY price_or_null ASC NULLS FIRST,
+                              o_orderkey) AS INT)    AS rn_nulls_first,
+           CAST(row_number() OVER (ORDER BY price_or_null DESC NULLS LAST,
+                              o_orderkey) AS INT)    AS rn_nulls_last
+    FROM o
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics suite: nullif, null-safe equality (<=> / IS NOT
+    DISTINCT FROM), and *explicit* null ordering — Spark defaults to
+    NULLS FIRST ascending while DuckDB defaults NULLS LAST, so portable
+    queries must always spell it out (as these do)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+            F.when(F.col("o_totalprice") < 2000, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("price_or_null"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_first = Window.orderBy(F.col("price_or_null").asc_nulls_first(), F.col("o_orderkey"))
+    w_last = Window.orderBy(F.col("price_or_null").desc_nulls_last(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "status_or_null",
+        F.coalesce("status_or_null", F.lit("?")).alias("status_nz"),
+        F.col("status_or_null").eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+        F.col("price_or_null").isNull().alias("price_missing"),
+        F.row_number().over(w_first).alias("rn_nulls_first"),
+        F.row_number().over(w_last).alias("rn_nulls_last"),
+    )
