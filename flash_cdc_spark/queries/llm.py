@@ -342,3 +342,58 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("source", "term", "score", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "q_text_chunking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id < 200
+    ),
+    chunks AS (
+        SELECT doc_id, source, n, t,
+               CAST(unnest(range(0, n, 40)) AS INT) AS start
+        FROM toks
+    )
+    SELECT doc_id, source,
+           CAST(start // 40 AS INT) AS chunk_idx,
+           start,
+           CAST(least(50, n - start) AS INT) AS chunk_tokens,
+           array_to_string(list_transform(range(least(50, n - start)),
+                                          k -> t[CAST(start + k + 1 AS INT)]), ' ')
+               AS chunk_text
+    FROM chunks
+    """,
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM training: fixed-size token windows
+    (50 tokens, stride 40 → 10-token overlap), one output row per
+    chunk. Pure sequence/transform + JVM-side explode — a 100 TB corpus
+    chunks in one narrow pass with no Python and no shuffle."""
+    chunk_size, stride = 50, 40
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    chunks = toks.select(
+        "doc_id", "source", "n", "t", F.explode(starts).alias("start")
+    )
+    chunk_len = F.least(F.lit(chunk_size), F.col("n") - F.col("start"))
+    chunk_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), chunk_len - 1),
+            lambda k: F.element_at(F.col("t"), F.col("start") + k + 1),
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        chunk_len.cast("int").alias("chunk_tokens"),
+        chunk_text.alias("chunk_text"),
+    )
