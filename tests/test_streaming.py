@@ -329,3 +329,27 @@ def test_supervisor_restarts_after_transient_failure(spark, tmp_path, webhook_se
         assert _delivered_ids(webhook_server)[-1] == "t1"
     finally:
         mgr.stop(12)
+
+
+def test_autostart_multiple_pipelines_isolated(spark, tmp_path, webhook_server):
+    """C3/C4: autostart over a config table starts every active pipeline;
+    inactive ones stay stopped; deliveries and checkpoints are isolated."""
+    _write_events(spark, str(tmp_path / "src_a"), [_event_row(1, ["pa"], flag="true")])
+    _write_events(spark, str(tmp_path / "src_b"), [_event_row(1, ["pb"], flag="true")])
+    _write_events(spark, str(tmp_path / "src_c"), [_event_row(1, ["pc"], flag="true")])
+    base = _mk_config(tmp_path, webhook_server, pid=31)
+    configs = []
+    for pid, src, active in ((31, "src_a", True), (32, "src_b", True), (33, "src_c", False)):
+        cfg = PipelineConfig(**{**base.__dict__, "id": pid, "name": f"client-{pid}",
+                                "source_path": str(tmp_path / src),
+                                "is_active": active})
+        configs.append(cfg)
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    started = mgr.autostart(configs)
+    assert started == [31, 32]
+    mgr.wait(31, timeout_s=120)
+    mgr.wait(32, timeout_s=120)
+    assert _delivered_ids(webhook_server) == ["pa", "pb"]  # pc never started
+    statuses = mgr.status_all()
+    assert statuses[31]["status"] == "stopped" and statuses[32]["status"] == "stopped"
+    assert 33 not in statuses
