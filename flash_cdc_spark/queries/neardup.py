@@ -194,14 +194,14 @@ _DUCK_SIMHASH_SIG = """
 @query(
     "q_dedup_simhash_signatures",
     oracle="WITH " + _DUCK_SIMHASH_SIG + """
-    SELECT doc_id, simhash FROM ssig ORDER BY doc_id LIMIT 500
+    SELECT doc_id, simhash FROM ssig WHERE doc_id < 500
     """,
 )
 def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash signatures (bit-exact across engines
     — the strongest check on the signature computation)."""
-    d = load_table(spark, sf_dir, "documents")
-    return simhash_signatures(d).orderBy("doc_id").limit(500)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_signatures(d)
 
 
 @query(
@@ -425,7 +425,7 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> substr(md5(substr(text, CAST(i + 1 AS INT), 5)), 1, 16))
                    AS hl
         FROM documents
-        WHERE length(text) >= 8
+        WHERE length(text) >= 8 AND doc_id < 300
     ),
     winnowed AS (
         SELECT doc_id,
@@ -439,8 +439,6 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_min(fps)         AS min_fp,
            list_max(fps)         AS max_fp
     FROM winnowed
-    ORDER BY doc_id
-    LIMIT 300
     """,
 )
 def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,7 +449,9 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing (stays one narrow pass); matching docs share fingerprints
     robustly under local edits — the standard plagiarism/near-dup
     sketch."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 8) & (F.col("doc_id") < 300)
+    )
     gram_idx = F.sequence(F.lit(0), F.length("text") - 5)
     hl = F.transform(
         gram_idx,
@@ -479,8 +479,6 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("fps").alias("min_fp"),
             F.array_max("fps").alias("max_fp"),
         )
-        .orderBy("doc_id")
-        .limit(300)
     )
 
 
