@@ -500,3 +500,126 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_first).alias("rn_nulls_first"),
         F.row_number().over(w_last).alias("rn_nulls_last"),
     )
+
+
+@query(
+    "q_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)               AS qty_stddev,
+           round(var_samp(l_quantity), 6)                  AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6)     AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 8)         AS disc_tax_covar,
+           round(skewness(l_extendedprice), 3)             AS price_skew,
+           round(kurtosis(l_extendedprice), 3)             AS price_kurtosis
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate coverage: stddev/variance (sample),
+    correlation, covariance, skewness, kurtosis — all partial-
+    aggregable JVM builtins (single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+        F.round(F.skewness("l_extendedprice"), 3).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 3).alias("price_kurtosis"),
+    )
+
+
+@query(
+    "q_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6)  AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 6)  AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price,
+           round(min(o_totalprice), 6)                 AS min_price,
+           round(max(o_totalprice), 6)                 AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) — the exact twin of the sketch-based
+    ``q_events_sketches``."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+
+
+@query(
+    "q_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+               AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP)   AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)   AS month_end,
+           CAST(extract(dow FROM o_orderdate) AS INT)          AS day_of_week,
+           CAST(extract(quarter FROM o_orderdate) AS INT)      AS quarter
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: day diffs, interval add, month
+    truncation, month-end, day-of-week (Sunday=0 — Spark ``dayofweek``
+    is 1-based Sunday=1, shifted to match the extract(dow) convention),
+    quarter."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).cast("bigint").alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("timestamp").alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp").alias("order_month"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        (F.dayofweek(F.col("o_orderdate")) - 1).cast("int").alias("day_of_week"),
+        F.quarter("o_orderdate").cast("int").alias("quarter"),
+    )
+
+
+@query(
+    "q_levenshtein_name_pairs",
+    oracle="""
+    WITH names AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey < 30
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+    FROM names a JOIN names b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_levenshtein_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity (near-identical serial names differ in
+    1-2 digits): blocked pairwise levenshtein — the string-metric
+    complement to the token/hash dedup family."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 30).select(
+        "c_custkey", "c_name"
+    )
+    a = c.select(F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(b, F.col("cust_a") < F.col("cust_b"))
+        .select(
+            "cust_a",
+            "cust_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+    )
