@@ -397,3 +397,43 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_len.cast("int").alias("chunk_tokens"),
         chunk_text.alias("chunk_text"),
     )
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'validation'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM assigned
+    GROUP BY source, split
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split (90/5/5) by hashed id —
+    the reproducible-split primitive every training pipeline needs:
+    membership is a pure function of the row key (stable across runs,
+    engines, and re-partitioning — never ``rand()`` or ``sample()``,
+    whose results depend on partition layout)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "validation").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
