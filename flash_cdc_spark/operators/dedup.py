@@ -248,7 +248,10 @@ def simhash_candidate_pairs(
         F.col(id_col), F.col(sim_col), F.posexplode(bytes_arr).alias("byte_idx", "byte_val")
     )
     l, r = stacked.alias("l"), stacked.alias("r")
-    cands = (
+    hamming = F.bit_count(F.col(f"l.{sim_col}").bitwiseXOR(F.col(f"r.{sim_col}")))
+    # compute + filter Hamming BEFORE the distinct: most band collisions
+    # are not near-dups, so the dedup shuffle only sees survivors
+    return (
         l.join(
             r,
             (F.col("l.byte_idx") == F.col("r.byte_idx"))
@@ -258,12 +261,8 @@ def simhash_candidate_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col(f"l.{sim_col}").alias("sim_a"),
-            F.col(f"r.{sim_col}").alias("sim_b"),
+            hamming.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cands.select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
