@@ -584,3 +584,65 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "cell", "cosine", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="WITH RECURSIVE " + _DUCK_SIMHASH_SIG + """
+    , sbytes AS (
+        SELECT doc_id, simhash, CAST(b AS INT) AS byte_idx,
+               (simhash // CAST(power(2, 8 * b) AS BIGINT)) % 256 AS byte_val
+        FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM sbytes l JOIN sbytes r
+          ON l.byte_idx = r.byte_idx AND l.byte_val = r.byte_val
+         AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (
+        SELECT node, CAST(min(lbl) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT cluster_id,
+           count(*)                    AS n_members,
+           CAST(max(node) AS BIGINT)   AS max_member
+    FROM cc
+    GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup *clusters*: SimHash near-dup pairs (Hamming ≤ 3) →
+    connected components (iterative min-label propagation; oracle =
+    recursive CTE transitive closure) → per-cluster membership with the
+    canonical keeper (= cluster_id = min doc_id). The iterative-
+    algorithm representative in the inventory: joins-until-fixpoint
+    with lineage checkpointing each round."""
+    from flash_cdc_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(d)
+    pairs = simhash_candidate_pairs(sigs, max_hamming=3).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_member"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

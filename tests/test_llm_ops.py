@@ -136,3 +136,26 @@ def test_frame_sampling_counts(spark):
     assert 2 not in per_doc  # 40 bytes < one frame
     assert len(per_doc[3]) == 8  # capped at max_frames
     assert per_doc[1] == [0, 64, 128, 192]
+
+
+def test_connected_components_basic(spark):
+    from flash_cdc_spark.operators.graph import connected_components
+
+    # two components: {1,2,3,4} (chain+extra edge) and {10,11}; singleton 99 absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from flash_cdc_spark.operators.graph import connected_components
+
+    # a 12-node chain needs multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {0}
+    assert len(cc) == 13
