@@ -192,3 +192,32 @@ def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))").alias("value_pcts"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_events_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT date_trunc('day', ts) AS day,
+               count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+        FROM events GROUP BY 1
+    )
+    SELECT day, event_type, n_events
+    FROM wide
+    UNPIVOT (n_events FOR event_type IN (click, error, purchase, signup, view))
+    """,
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide daily matrix back to long form —
+    pivot⁻¹ round-trip coverage (Spark ``unpivot``/``melt``)."""
+    wide = q_events_daily_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
