@@ -16,11 +16,12 @@ no Python UDFs anywhere:
 - **embedding near-dup**: cosine ≥ τ pairs within LSH/label blocks
   (see :mod:`flash_cdc_spark.operators.similarity`).
 
-Hash choice: every hash is ``md5`` of a string expression, compared (or
-min-reduced) on its *hex prefix* — lexicographic order on fixed-width
-lowercase hex equals numeric order, so signatures are portable across
-engines (the DuckDB oracles reproduce them bit-for-bit; no dialect-
-specific hash or hex→int casts anywhere).
+Hash choice: every signature derives from ``md5`` hex — either via the
+affine min-hash family over one 60-bit md5-derived integer per shingle
+(hex→int is exact in both engines: Spark ``conv``, DuckDB '0x' cast) or
+via arithmetic-only bit extraction from hex digits (SimHash) — so
+signatures are bit-identical across engines and the DuckDB oracles
+reproduce them exactly.
 """
 
 from __future__ import annotations
@@ -38,8 +39,6 @@ __all__ = [
     "simhash_signatures",
     "simhash_candidate_pairs",
 ]
-
-HEX_WIDTH = 16  # 64-bit hex prefix of md5 — plenty for min-hashing
 
 # Affine min-hash family: h_j(s) = (A_j * v(s) + B_j) mod P over a
 # single 60-bit md5-derived integer v(s) — ONE md5 per shingle instead

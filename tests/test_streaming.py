@@ -9,7 +9,6 @@ import threading
 import time
 
 import pytest
-from pyspark.sql import Row
 
 from flash_cdc_spark.sources.changelog import ReplayArgs, encode_seq
 from flash_cdc_spark.streaming.pipelines import (
