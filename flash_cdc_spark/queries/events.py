@@ -221,3 +221,49 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n_events",
     )
+
+
+@query(
+    "q_streaming_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d-%H-%M') AS bucket_start,
+           event_type,
+           count(*)   AS n_events,
+           sum(value) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed, oracle-checked: runs the continuous rollup as
+    a real Structured Streaming job (file stream → watermarked window
+    agg → idempotent partition-overwrite sink) over the events table,
+    then returns the materialized rollup — which must equal the plain
+    batch/SQL aggregate. The one inventory entry where the driver's
+    correctness gate exercises the streaming engine itself."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming.rollup import continuous_rollup
+    from flash_cdc_spark.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="flash_rollup_")
+    try:
+        src = f"{workdir}/src"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = continuous_rollup(stream, f"{workdir}/out", f"{workdir}/ckpt")
+        q.awaitTermination(300)
+        # materialize fully before the workdir is removed
+        rows = spark.read.parquet(f"{workdir}/out").collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_events bigint, total_value double, min_value double, "
+        "max_value double, bucket_start string, event_type string",
+    ).select("bucket_start", "event_type", "n_events", "total_value",
+             "min_value", "max_value")
