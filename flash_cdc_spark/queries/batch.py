@@ -771,3 +771,23 @@ def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("ops_present"),
     )
+
+
+@query(
+    "q_cross_join_region_matrix",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region,
+           (a.r_regionkey = b.r_regionkey) AS same_region
+    FROM region a CROSS JOIN region b
+    """,
+)
+def q_cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (cartesian) over a bounded dimension — the
+    only safe cartesian shape at scale: both sides tiny, result 25 rows
+    (fact-side cartesians are never allowed in this engine's queries)."""
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("from_region"), F.col("r_regionkey").alias("ka"))
+    b = r.select(F.col("r_name").alias("to_region"), F.col("r_regionkey").alias("kb"))
+    return a.crossJoin(b).select(
+        "from_region", "to_region", (F.col("ka") == F.col("kb")).alias("same_region")
+    )
