@@ -1,0 +1,44 @@
+"""Contract sanity for the query registry and driver entry module."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flash_cdc_spark.queries import ORACLE, QUERIES
+from flash_cdc_spark.tables import TABLE_NAMES
+
+
+def test_registry_shape():
+    assert len(QUERIES) >= 70
+    assert set(ORACLE) <= set(QUERIES)
+    non_sql = set(QUERIES) - set(ORACLE)
+    # only the genuinely non-SQL-expressible ops may lack oracles
+    assert non_sql == {"q_events_sketches", "q_multimodal_decode_features"}
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+        assert name.startswith("q"), name
+
+
+def test_all_oracles_are_valid_duckdb_sql(sf_dir):
+    """Every oracle must at least PREPARE against the real views — a
+    syntax/binder error here would fail the driver gate outright."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, sql in ORACLE.items():
+        try:
+            con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as exc:  # pragma: no cover
+            pytest.fail(f"oracle for {name} is invalid: {exc}")
+
+
+def test_entry_module_contract():
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert qs.keys() == QUERIES.keys()
+    assert oracles.keys() == ORACLE.keys()
+    # returned dicts are copies — driver mutation can't corrupt the registry
+    qs.pop(next(iter(qs)))
+    assert len(e.queries()) == len(QUERIES)
