@@ -1,0 +1,61 @@
+"""Physical-plan contracts for headline queries — guards against plan
+regressions in later rounds (a correct-but-degraded plan passes the
+oracle yet loses the 100 TB properties; this pins them)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flash_cdc_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    names = [
+        "q01_pricing_summary",
+        "q06_forecast_revenue",
+        "q03_shipping_priority",
+        "q05_local_supplier_volume",
+        "q_changefeed_flagship",
+        "q_window_topk_orders",
+    ]
+    return {n: _plan(QUERIES[n](spark, sf_dir)) for n in names}
+
+
+def test_scan_filters_pushed_down(plans):
+    # q01/q06's range predicates must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plans["q01_pricing_summary"]
+    p6 = plans["q06_forecast_revenue"]
+    assert "PushedFilters" in p6 and "l_shipdate" in p6.split("PushedFilters", 1)[1].splitlines()[0]
+
+
+def test_dim_joins_are_broadcast(plans):
+    # the filtered customer dim in q03 and region/nation/supplier in q05
+    assert "BroadcastHashJoin" in plans["q03_shipping_priority"]
+    assert plans["q05_local_supplier_volume"].count("BroadcastHashJoin") >= 3
+
+
+def test_topk_uses_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["q03_shipping_priority"]
+
+
+def test_changefeed_is_shuffle_free(plans):
+    p = plans["q_changefeed_flagship"]
+    assert "Exchange" not in p  # narrow pipeline: no shuffle at any scale
+    assert "Generate" in p  # the posexplode
+
+
+def test_window_topk_avoids_global_sort(plans):
+    # partitioned window sort, not a global Sort over all rows
+    p = plans["q_window_topk_orders"]
+    assert "WindowGroupLimit" in p or "RunningWindowFunction" in p or "Window" in p
