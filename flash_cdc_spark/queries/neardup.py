@@ -646,3 +646,74 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+@query(
+    "q_sim_ann_lsh_multiprobe",
+    oracle="WITH " + _duck_vecs_cte() + "," + _duck_bucket_cte() + """
+    , probe_masks AS (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS mask),
+    probe_buckets AS (
+        SELECT b.vec_id AS query_id, xor(b.bucket, mask) AS pbucket
+        FROM buckets b CROSS JOIN probe_masks
+        WHERE b.vec_id < 10
+    ),
+    pairs AS (
+        SELECT DISTINCT pb.query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM probe_buckets pb
+        JOIN buckets cb ON cb.bucket = pb.pbucket
+        JOIN vecs c ON c.vec_id = cb.vec_id AND c.vec_id <> pb.query_id
+        JOIN vecs q ON q.vec_id = pb.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each probe searches its own bucket PLUS
+    the 8 buckets at Hamming distance 1 (one sign-bit flip) — the
+    standard recall knob: candidates grow ~9×/256 of the corpus while
+    recall approaches brute force (asserted in tests/test_llm_ops.py).
+    Still one shuffle on the bucket id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    bucketed = vecs.withColumn("bucket", SIM.lsh_bucket(F.col("v")))
+    masks = [0] + [2**p for p in range(SIM.N_PLANES)]
+    probes = (
+        bucketed.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .withColumn("pbucket", F.col("qbucket").bitwiseXOR(F.col("mask")))
+        .select("query_id", "qv", "qn", "pbucket")
+    )
+    pairs = (
+        bucketed.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )

@@ -159,3 +159,23 @@ def test_connected_components_long_chain_converges(spark):
     cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert set(cc.values()) == {0}
     assert len(cc) == 13
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    """Multi-probe (Hamming-1 buckets) must recover at least as many
+    brute-force top-1 neighbors as single-probe LSH."""
+    from flash_cdc_spark.queries.neardup import q_sim_ann_lsh_multiprobe
+    from flash_cdc_spark.queries.neardup import q_sim_ann_lsh_topk
+
+    sf = "/root/testdata/sf0.001"
+    from flash_cdc_spark.tables import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    brute = SIM.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=1).collect()
+    true_top1 = {(r["query_id"], r["neighbor_id"]) for r in brute}
+
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in q_sim_ann_lsh_topk(spark, sf).collect() if r["rk"] == 1}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in q_sim_ann_lsh_multiprobe(spark, sf).collect() if r["rk"] == 1}
+    assert len(multi & true_top1) >= len(single & true_top1)
