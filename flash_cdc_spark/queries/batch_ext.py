@@ -623,3 +623,59 @@ def q_levenshtein_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= 2)
     )
+
+
+_PROFILE_COLS = [
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("customer", "c_name"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+]
+
+
+@query(
+    "q_profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM {t}"""
+        for t, c in _PROFILE_COLS
+    ),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (data-quality surface): row/null/distinct counts
+    + min/max per configured column across tables — the standard
+    pre-training data audit. Each table contributes one aggregate pass;
+    results union into a single profile relation."""
+    parts = []
+    for t, c in _PROFILE_COLS:
+        df = _t(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
