@@ -185,11 +185,18 @@ def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile``) — constant memory per group regardless of
     cardinality, mergeable across partitions (vs the exact distinct's
     expand-shuffle). Approximate → no SQL oracle; accuracy is asserted
-    against exact values in tests/test_sketches.py."""
+    against exact values in tests/test_sketches.py.
+
+    The quantiles are projected to scalar columns (p50/p95/p99), never
+    an ``array<double>``: rows-only driver checks canonicalize via a
+    pandas sort, which requires hashable (scalar) cell values."""
     e = load_table(spark, sf_dir, "events")
+    pcts = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))").alias("value_pcts"),
+        F.element_at(pcts, 1).alias("value_p50"),
+        F.element_at(pcts, 2).alias("value_p95"),
+        F.element_at(pcts, 3).alias("value_p99"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

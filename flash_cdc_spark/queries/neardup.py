@@ -409,11 +409,24 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media
     (deterministic fake decode — the real codec is the only stubbed
-    piece; schema/batching/partitioning are production-shaped)."""
+    piece; schema/batching/partitioning are production-shaped).
+
+    The feature vector is projected to scalar columns (f0/f1 + mean)
+    for the driver's rows-only check — array cells are unhashable in
+    its pandas canonicalization."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "media", F.encode(F.col("text"), "utf-8")
     )
-    return MM.fake_decode_features(d, "media")
+    feats = MM.fake_decode_features(d, "media")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.size("features"), 6).alias(
+            "feature_mean"
+        ),
+    )
 
 
 @query(

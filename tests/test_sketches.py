@@ -29,4 +29,4 @@ def test_sketch_accuracy(spark, sf_dir):
         # HLL++ at rsd=0.02 → allow 5% slack
         assert abs(a["approx_users"] - x["users"]) <= max(2, 0.05 * x["users"])
         # approx_percentile p50 within the value spread
-        assert abs(a["value_pcts"][0] - x["p50"]) <= 0.05 * max(1.0, x["p50"])
+        assert abs(a["value_p50"] - x["p50"]) <= 0.05 * max(1.0, x["p50"])
