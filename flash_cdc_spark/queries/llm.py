@@ -323,15 +323,22 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per source, top-3 terms each. Two shuffles (tf groupBy,
     df groupBy) + a broadcast of the tiny df/N sides — the standard
     distributed TF-IDF shape (what Spark MLlib's HashingTF+IDF computes,
-    expressed relationally so it's oracle-checkable)."""
+    expressed relationally so it's oracle-checkable).
+
+    The corpus size N rides the same rollup as the per-term document
+    frequencies (the grand-total row = distinct docs overall — every doc
+    tokenizes to ≥1 term), so no separate count() action re-scans a
+    100 TB ``documents`` just for the IDF denominator."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
     tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    stats = tok.rollup("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = stats.filter(F.col("term").isNotNull())
+    n = stats.filter(F.col("term").isNull()).select(F.col("df").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     scored = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .groupBy("source", "term")
         .agg(F.sum(F.col("tf") * idf).alias("raw_score"))
         .select("source", "term", F.round("raw_score", 6).alias("score"))

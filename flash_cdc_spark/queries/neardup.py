@@ -315,31 +315,39 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sim_embedding_neardup",
-    oracle="WITH " + _duck_vecs_cte() + """
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+    oracle="WITH " + _duck_vecs_cte() + "," + _duck_bucket_cte() + """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ab.bucket,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-    FROM vecs a JOIN vecs b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM vecs a JOIN buckets ab ON a.vec_id = ab.vec_id
+    JOIN buckets bb ON bb.bucket = ab.bucket
+    JOIN vecs b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
     """,
 )
 def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within label blocks (blocking
-    keeps the pair space linear per block — at 100 TB the block key
-    would be an LSH bucket instead of a label)."""
+    """Embedding-cosine near-dup pairs blocked by sign-LSH bucket — the
+    scale-path blocking key. A bucket's width is corpus_size / 2^P in
+    expectation (P deterministic hyperplanes), so the within-block pair
+    space stays near-linear and the whole query is one shuffle on the
+    bucket id; a label- or domain-blocked variant would go quadratic
+    within each low-cardinality block at 100 TB. Recall is tunable by P
+    (fewer planes → wider buckets) and by multi-probing (see
+    q_sim_ann_lsh_multiprobe)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    vecs = e.select(
+        "vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm")
+    ).withColumn("bucket", SIM.lsh_bucket(F.col("v")))
     a, b = vecs.alias("a"), vecs.alias("b")
     cos = F.round(
         SIM.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            F.col("a.bucket").alias("bucket"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.4)
