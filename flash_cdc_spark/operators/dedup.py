@@ -26,7 +26,7 @@ reproduce them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -34,6 +34,7 @@ __all__ = [
     "shingles_col",
     "minhash_signature",
     "minhash_bands",
+    "cap_bucket_width",
     "minhash_candidate_pairs",
     "jaccard_verified_pairs",
     "simhash_signatures",
@@ -123,21 +124,50 @@ def minhash_bands(sig_prefix: str = "mh_", k: int = 16, bands: int = 4) -> list[
     return out
 
 
+def cap_bucket_width(
+    stacked: DataFrame, bucket_cols: list[str], max_width: int
+) -> DataFrame:
+    """Drop rows in over-wide buckets before a bucket self-join.
+
+    Boilerplate text (license headers, templated pages) lands thousands
+    of near-identical docs in one (band_idx, band_hash) bucket; the self-
+    join then goes quadratic in that one bucket — the first thing a real
+    100 TB dedup run hits. The cap counts bucket width with a window over
+    the SAME key the join shuffles on (co-partitioned — no extra shuffle
+    pattern, one exchange feeding both the count and the join) and drops
+    buckets wider than ``max_width`` entirely. Dropped mega-cliques are
+    near-exact duplicates by construction and belong to the exact /
+    signature-identity dedup path (``q_dedup_minhash_lsh``), not the
+    pairwise one."""
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        stacked.withColumn("_bucket_w", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_w") <= max_width)
+        .drop("_bucket_w")
+    )
+
+
 def minhash_candidate_pairs(
-    banded: DataFrame, id_col: str = "doc_id", bands: int = 4
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Bucket-join per band → distinct unordered candidate pairs.
 
     Scale: the shuffle key is (band_index, band_hash); only true
     collisions meet. Skewed mega-buckets (boilerplate text) are the known
-    hazard — AQE skew-join handles moderate skew, and a production run
-    would cap bucket width first (count + filter)."""
+    hazard — pass ``max_bucket_width`` to drop them before the self-join
+    (see :func:`cap_bucket_width`); AQE skew-join only smooths moderate
+    skew."""
     stacked = banded.select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band_idx", "band_hash"
         ),
     )
+    if max_bucket_width is not None:
+        stacked = cap_bucket_width(stacked, ["band_idx", "band_hash"], max_bucket_width)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -233,10 +263,16 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     sim_col: str = "simhash",
     max_hamming: int = 3,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 32-bit signature into four
     8-bit bytes (pigeonhole: hamming ≤ 3 ⇒ at least one byte equal),
-    bucket-join per byte, verify with exact Hamming distance."""
+    bucket-join per byte, verify with exact Hamming distance.
+
+    ``max_bucket_width`` drops over-popular (byte_idx, byte_val) buckets
+    before the self-join — same mega-bucket mitigation as MinHash, at
+    the cost of pigeonhole completeness for the dropped byte values
+    (acceptable when the residual bytes still cover the pair)."""
     bytes_arr = F.array(
         *[
             (F.floor(F.col(sim_col) / F.lit(2 ** (8 * b))) % 256).cast("int").alias(f"b{b}")
@@ -246,6 +282,8 @@ def simhash_candidate_pairs(
     stacked = docs_with_simhash.select(
         F.col(id_col), F.col(sim_col), F.posexplode(bytes_arr).alias("byte_idx", "byte_val")
     )
+    if max_bucket_width is not None:
+        stacked = cap_bucket_width(stacked, ["byte_idx", "byte_val"], max_bucket_width)
     l, r = stacked.alias("l"), stacked.alias("r")
     hamming = F.bit_count(F.col(f"l.{sim_col}").bitwiseXOR(F.col(f"r.{sim_col}")))
     # compute + filter Hamming BEFORE the distinct: most band collisions

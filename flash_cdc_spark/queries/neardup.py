@@ -57,9 +57,13 @@ _DUCK_MINHASH = """
                md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY j)) AS band_hash
         FROM mh GROUP BY doc_id, j // 4
     ),
+    capped AS (
+        SELECT * FROM band
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= {cap}
+    ),
     cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM band l JOIN band r
+        FROM capped l JOIN capped r
           ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
          AND l.doc_id < r.doc_id
     ),
@@ -83,6 +87,12 @@ _TRIGRAMS = (
 )
 
 
+# Mega-bucket cap for the pairwise LSH path: far above any honest band
+# bucket on this corpus (max observed width 4 at sf0.1) but a hard
+# ceiling against boilerplate cliques going quadratic in the self-join.
+LSH_MAX_BUCKET_WIDTH = 64
+
+
 def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
@@ -91,7 +101,9 @@ def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     vals = docs.withColumn("vals", shingle_values(F.col("shingles")))
     sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
     banded = sig.select("doc_id", *minhash_bands(k=16, bands=4))
-    cands = minhash_candidate_pairs(banded, bands=4)
+    cands = minhash_candidate_pairs(
+        banded, bands=4, max_bucket_width=LSH_MAX_BUCKET_WIDTH
+    )
     return jaccard_verified_pairs(cands, docs, threshold=0.0)
 
 
@@ -158,7 +170,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_ngram_lsh_candidates",
-    oracle="WITH " + _DUCK_MINHASH.format(shingle_expr=_TRIGRAMS, params=_duck_affine_params_cte()) + """
+    oracle="WITH "
+    + _DUCK_MINHASH.format(
+        shingle_expr=_TRIGRAMS,
+        params=_duck_affine_params_cte(),
+        cap=LSH_MAX_BUCKET_WIDTH,
+    )
+    + """
     SELECT doc_a, doc_b, jaccard FROM veri
     """,
 )

@@ -179,3 +179,44 @@ def test_multiprobe_recall_beats_single_probe(spark):
     multi = {(r["query_id"], r["neighbor_id"])
              for r in q_sim_ann_lsh_multiprobe(spark, sf).collect() if r["rk"] == 1}
     assert len(multi & true_top1) >= len(single & true_top1)
+
+
+def _banded_corpus(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = df.select("doc_id", shingles_col(tokens_col("text"), 1).alias("shingles"))
+    vals = d.withColumn("vals", shingle_values(F.col("shingles")))
+    sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
+    return sig.select("doc_id", *minhash_bands())
+
+
+def test_bucket_width_cap_drops_boilerplate_clique(spark):
+    """Adversarial corpus: 40 copies of one boilerplate doc would emit
+    C(40,2)=780 quadratic pairs per band; the cap drops that bucket
+    entirely while an honest small near-dup pair is unaffected."""
+    boiler = [(i, "copyright license header same every page") for i in range(40)]
+    honest = [(100, "alpha beta gamma delta"), (101, "delta gamma beta alpha")]
+    distinct = [(200, "completely unrelated content right here")]
+    banded = _banded_corpus(spark, boiler + honest + distinct)
+
+    uncapped = minhash_candidate_pairs(banded)
+    capped = minhash_candidate_pairs(banded, max_bucket_width=10)
+    pairs_capped = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert uncapped.count() == 40 * 39 // 2 + 1
+    assert pairs_capped == {(100, 101)}
+
+
+def test_bucket_width_cap_noop_on_normal_corpus(spark):
+    """A cap far above real bucket widths must not change candidates."""
+    docs = [
+        (1, "x y z w p q r s"),
+        (2, "s r q p w z y x"),
+        (3, "totally different words here now ok fine yes"),
+        (4, "another clean document with its own tokens"),
+    ]
+    banded = _banded_corpus(spark, docs)
+    base = {(r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(banded).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(banded, max_bucket_width=64).collect()
+    }
+    assert base == capped == {(1, 2)}
