@@ -65,6 +65,14 @@ def truthy_flag(c: Column | str) -> Column:
     The downstream filter must be ``flag IS TRUE`` — never ``flag`` or
     ``flag != false`` — to reproduce ``flash_field_normalized is not True``
     (``sf_pubsub.py:720``).
+
+    Documented divergence (pinned in FIXTURES.md §2): the reference
+    applies ``bool()`` only to values that arrive as JSON *numbers* and
+    leaves unexpected *strings* (e.g. ``"2.5"``) un-normalized → dropped.
+    Our envelope decode declares the flag column as string, so the JSON
+    number/string distinction is gone by the time this runs; we therefore
+    coerce any numeric-parsable token (``"2.5"`` and ``2.5`` alike) via
+    the numeric branch. Tests and the oracle pin this behavior.
     """
     s = F.lower(F.trim(_col(c).cast("string")))
     num = s.try_cast("double")

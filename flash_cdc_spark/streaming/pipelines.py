@@ -63,6 +63,26 @@ STREAM_SCHEMA = T.StructType(
 
 FATAL_MARKERS = ("UNAUTHENTICATED", "PERMISSION_DENIED", "NOT_FOUND", "invalid_client")
 
+# R7 corrupt-cursor signatures — deliberately NARROW. These are the
+# messages Spark's checkpoint/offset-log deserialization actually emits
+# (HDFSMetadataLog / OffsetSeqLog / StreamMetadata) plus our own replay-
+# cursor validation. A broad substring like "offset" would wipe a valid
+# checkpoint on any transient error that merely *mentions* offsets and
+# force a full-feed replay (duplicate-delivery burst).
+CURSOR_CORRUPTION_MARKERS = (
+    "incomplete log file",            # HDFSMetadataLog: truncated offset/commit file
+    "log file was malformed",         # OffsetSeqLog: unparseable offset json
+    "error reading stream metadata",  # StreamMetadata: corrupt metadata json
+    "invalid replay cursor",          # changelog.resolve_replay validation
+)
+
+
+def is_cursor_corruption(exc: BaseException) -> bool:
+    """True iff the error matches a known corrupt-checkpoint signature
+    (→ safe to clear the cursor and restart from earliest)."""
+    msg = str(exc).lower()
+    return any(m in msg for m in CURSOR_CORRUPTION_MARKERS)
+
 
 def classify_error(exc: BaseException) -> bool:
     """C7: True = fatal (no retry). Marker strings mirror the reference's
@@ -229,7 +249,7 @@ class PipelineManager:
                     sup.fatal = True
                     self.alert(sup.config.id, f"fatal: {exc}")
                     return
-                if "checkpoint" in str(exc).lower() or "offset" in str(exc).lower():
+                if is_cursor_corruption(exc):
                     # R7: corrupt/invalid cursor → clear + restart earliest
                     apply_replay_start(
                         ReplayStart(True, None, None), sup.config.checkpoint_dir()

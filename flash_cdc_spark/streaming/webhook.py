@@ -32,6 +32,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
+from flash_cdc_spark.session import scoped_conf
+
 __all__ = ["RetryPolicy", "post_with_retry", "http_transport", "webhook_batch_writer", "WebhookDeliveryError"]
 
 Transport = Callable[[str, str], int]  # (url, json_body) -> http status
@@ -169,22 +171,26 @@ def webhook_batch_writer_with_offsets(
                 spark = batch_df.sparkSession
                 # idempotent on replay: each batch overwrites ITS OWN
                 # partition (dynamic partition overwrite), so a redelivered
-                # batch can't double-append its mirror row
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-                spark.createDataFrame(
-                    [
-                        (
-                            pipeline_id,
-                            topic,
-                            batch_id,
-                            stats["last_seq"],
-                            stats["n_events"],
-                            stats["n_delivered"] or 0,
-                        )
-                    ],
-                    "pipeline_id int, topic string, batch_id long, "
-                    "last_replay_seq long, n_events long, n_delivered long",
-                ).write.partitionBy("batch_id").mode("overwrite").parquet(offsets_path)
+                # batch can't double-append its mirror row; scoped so the
+                # shared session's overwrite semantics aren't changed for
+                # unrelated writes
+                with scoped_conf(
+                    spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                ):
+                    spark.createDataFrame(
+                        [
+                            (
+                                pipeline_id,
+                                topic,
+                                batch_id,
+                                stats["last_seq"],
+                                stats["n_events"],
+                                stats["n_delivered"] or 0,
+                            )
+                        ],
+                        "pipeline_id int, topic string, batch_id long, "
+                        "last_replay_seq long, n_events long, n_delivered long",
+                    ).write.partitionBy("batch_id").mode("overwrite").parquet(offsets_path)
         finally:
             batch_df.unpersist()
 

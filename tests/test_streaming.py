@@ -352,3 +352,39 @@ def test_autostart_multiple_pipelines_isolated(spark, tmp_path, webhook_server):
     statuses = mgr.status_all()
     assert statuses[31]["status"] == "stopped" and statuses[32]["status"] == "stopped"
     assert 33 not in statuses
+
+
+def test_scoped_conf_restores_previous_value(spark):
+    from flash_cdc_spark.session import scoped_conf
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    with scoped_conf(spark, key, "dynamic"):
+        assert spark.conf.get(key) == "dynamic"
+    assert spark.conf.get(key) == "static"
+
+
+def test_scoped_conf_unsets_when_previously_unset(spark):
+    from flash_cdc_spark.session import scoped_conf
+
+    key = "flash.cdc.test.scoped.key"
+    with scoped_conf(spark, key, "on"):
+        assert spark.conf.get(key) == "on"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.conf.get(key)
+
+
+def test_cursor_corruption_detection_is_narrow():
+    """R7: only known corrupt-checkpoint signatures clear the cursor; a
+    transient failure that merely *mentions* offsets must NOT (a wipe
+    forces a full-feed replay and a duplicate-delivery burst)."""
+    from flash_cdc_spark.streaming.pipelines import is_cursor_corruption
+
+    assert is_cursor_corruption(RuntimeError("Incomplete log file in ckpt/offsets/3"))
+    assert is_cursor_corruption(RuntimeError("Log file was malformed: ckpt/offsets/7"))
+    assert is_cursor_corruption(ValueError("invalid replay cursor: b64 garbage"))
+    assert not is_cursor_corruption(RuntimeError("timeout while fetching offsets"))
+    assert not is_cursor_corruption(RuntimeError("checkpoint dir temporarily locked"))
+    assert not is_cursor_corruption(RuntimeError("connection reset by peer"))
