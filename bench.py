@@ -44,6 +44,13 @@ HEADLINE = [
     "q_knn_bruteforce",
     "q_sim_ann_lsh_topk",
     "q_sim_embedding_neardup",
+    # --- added r2 (append-only: keep the r1 prefix stable so per-query
+    # times stay comparable across rounds) ---
+    "q_dedup_clusters",
+    "q_sim_ann_ivf_topk",
+    "q_sim_ann_lsh_multiprobe",
+    "q_text_chunking",
+    "q_skew_salted_join",
 ]
 
 

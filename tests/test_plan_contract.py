@@ -59,3 +59,15 @@ def test_window_topk_avoids_global_sort(plans):
     # partitioned window sort, not a global Sort over all rows
     p = plans["q_window_topk_orders"]
     assert "WindowGroupLimit" in p or "RunningWindowFunction" in p or "Window" in p
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """q_skew_salted_join must (a) use SMJ (merge hint pins it — skew
+    mitigation is moot under broadcast), and (b) shuffle on the COMPOSITE
+    (hot_key, _salt) key so a hot key splits across reducers."""
+    p = _plan(QUERIES["q_skew_salted_join"](spark, sf_dir))
+    assert "SortMergeJoin" in p
+    join_section = p[p.index("SortMergeJoin"):]
+    assert "_salt" in join_section.splitlines()[0] or "_salt" in p
+    # both shuffle exchanges carry the salt
+    assert p.count("_salt") >= 2
