@@ -58,16 +58,34 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _avro_package_coordinate() -> str:
+    """Maven coordinate of the spark-avro external module matching the
+    installed PySpark (reference P1 decodes Avro payloads;
+    ``sf_pubsub.py:308-330``)."""
+    import pyspark
+
+    return f"org.apache.spark:spark-avro_2.13:{pyspark.__version__}"
+
+
 def get_spark(
     app_name: str = "flash-cdc-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    try_avro: bool | None = None,
 ) -> SparkSession:
     """Build (or get) the engine's SparkSession.
 
     Parameters mirror what a deployment would template: master URL,
     shuffle-partition seed, and arbitrary overrides.
+
+    ``try_avro`` (default: env ``SPARK_GRAFT_AVRO=1``) asks Ivy to pull
+    the spark-avro external module so the registry's real Avro decode
+    branch activates (``sources/registry.py``). Resolution needs a Maven
+    mirror; on an offline box the attempt fails fast and we rebuild the
+    session without the package — the JSON decode fallback stays in
+    effect. Opt-in rather than default so offline environments don't pay
+    the resolver timeout on every session.
     """
     cores = _default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
@@ -99,6 +117,20 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    if try_avro is None:
+        try_avro = os.environ.get("SPARK_GRAFT_AVRO", "0") == "1"
+    if try_avro:
+        try:
+            spark = builder.config(
+                "spark.jars.packages", _avro_package_coordinate()
+            ).getOrCreate()
+            spark.sparkContext.setLogLevel("WARN")
+            return spark
+        except Exception:
+            # resolver unreachable / coordinate missing → plain session;
+            # decode_envelope keeps using the JSON branch (clear the
+            # builder option or the retry would re-attempt resolution)
+            builder = builder.config("spark.jars.packages", "")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
