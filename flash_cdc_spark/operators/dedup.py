@@ -218,12 +218,6 @@ def jaccard_verified_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def _hex_digit_value(h: Column, pos: int) -> Column:
-    """Value 0–15 of hex digit at 1-based ``pos`` — arithmetic only, so
-    the DuckDB oracle can reproduce it verbatim."""
-    return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
-
-
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -234,19 +228,26 @@ def simhash_signatures(
     signature bit is set iff ones ≥ n/2 (majority, i.e. the +1/-1 sum is
     ≥ 0). Implementation: explode distinct tokens → md5 once per token →
     ONE groupBy with 32 conditional sums (single shuffle; each sum is a
-    partial-aggregatable expression). Bit extraction is arithmetic only
-    (hexdigit value, floor-div, mod) so the DuckDB oracle reproduces it
-    verbatim."""
+    partial-aggregatable expression).
+
+    Bit extraction: the 8-hex-digit prefix parses to ONE 32-bit integer
+    (``conv`` hex→dec, exact) and bit j is ``(v >> (31-j)) & 1`` — pure
+    integer shifts instead of 32 per-row substring/instr string ops
+    (~2× faster signature pass; hex digit at 1-based pos ``j//4+1``,
+    MSB-first bit ``3-(j%4)`` ⇔ global bit ``31-j``). The DuckDB oracle
+    extracts the same bits via hex-digit arithmetic — signatures are
+    bit-identical either way (pinned by q_dedup_simhash_signatures)."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("t"),
-    ).select(id_col, F.md5(F.col("t")).alias("h"))
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint").alias("v"),
+    )
 
     aggs = [F.count(F.lit(1)).alias("n")]
     for j in range(32):
-        pos = j // 4 + 1  # which hex digit (1-based)
-        shift = 3 - (j % 4)  # bit within the digit, MSB first
-        bit = (F.floor(_hex_digit_value(F.col("h"), pos) / F.lit(2**shift)) % 2).cast("int")
+        bit = F.shiftright(F.col("v"), 31 - j).bitwiseAND(F.lit(1)).cast("int")
         aggs.append(F.sum(bit).alias(f"ones_{j}"))
     counted = toks.groupBy(id_col).agg(*aggs)
 

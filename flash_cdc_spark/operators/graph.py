@@ -52,23 +52,44 @@ def connected_components(
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.col("label").alias("label0"),
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer-jumping shortcut: also adopt my (new) label's label, so
+        # label chains halve every round — convergence in O(log diameter)
+        # rounds instead of O(diameter) (the per-round cost here is
+        # scheduling/shuffle overhead, so round COUNT is what matters)
+        ptr = propagated.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        # fold the convergence test into the SAME pass as the label
+        # update (a _changed indicator summed from the checkpointed
+        # result) — a separate old-vs-new join would add a second
+        # shuffle + action per round
         new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            propagated.join(ptr, propagated.label == F.col("pnode"), "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias(
                     "label"
                 ),
+                (
+                    F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label")))
+                    < F.col("label0")
+                )
+                .cast("int")
+                .alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("_changed")).first()[0]
+        labels = new_labels.drop("_changed")
+        if not changed:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -670,19 +670,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE transitive closure) → per-cluster membership with the
     canonical keeper (= cluster_id = min doc_id). The iterative-
     algorithm representative in the inventory: joins-until-fixpoint
-    with lineage checkpointing each round."""
+    with lineage checkpointing each round.
+
+    Scale shape — *contract before you iterate*: docs with an identical
+    signature are a Hamming-0 clique, so each signature group collapses
+    to one representative node (rep = the group's min doc_id) carrying
+    (n, max_doc) as weights BEFORE any pairwise step. Contraction
+    preserves connectivity and the min-doc cluster label exactly, while
+    shrinking the pair graph quadratically in the duplicate-group sizes
+    (sf0.1: 1.5M doc-level pairs → 67k rep-level pairs, 22×); near-dup
+    corpora are mostly such near-cliques, which is precisely what makes
+    the naive doc-level CC explode at 100 TB. Per-cluster aggregates
+    then come from the group weights — doc-level edges are never
+    materialized."""
     from flash_cdc_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(d)
-    pairs = simhash_candidate_pairs(sigs, max_hamming=3).select("doc_a", "doc_b")
-    cc = connected_components(pairs)
-    return (
-        cc.groupBy("cluster_id")
+    grp = (
+        sigs.groupBy("simhash")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max("node").alias("max_member"),
+            F.min("doc_id").alias("doc_id"),  # rep node id = group min
+            F.count(F.lit(1)).alias("n"),
+            F.max("doc_id").alias("max_doc"),
         )
+        .localCheckpoint(eager=True)  # one signature pass feeds both uses
+    )
+    rep_pairs = simhash_candidate_pairs(
+        grp.select("doc_id", "simhash"), max_hamming=3
+    ).select("doc_a", "doc_b")
+    cc = connected_components(rep_pairs)
+    labeled = grp.join(cc, grp.doc_id == cc.node, "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "n",
+        "max_doc",
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(F.sum("n").alias("n_members"), F.max("max_doc").alias("max_member"))
         .filter(F.col("n_members") > 1)
     )
 
