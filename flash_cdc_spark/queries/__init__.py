@@ -45,6 +45,7 @@ from flash_cdc_spark.queries import neardup  # noqa: E402,F401
 from flash_cdc_spark.queries import events  # noqa: E402,F401
 from flash_cdc_spark.queries import streaming_e2e  # noqa: E402,F401
 from flash_cdc_spark.queries import scale  # noqa: E402,F401
+from flash_cdc_spark.queries import functions_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import pandas_udfs  # noqa: E402,F401
 from flash_cdc_spark.queries import batch  # noqa: E402,F401
 from flash_cdc_spark.queries import batch_ext  # noqa: E402,F401
