@@ -108,6 +108,10 @@ class PipelineConfig:
     flow_batch_size: int = 100  # → maxFilesPerTrigger analog
     is_active: bool = True
     offsets_path: str | None = None  # K2 queryable offset mirror (parquet)
+    # "parquet" = decoded-event changelog dir; "flashfeed" = raw
+    # transport-envelope JSONL log consumed through the custom Spark
+    # DataSource + schema-registry decode (S1 subscribe path end-to-end)
+    source_format: str = "parquet"
 
     def checkpoint_dir(self) -> str:
         return os.path.join(self.checkpoint_root, f"pipeline-{self.id}")
@@ -140,10 +144,19 @@ class PipelineManager:
         supervise: bool = True,
         trigger: dict | None = None,
         retry_policy=None,
+        schema_registry=None,
     ) -> None:
         self.spark = spark
         self.transport_factory = transport_factory
         self.retry_policy = retry_policy
+        if schema_registry is None:
+            # default: every envelope decodes with the canonical change-
+            # event schema (single-id registry → schema_id-agnostic)
+            from flash_cdc_spark.sources.registry import SchemaRegistry
+
+            schema_registry = SchemaRegistry()
+            schema_registry.register("default", DECODED_CHANGE_EVENT)
+        self.schema_registry = schema_registry
         self.alert = alert or (lambda pid, msg: LOG.error("pipeline %s alert: %s", pid, msg))
         self.backoff_initial_s = backoff_initial_s
         self.backoff_cap_s = backoff_cap_s
@@ -164,14 +177,38 @@ class PipelineManager:
         return result
 
     # -- query construction ----------------------------------------------
-    def _build_query(self, config: PipelineConfig, replay: ReplayStart) -> StreamingQuery:
-        source = read_changelog_stream(
-            self.spark,
-            config.source_path,
-            STREAM_SCHEMA,
-            replay=replay,
-            max_files_per_trigger=max(1, config.flow_batch_size // 100),
+    def _read_flashfeed(self, config: PipelineConfig, replay: ReplayStart):
+        """S1 end-to-end: raw envelope JSONL through the ``flashfeed``
+        DataSource (credit-based ``flow_batch_size`` admission, seq
+        offsets), decoded to the STREAM_SCHEMA shape via the schema
+        registry (P1) before the shared changefeed pipeline."""
+        from flash_cdc_spark.sources.flashfeed import FlashFeedDataSource
+        from flash_cdc_spark.sources.registry import decode_envelope
+
+        self.spark.dataSource.register(FlashFeedDataSource)
+        env = (
+            self.spark.readStream.format("flashfeed")
+            .option("path", config.source_path)
+            .option("flow_batch_size", str(config.flow_batch_size))
+            .load()
         )
+        decoded = decode_envelope(env, self.schema_registry)
+        df = decoded.select("decoded.*", "replay_seq")
+        if replay.start_after_seq is not None:
+            df = df.filter(F.col("replay_seq") > F.lit(replay.start_after_seq))
+        return df
+
+    def _build_query(self, config: PipelineConfig, replay: ReplayStart) -> StreamingQuery:
+        if config.source_format == "flashfeed":
+            source = self._read_flashfeed(config, replay)
+        else:
+            source = read_changelog_stream(
+                self.spark,
+                config.source_path,
+                STREAM_SCHEMA,
+                replay=replay,
+                max_files_per_trigger=max(1, config.flow_batch_size // 100),
+            )
         sink_kwargs = {}
         if self.transport_factory:
             sink_kwargs["transport_factory"] = self.transport_factory
@@ -264,13 +301,18 @@ class PipelineManager:
 
     def _current_max_seq(self, config: PipelineConfig) -> int | None:
         try:
-            row = (
-                self.spark.read.schema(STREAM_SCHEMA)
-                .parquet(config.source_path)
-                .agg({"replay_seq": "max"})
-                .first()
-            )
-            return row[0]
+            if config.source_format == "flashfeed":
+                from flash_cdc_spark.sources.flashfeed import FlashFeedDataSource
+
+                self.spark.dataSource.register(FlashFeedDataSource)
+                reader = self.spark.read.format("flashfeed").option(
+                    "path", config.source_path
+                ).load()
+            else:
+                reader = self.spark.read.schema(STREAM_SCHEMA).parquet(
+                    config.source_path
+                )
+            return reader.agg({"replay_seq": "max"}).first()[0]
         except Exception:
             return None
 

@@ -388,3 +388,70 @@ def test_cursor_corruption_detection_is_narrow():
     assert not is_cursor_corruption(RuntimeError("timeout while fetching offsets"))
     assert not is_cursor_corruption(RuntimeError("checkpoint dir temporarily locked"))
     assert not is_cursor_corruption(RuntimeError("connection reset by peer"))
+
+
+def _envelope_line(seq, ids, flag=None, flag_arr=None, ts=1_700_000_000_000):
+    payload = {
+        "ChangeEventHeader": {
+            "entityName": "Opportunity",
+            "changeType": "UPDATE",
+            "recordIds": list(ids),
+            "commitTimestamp": ts,
+        },
+        "FlashField__c": flag,
+        "FlashField__c_arr": flag_arr,
+        "OtherField__c": None,
+        "Amount__c": None,
+    }
+    return {
+        "event_id": f"evt-{seq}",
+        "replay_seq": seq,
+        "topic_name": "/data/OpportunityChangeEvent",
+        "schema_id": "default",
+        "payload": json.dumps(payload),
+    }
+
+
+def test_pipeline_from_flashfeed_source_end_to_end(spark, tmp_path, webhook_server):
+    """S1 full path: raw envelope JSONL -> flashfeed DataSource ->
+    registry decode -> changefeed pipeline -> webhook delivery; same
+    truthy semantics as the parquet-changelog path."""
+    from flash_cdc_spark.sources.flashfeed import append_events
+
+    log = str(tmp_path / "feed.jsonl")
+    append_events(
+        log,
+        [
+            _envelope_line(1, ["a1"], flag="true"),
+            _envelope_line(2, ["b1", "b2"], flag_arr=["true", "false"]),
+            _envelope_line(3, ["c1"], flag="no"),
+            _envelope_line(4, [], flag="true"),
+        ],
+    )
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    config = _mk_config(tmp_path, webhook_server, pid=31)
+    config.source_path = log
+    config.source_format = "flashfeed"
+    mgr.start(config)
+    mgr.wait(31, timeout_s=120)
+    assert _delivered_ids(webhook_server) == ["a1", "b1"]
+    assert mgr.status(31)["status"] == "stopped"
+
+
+def test_pipeline_from_flashfeed_latest_mode_skips_existing(spark, tmp_path, webhook_server):
+    """R2 latest over the flashfeed cursor: pre-existing envelope lines
+    are skipped via max-seq probing of the feed log."""
+    from flash_cdc_spark.sources.flashfeed import append_events
+
+    log = str(tmp_path / "feed.jsonl")
+    append_events(log, [_envelope_line(1, ["old1"], flag="true")])
+    mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
+    config = _mk_config(tmp_path, webhook_server, pid=32)
+    config.source_path = log
+    config.source_format = "flashfeed"
+    append_events(log, [_envelope_line(2, ["new1"], flag="true")])
+    mgr.start(config, ReplayArgs(mode="latest"))
+    mgr.wait(32, timeout_s=120)
+    # latest resolves the cursor at start(): max seq = 2 → every
+    # pre-existing line is skipped, nothing delivered
+    assert _delivered_ids(webhook_server) == []
