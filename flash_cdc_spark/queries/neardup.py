@@ -781,3 +781,115 @@ def q_sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "q_sim_ann_ivf_multiprobe",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings
+    ),
+    dims AS (SELECT CAST(unnest(range(64)) AS INT) AS d),
+    comp AS (
+        SELECT vec_id, label, d, v[d + 1] AS x
+        FROM vecs CROSS JOIN dims
+    ),
+    centroids AS (
+        SELECT label AS c_label, d, avg(x) AS w
+        FROM comp GROUP BY label, d
+    ),
+    assign AS (
+        SELECT comp.vec_id, centroids.c_label,
+               round(sum((comp.x - centroids.w) * (comp.x - centroids.w)), 9) AS d2
+        FROM comp JOIN centroids ON comp.d = centroids.d
+        GROUP BY comp.vec_id, centroids.c_label
+    ),
+    best AS (
+        SELECT vec_id, c_label AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS ark
+        FROM assign
+    ),
+    assigned AS (SELECT vec_id, cell FROM best WHERE ark = 1),
+    probe_cells AS (SELECT vec_id, cell FROM best WHERE ark <= 2),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM vecs q
+        JOIN probe_cells pc ON q.vec_id = pc.vec_id
+        JOIN assigned ca ON ca.cell = pc.cell
+        JOIN vecs c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 (the IVF recall knob, complementing the
+    sign-LSH bit-flip multiprobe): each probe searches its TWO nearest
+    cells instead of one. Corpus assignment is unchanged (one cell per
+    vector — the partition key at 100 TB); only the probe side fans out,
+    so the cost is ~2 pruned cell scans per probe, and recall can only
+    improve over single-probe (candidate superset)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    comp = vecs.select("vec_id", "label", F.posexplode("v").alias("d", "x"))
+    centroids = comp.groupBy(F.col("label").alias("c_label"), "d").agg(
+        F.avg("x").alias("w")
+    )
+    assign = (
+        comp.join(F.broadcast(centroids), "d")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("w")) * (F.col("x") - F.col("w"))), 9
+            ).alias("d2")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    ranked_cells = assign.withColumn("ark", F.row_number().over(w_assign))
+    assigned = ranked_cells.filter(F.col("ark") == 1).select(
+        "vec_id", F.col("c_label").alias("cell")
+    )
+    corpus = vecs.join(assigned, "vec_id")
+    probe_cells = (
+        ranked_cells.filter((F.col("ark") <= 2) & (F.col("vec_id") < 10))
+        .select(F.col("vec_id").alias("query_id"), F.col("c_label").alias("pcell"))
+    )
+    probes = (
+        vecs.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        .join(probe_cells, "query_id")
+    )
+    pairs = corpus.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            "cosine"
+        ),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )

@@ -220,3 +220,21 @@ def test_bucket_width_cap_noop_on_normal_corpus(spark):
         for r in minhash_candidate_pairs(banded, max_bucket_width=64).collect()
     }
     assert base == capped == {(1, 2)}
+
+
+def test_ivf_multiprobe_top1_at_least_single_probe(spark, sf_dir):
+    """nprobe=2 searches a candidate superset of nprobe=1, so per query
+    its best cosine can only match or improve."""
+    from flash_cdc_spark.queries.neardup import q_sim_ann_ivf_topk, q_sim_ann_ivf_multiprobe
+
+    single = {
+        r["query_id"]: r["cosine"]
+        for r in q_sim_ann_ivf_topk(spark, sf_dir).filter(F.col("rk") == 1).collect()
+    }
+    multi = {
+        r["query_id"]: r["cosine"]
+        for r in q_sim_ann_ivf_multiprobe(spark, sf_dir).filter(F.col("rk") == 1).collect()
+    }
+    assert set(multi) >= set(single)
+    for q, c in single.items():
+        assert multi[q] >= c
