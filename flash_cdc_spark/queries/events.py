@@ -274,3 +274,60 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value double, bucket_start string, event_type string",
     ).select("bucket_start", "event_type", "n_events", "total_value",
              "min_value", "max_value")
+
+
+@query(
+    "q_events_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           v.event_id AS view_id,
+           round(p.value, 2) AS purchase_value,
+           round(v.value, 2) AS view_value,
+           CAST(epoch_ms(p.ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the user's most recent
+    prior-or-equal view (the canonical time-series enrichment the
+    reference has no operator for).
+
+    Spark-first shape: NOT a range join (which is O(n·m) per key and
+    needs a band hint) — a single window pass: tag views, carry
+    ``last(view, ignorenulls=True)`` along each user's time-ordered
+    stream, filter to purchases. One shuffle on user_id, linear in
+    events, state = one row per user — exactly how the streaming twin
+    would run with ``applyInPandasWithState``. Oracle = DuckDB's native
+    ASOF JOIN (deterministic here: no (user_id, ts) duplicates in the
+    corpus)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = F.last(
+        F.when(
+            F.col("event_type") == "view", F.struct("event_id", "ts", "value")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("lv", lv)
+        .filter((F.col("event_type") == "purchase") & F.col("lv").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("lv.event_id").alias("view_id"),
+            F.round("value", 2).alias("purchase_value"),
+            F.round("lv.value", 2).alias("view_value"),
+            (F.unix_millis("ts") - F.unix_millis("lv.ts")).alias("gap_ms"),
+        )
+    )

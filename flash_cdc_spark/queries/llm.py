@@ -444,3 +444,118 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+@query(
+    "q_embedding_quantize_int8",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 300
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        FROM vecs
+    ),
+    dq AS (
+        SELECT vec_id, v, mx,
+               list_transform(v, x -> floor(x * (127.0 / mx) + 0.5) / (127.0 / mx))
+                   AS vq
+        FROM scaled WHERE mx > 0
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           round(127.0 / mx, 6) AS scale,
+           round(list_aggregate(list_transform(range(len(v)),
+                     i -> (v[CAST(i + 1 AS INT)] - vq[CAST(i + 1 AS INT)])
+                        * (v[CAST(i + 1 AS INT)] - vq[CAST(i + 1 AS INT)])), 'sum')
+                 / len(v) * 1e6, 4) AS mse_ppm
+    FROM dq
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (4× storage cut — at
+    100 TB of vectors the difference between fitting in cluster memory
+    or not): symmetric per-vector scale 127/max|x|, quantize with
+    ``floor(x·scale + 0.5)`` (floor is bit-identical across engines;
+    ``round`` half-up/half-even dialects are not), dequantize, report
+    per-vector reconstruction MSE (in ppm so the driver's float
+    canonicalization keeps resolution). Pure array HOFs — narrow,
+    shuffle-free, embarrassingly parallel."""
+    from flash_cdc_spark.operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = SIM.as_double_vec("embedding")
+    mx = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+    )
+    base = e.select("vec_id", v.alias("v"), mx.alias("mx")).filter(F.col("mx") > 0)
+    scale = F.lit(127.0) / F.col("mx")
+    vq = F.transform(F.col("v"), lambda x: F.floor(x * scale + 0.5) / scale)
+    sq_err = F.zip_with(F.col("v"), vq, lambda a, b: (a - b) * (a - b))
+    return base.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.round(
+            F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x) / F.size("v") * 1e6, 4
+        ).alias("mse_ppm"),
+    )
+
+
+# Per-source keep-rates for the stratified sample (percent). Mirrors a
+# training-mix config: boost high-quality strata, downsample bulk web.
+STRATA_RATES = {"src0": 80, "src1": 50, "src2": 20}
+STRATA_DEFAULT_RATE = 10
+
+
+@query(
+    "q_train_stratified_sample",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 100 AS bucket,
+               CASE source WHEN 'src0' THEN {STRATA_RATES["src0"]}
+                           WHEN 'src1' THEN {STRATA_RATES["src1"]}
+                           WHEN 'src2' THEN {STRATA_RATES["src2"]}
+                           ELSE {STRATA_DEFAULT_RATE} END AS rate
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM hashed
+    WHERE bucket < rate
+    GROUP BY source
+    """,
+)
+def q_train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified training-mix sampling: each source stratum keeps a
+    configured rate, membership decided by a hash of the stable doc key
+    — NEVER ``rand()``, so the sample is identical on every run, every
+    retry, and both engines (same md5-derived bucket as the train/test
+    split). One narrow filter + one aggregate; at 100 TB the filter
+    rides the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.lit(STRATA_DEFAULT_RATE)
+    for src, r in STRATA_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn("rate", rate)
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
