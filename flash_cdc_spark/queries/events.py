@@ -331,3 +331,75 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis("ts") - F.unix_millis("lv.ts")).alias("gap_ms"),
         )
     )
+
+
+@query(
+    "q_events_range_join",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           count(v.event_id)                        AS n_nearby,
+           CAST(count(CASE WHEN v.user_id = e.user_id THEN 1 END) AS BIGINT)
+               AS n_same_user,
+           round(coalesce(sum(v.value), 0.0), 2)    AS nearby_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: every view within ±5 minutes of each error,
+    across all users — the second time-series join the reference lacks
+    (complementing the as-of join).
+
+    Spark-first shape: a naive ``ON |Δt| ≤ w`` inequality join plans as
+    BroadcastNestedLoopJoin — O(n·m) and a scale-killer. Instead both
+    sides bucketize time into w-sized bins, the error side explodes to
+    its 3 candidate bins (b-1, b, b+1), and the join becomes an
+    EQUI-join on the bin id followed by the exact band filter — one
+    hash shuffle, candidates limited to adjacent bins. This is the
+    standard distributed band-join rewrite, expressed with stock
+    operators."""
+    w_ms = 5 * 60 * 1000
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.unix_millis("ts").alias("e_ms"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.unix_millis("ts").alias("v_ms"),
+        "value",
+    )
+    probe = errors.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                (F.floor(F.col("e_ms") / w_ms) - 1).cast("bigint"),
+                F.floor(F.col("e_ms") / w_ms).cast("bigint"),
+                (F.floor(F.col("e_ms") / w_ms) + 1).cast("bigint"),
+            )
+        ),
+    )
+    build = views.withColumn("bin", F.floor(F.col("v_ms") / w_ms).cast("bigint"))
+    matched = probe.join(build, "bin").filter(
+        (F.col("v_ms") >= F.col("e_ms") - w_ms) & (F.col("v_ms") <= F.col("e_ms") + w_ms)
+    )
+    per_error = matched.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.sum((F.col("v_user") == F.col("e_user")).cast("bigint")).alias("n_same_user"),
+        F.round(F.sum("value"), 2).alias("nearby_value"),
+    )
+    # LEFT semantics: errors with no nearby views still appear (0 rows)
+    return (
+        errors.select("error_id")
+        .join(per_error, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
+            F.coalesce("n_same_user", F.lit(0)).alias("n_same_user"),
+            F.coalesce("nearby_value", F.lit(0.0)).alias("nearby_value"),
+        )
+    )

@@ -71,3 +71,11 @@ def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
     assert "_salt" in join_section.splitlines()[0] or "_salt" in p
     # both shuffle exchanges carry the salt
     assert p.count("_salt") >= 2
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    """The band join must use the bucketized equi-join rewrite — a naive
+    inequality join would plan as BroadcastNestedLoopJoin (O(n·m))."""
+    p = _plan(QUERIES["q_events_range_join"](spark, sf_dir))
+    assert "NestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
