@@ -339,7 +339,7 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM vecs a JOIN buckets ab ON a.vec_id = ab.vec_id
     JOIN buckets bb ON bb.bucket = ab.bucket
     JOIN vecs b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
     """,
 )
 def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +350,10 @@ def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id; a label- or domain-blocked variant would go quadratic
     within each low-cardinality block at 100 TB. Recall is tunable by P
     (fewer planes → wider buckets) and by multi-probing (see
-    q_sim_ann_lsh_multiprobe)."""
+    q_sim_ann_lsh_multiprobe). Threshold τ=0.2 is tuned to the
+    synthetic corpus (random-ish embeddings, max same-bucket cosine
+    ≈0.38 at sf0.01) so the driver compare sees real pairs, not an
+    empty set."""
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
     vecs = e.select(
@@ -368,7 +371,7 @@ def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.bucket").alias("bucket"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.4)
+        .filter(F.col("cosine") >= 0.2)
     )
 
 
