@@ -178,7 +178,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_events_sketches")  # approximate results — rows-only check
+@query("q_events_sketches", defer=True)  # approximate results — rows-only
 def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB path: HyperLogLog++
     distinct counts and quantile sketches (``approx_count_distinct`` /

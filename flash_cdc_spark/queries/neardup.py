@@ -434,7 +434,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode_features")  # mapInPandas — rows-only check
+@query("q_multimodal_decode_features", defer=True)  # mapInPandas — rows-only
 def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media
     (deterministic fake decode — the real codec is the only stubbed

@@ -5,8 +5,21 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from flash_cdc_spark.queries import ORACLE, QUERIES
+from flash_cdc_spark.queries import CANARIES, ORACLE, QUERIES
 from flash_cdc_spark.tables import TABLE_NAMES
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """The round driver value-compares only the first 50 registered
+    queries and reports ``err: no_oracle`` for oracle-less ones — no
+    window slot may be wasted (VERDICT r2 'What's wrong' #1)."""
+    names = list(QUERIES)
+    window = names[:50]
+    assert all(n in ORACLE for n in window), [n for n in window if n not in ORACLE]
+    # rows-only queries register last
+    assert set(names[-2:]) == {"q_events_sketches", "q_multimodal_decode_features"}
+    # this round's batch canaries sit inside the window
+    assert set(CANARIES) <= set(window)
 
 
 def test_registry_shape():
