@@ -301,8 +301,10 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, filter to purchases. One shuffle on user_id, linear in
     events, state = one row per user — exactly how the streaming twin
     would run with ``applyInPandasWithState``. Oracle = DuckDB's native
-    ASOF JOIN (deterministic here: no (user_id, ts) duplicates in the
-    corpus)."""
+    ASOF JOIN; the two tie-break regimes (window ORDER BY ts, event_id
+    vs ASOF ts >= ts) coincide because no two events share (user_id,
+    ts) — an invariant now test-pinned at both driver SFs
+    (tests/test_oracle_adversarial.py, ADVICE r2)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").select(

@@ -290,7 +290,8 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_tfidf_top_terms",
     oracle="""
     WITH tok AS (
-        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        SELECT doc_id, source,
+               unnest(string_split(coalesce(text, ''), ' ')) AS term
         FROM documents
     ),
     tf AS (
@@ -301,7 +302,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM tok GROUP BY term
     ),
-    n AS (SELECT count(*) AS n_docs FROM documents),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
     scored AS (
         SELECT tf.source, tf.term,
                sum(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))) AS score
@@ -326,11 +327,18 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed relationally so it's oracle-checkable).
 
     The corpus size N rides the same rollup as the per-term document
-    frequencies (the grand-total row = distinct docs overall — every doc
-    tokenizes to ≥1 term), so no separate count() action re-scans a
-    100 TB ``documents`` just for the IDF denominator."""
+    frequencies (the grand-total row = distinct docs overall), so no
+    separate count() action re-scans a 100 TB ``documents`` just for
+    the IDF denominator. Both engines tokenize ``coalesce(text, '')``
+    and define N over the tokenized set — splitting '' yields one
+    empty-string token, so a NULL-text document still counts toward N
+    on both sides and the two N definitions coincide (ADVICE r2)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("term"),
+    )
     tf = tok.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("tf"))
     stats = tok.rollup("term").agg(F.countDistinct("doc_id").alias("df"))
     df = stats.filter(F.col("term").isNotNull())

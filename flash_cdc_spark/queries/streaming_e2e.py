@@ -130,17 +130,23 @@ def q_streaming_changefeed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         mgr.start(config)
         mgr.wait(9001, timeout_s=600)
         with server.lock:
-            rows = [
+            # every record of every POST (a payload may batch several),
+            # deduped on record id: the pipeline is at-least-once, so a
+            # transient delivery failure or micro-batch replay would
+            # legitimately repeat a POST — the delivered SET, not the
+            # POST log, is the contract the oracle states (ADVICE r2)
+            rows = {
                 (
-                    req["data"][0]["Id"],
-                    req["data"][0]["subscriptionTopic"],
-                    req["data"][0]["instanceUrl"],
+                    rec["Id"],
+                    rec["subscriptionTopic"],
+                    rec["instanceUrl"],
                 )
                 for req in server.requests
-            ]
+                for rec in req["data"]
+            }
     finally:
         server.shutdown()
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(
-        rows, "record_id string, topic string, instance_url string"
+        sorted(rows), "record_id string, topic string, instance_url string"
     )
