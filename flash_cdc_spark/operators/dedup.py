@@ -35,11 +35,22 @@ __all__ = [
     "minhash_signature",
     "minhash_bands",
     "cap_bucket_width",
+    "SIMHASH_MAX_BUCKET_WIDTH",
     "minhash_candidate_pairs",
     "jaccard_verified_pairs",
     "simhash_signatures",
     "simhash_candidate_pairs",
 ]
+
+# Default SimHash byte-band bucket cap. With a 32-bit signature there
+# are only 4×256 = 1,024 (byte_idx, byte_val) buckets total, so ANY
+# corpus growth eventually makes every bucket a mega-bucket and the
+# banded self-join quadratic — the cap bounds per-bucket join cost
+# regardless of corpus size. 1,000 is inert at the sf0.01 correctness
+# scale (max observed width 249) and binds at sf0.1+ (width 2,443),
+# where the dropped buckets are near-identical boilerplate that the
+# exact/signature-identity dedup path already covers.
+SIMHASH_MAX_BUCKET_WIDTH = 1_000
 
 # Affine min-hash family: h_j(s) = (A_j * v(s) + B_j) mod P over a
 # single 60-bit md5-derived integer v(s) — ONE md5 per shingle instead

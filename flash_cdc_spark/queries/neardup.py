@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from flash_cdc_spark.operators import multimodal as MM
 from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.operators.dedup import (
+    SIMHASH_MAX_BUCKET_WIDTH,
     jaccard_verified_pairs,
     minhash_bands,
     minhash_candidate_pairs,
@@ -231,6 +232,7 @@ def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, simhash, CAST(b AS INT) AS byte_idx,
                (simhash // CAST(power(2, 8 * b) AS BIGINT)) % 256 AS byte_val
         FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY byte_idx, byte_val) <= 1000
     ),
     scand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -247,10 +249,15 @@ def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-banding (pigeonhole for Hamming ≤ 3
     on one of four bytes... a 32-bit sig with hamming ≤ 3 must agree on
-    ≥ 1 full byte) → bucket join → exact Hamming verify."""
+    ≥ 1 full byte) → mega-bucket cap → bucket join → exact Hamming
+    verify. The cap (matching QUALIFY in the oracle) keeps the banded
+    self-join from going quadratic on boilerplate-heavy corpora — the
+    1,024-bucket byte-banding's known 100× scale hazard (VERDICT r2)."""
     d = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(d)
-    return simhash_candidate_pairs(sigs, max_hamming=3)
+    return simhash_candidate_pairs(
+        sigs, max_hamming=3, max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH
+    )
 
 
 # --------------------------------------------------------------------------
@@ -631,10 +638,20 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_clusters",
     oracle="WITH RECURSIVE " + _DUCK_SIMHASH_SIG + """
-    , sbytes AS (
+    , sgrp AS (
+        -- signature-clique contraction, mirrored from the Spark side:
+        -- identical-signature docs collapse to one rep node carrying
+        -- (n, max_doc) weights; the bucket cap then applies at the REP
+        -- level on both engines (same capped semantics)
+        SELECT simhash, min(doc_id) AS doc_id,
+               count(*) AS n, max(doc_id) AS max_doc
+        FROM ssig GROUP BY simhash
+    ),
+    sbytes AS (
         SELECT doc_id, simhash, CAST(b AS INT) AS byte_idx,
                (simhash // CAST(power(2, 8 * b) AS BIGINT)) % 256 AS byte_val
-        FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS b)
+        FROM sgrp CROSS JOIN (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY byte_idx, byte_val) <= 1000
     ),
     pairs AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -658,13 +675,18 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc AS (
         SELECT node, CAST(min(lbl) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    ),
+    labeled AS (
+        SELECT coalesce(cc.cluster_id, g.doc_id) AS cluster_id,
+               g.n, g.max_doc
+        FROM sgrp g LEFT JOIN cc ON cc.node = g.doc_id
     )
     SELECT cluster_id,
-           count(*)                    AS n_members,
-           CAST(max(node) AS BIGINT)   AS max_member
-    FROM cc
+           CAST(sum(n) AS BIGINT)        AS n_members,
+           CAST(max(max_doc) AS BIGINT)  AS max_member
+    FROM labeled
     GROUP BY cluster_id
-    HAVING count(*) > 1
+    HAVING sum(n) > 1
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,7 +722,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # one signature pass feeds both uses
     )
     rep_pairs = simhash_candidate_pairs(
-        grp.select("doc_id", "simhash"), max_hamming=3
+        grp.select("doc_id", "simhash"),
+        max_hamming=3,
+        max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH,
     ).select("doc_a", "doc_b")
     cc = connected_components(rep_pairs)
     labeled = grp.join(cc, grp.doc_id == cc.node, "left").select(

@@ -32,6 +32,61 @@ def test_tfidf_null_text_doc_matches_oracle(spark, tmp_path):
     assert r["ok"], r
 
 
+def test_simhash_cap_drops_boilerplate_megabucket(spark, tmp_path):
+    """Boilerplate corpus: >1,000 identical docs share one signature,
+    so every one of their (byte_idx, byte_val) buckets exceeds the cap
+    — the banded self-join must NOT see them (uncapped it would emit
+    ~550k pairs), while a small distinct near-dup pair still pairs.
+    Spark and the QUALIFY'd oracle must agree on the capped semantics
+    (VERDICT r2 'What's wrong' #2)."""
+    from flash_cdc_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+    from flash_cdc_spark.queries import QUERIES
+
+    boiler = [(i, "web", "all rights reserved template page footer text") for i in range(1050)]
+    niche = [
+        (2001, "web", "rare unique document about spark shuffles"),
+        (2002, "web", "rare unique document about spark shuffles"),
+    ]
+    df = spark.createDataFrame(boiler + niche, "doc_id long, source string, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    pairs = QUERIES["q_dedup_simhash_pairs"](spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(2001, 2002)}, f"cap not active: {len(got)} pairs"
+    # uncapped, the mega-bucket joins quadratically — prove the cap is
+    # what removed them (count only; don't materialize all ~550k pairs)
+    sigs = simhash_signatures(df)
+    uncapped = simhash_candidate_pairs(sigs, max_hamming=3, max_bucket_width=None)
+    assert uncapped.count() > 500_000
+    # and the oracle agrees bit-for-bit on the capped output
+    r = compare("q_dedup_simhash_pairs", spark, str(tmp_path), con)
+    assert r["ok"], r
+
+
+def test_simhash_cap_inert_on_normal_corpus(spark, sf_dir):
+    """On the standard corpus no bucket reaches the cap — the wired cap
+    must not change q_dedup_simhash_pairs output at correctness SFs."""
+    from flash_cdc_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+    from flash_cdc_spark.queries import QUERIES
+    from flash_cdc_spark.tables import load_table
+
+    capped = QUERIES["q_dedup_simhash_pairs"](spark, sf_dir).collect()
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    uncapped = simhash_candidate_pairs(sigs, max_hamming=3, max_bucket_width=None).collect()
+    key = lambda r: (r["doc_a"], r["doc_b"], r["hamming"])  # noqa: E731
+    assert sorted(map(key, capped)) == sorted(map(key, uncapped))
+
+
 def test_asof_fixture_has_no_user_ts_duplicates(spark, sf_dir):
     """q_events_asof_join's tie semantics (window ORDER BY ts, event_id
     vs DuckDB ASOF ts >= ts) only coincide when no two events share
