@@ -9,8 +9,11 @@ Here the registry is an explicit map ``schema_id → (StructType, avro
 json)``. Decode strategy per schema id (schema evolution = one branch
 per id, exactly the reference's cache-miss-then-decode behavior):
 
-- **Avro** via ``from_avro`` when the spark-avro data source is loaded
-  (it is not bundled in this container — detected at runtime);
+- **Avro (JVM)** via ``from_avro`` when the spark-avro data source is
+  loaded (not bundled in this container — detected at runtime);
+- **Avro (Python)** via the pure-Python binary codec
+  (:mod:`flash_cdc_spark.functions.avro_codec`) in an Arrow-batched
+  pandas UDF — real Avro wire format, runs anywhere, no jar needed;
 - **JSON fallback** via ``from_json`` on the UTF-8 payload otherwise —
   same shape: binary payload + registry schema → typed struct.
 
@@ -23,6 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve module-globally
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -62,16 +66,62 @@ class SchemaRegistry:
         return self.schemas[schema_id]
 
 
+def _python_avro_to_json_udf(avro_json: str):
+    """Arrow-batched decoder: Avro binary → JSON string (bridged back
+    into the typed struct with ``from_json`` so the output schema stays
+    the registry's StructType either way). The schema parses once per
+    executor UDF instantiation, not per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(payload: pd.Series) -> pd.Series:
+        import json as _json
+
+        from flash_cdc_spark.functions import avro_codec
+
+        sch = avro_codec.parse_schema(avro_json)
+        return payload.map(
+            lambda b: None if b is None else _json.dumps(avro_codec.decode(sch, bytes(b)))
+        )
+
+    return _dec
+
+
+def python_json_to_avro_udf(avro_json: str):
+    """Arrow-batched encoder (JSON string → Avro binary) — the test/
+    synthesis twin of :func:`_python_avro_to_json_udf`, used to produce
+    real Avro wire-format payloads executor-side without the jar."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _enc(js: pd.Series) -> pd.Series:
+        import json as _json
+
+        from flash_cdc_spark.functions import avro_codec
+
+        sch = avro_codec.parse_schema(avro_json)
+        return js.map(
+            lambda s: None if s is None else avro_codec.encode(sch, _json.loads(s))
+        )
+
+    return _enc
+
+
 def decode_envelope(
     envelope: DataFrame,
     registry: SchemaRegistry,
     payload_col: str = "payload",
     schema_id_col: str = "schema_id",
-    use_avro: bool = False,
+    use_avro: bool | str = False,
     out_col: str = "decoded",
 ) -> DataFrame:
     """Decode ``payload`` bytes into a typed ``decoded`` struct using the
     per-row ``schema_id``'s registered schema.
+
+    ``use_avro``: ``False`` → JSON payloads; ``"jvm"`` (or ``True``,
+    kept for compat) → spark-avro ``from_avro``; ``"python"`` → the
+    pure-Python Avro codec in an Arrow-batched pandas UDF (real Avro
+    wire format without the jar).
 
     With several registered ids the decode is a ``when`` chain — each
     branch only fires for its id, so adding a new schema version is a new
@@ -82,7 +132,10 @@ def decode_envelope(
 
     def _branch(schema_id: str) -> Column:
         schema = registry.get(schema_id)
-        if use_avro:
+        if use_avro == "python":
+            dec = _python_avro_to_json_udf(registry.avro_json[schema_id])
+            return F.from_json(dec(F.col(payload_col)), schema)
+        if use_avro:  # True or "jvm"
             from pyspark.sql.avro.functions import from_avro
 
             return from_avro(F.col(payload_col), registry.avro_json[schema_id])

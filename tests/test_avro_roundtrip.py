@@ -1,19 +1,19 @@
-"""P1 real-Avro branch: envelope encode→decode roundtrip via the
-spark-avro external module.
+"""P1 Avro branch: envelope encode→decode roundtrip.
 
-The container used for CI has no Maven mirror, so the module can't be
-resolved and these tests SKIP (the JSON fallback branch is exercised by
-q_envelope_decode instead). On a cluster with the jar on the classpath
-(or ``SPARK_GRAFT_AVRO=1`` + a reachable mirror) they run for real —
-pinning that the Avro branch is wired correctly, not just gated off.
+Engine selection mirrors production: the spark-avro JVM module when it
+is on the classpath (``use_avro="jvm"``), otherwise the pure-Python
+binary codec in an Arrow-batched pandas UDF (``use_avro="python"`` —
+:mod:`flash_cdc_spark.functions.avro_codec`). Either way the roundtrip
+EXECUTES — this container is offline with no jar, and the Avro wire
+format is still exercised for real (r2's perpetual skip is gone).
 """
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flash_cdc_spark.functions import avro_codec as AC
 from flash_cdc_spark.sources.registry import SchemaRegistry, avro_available, decode_envelope
 
 HEADER_AVRO_JSON = """
@@ -40,28 +40,44 @@ def _header_schema() -> T.StructType:
     return T.StructType([T.StructField("ChangeEventHeader", header)])
 
 
-def test_avro_roundtrip_when_module_loaded(spark):
-    if not avro_available(spark):
-        pytest.skip("spark-avro module not on the classpath (offline container)")
-    from pyspark.sql.avro.functions import to_avro
+def test_avro_roundtrip_best_available_engine(spark):
+    jvm = avro_available(spark)
+    if jvm:
+        from pyspark.sql.avro.functions import to_avro
 
-    payload = F.struct(
-        F.struct(
-            F.lit("Opportunity").alias("entityName"),
-            F.lit("UPDATE").alias("changeType"),
-            F.array(F.lit("r1"), F.lit("r2")).alias("recordIds"),
-            F.lit(1_700_000_000_000).alias("commitTimestamp"),
-        ).alias("ChangeEventHeader")
-    )
-    env = spark.range(3).select(
-        F.concat(F.lit("evt-"), F.col("id").cast("string")).alias("event_id"),
-        F.lit("schema-v1").alias("schema_id"),
-        to_avro(payload, HEADER_AVRO_JSON).alias("payload"),
-    )
+        payload = F.struct(
+            F.struct(
+                F.lit("Opportunity").alias("entityName"),
+                F.lit("UPDATE").alias("changeType"),
+                F.array(F.lit("r1"), F.lit("r2")).alias("recordIds"),
+                F.lit(1_700_000_000_000).alias("commitTimestamp"),
+            ).alias("ChangeEventHeader")
+        )
+        env = spark.range(3).select(
+            F.concat(F.lit("evt-"), F.col("id").cast("string")).alias("event_id"),
+            F.lit("schema-v1").alias("schema_id"),
+            to_avro(payload, HEADER_AVRO_JSON).alias("payload"),
+        )
+    else:
+        sch = AC.parse_schema(HEADER_AVRO_JSON)
+        value = {
+            "ChangeEventHeader": {
+                "entityName": "Opportunity",
+                "changeType": "UPDATE",
+                "recordIds": ["r1", "r2"],
+                "commitTimestamp": 1_700_000_000_000,
+            }
+        }
+        raw = AC.encode(sch, value)
+        env = spark.createDataFrame(
+            [(f"evt-{i}", "schema-v1", raw) for i in range(3)],
+            "event_id string, schema_id string, payload binary",
+        )
     registry = SchemaRegistry()
     registry.register("schema-v1", _header_schema(), avro=HEADER_AVRO_JSON)
-    decoded = decode_envelope(env, registry, use_avro=True)
+    decoded = decode_envelope(env, registry, use_avro="jvm" if jvm else "python")
     rows = decoded.select("decoded.ChangeEventHeader.*").collect()
+    assert len(rows) == 3
     assert all(r["entityName"] == "Opportunity" for r in rows)
     assert all(r["recordIds"] == ["r1", "r2"] for r in rows)
     assert all(r["commitTimestamp"] == 1_700_000_000_000 for r in rows)
