@@ -3,9 +3,20 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "spread_pct": {name: pct, ...},
+     "iters": N, "sf": <sf>}
 
-Each query is materialized with the `noop` sink — full plan execution,
+Measurement protocol (r3, per VERDICT r2 'Next round' #6 — r1/r2 were
+single-shot and showed ±20-25% swings on sub-2s queries):
+- one UNcounted warmup execution per query (plan compilation, codegen,
+  shuffle-file page cache), then ITERS timed executions;
+- reported per-query time = median of the timed runs (= trimmed mean
+  at n=3); "value" = sum of medians;
+- "spread_pct" = (max-min)/median per query, so run-to-run variance is
+  visible in the recorded artifact instead of masquerading as a
+  regression.
+
+Each execution materializes with the `noop` sink — full plan execution,
 no collect/serialization overhead polluting the measurement.
 """
 
@@ -13,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flash_cdc_spark.queries import QUERIES  # noqa: E402
 from flash_cdc_spark.session import get_spark  # noqa: E402
 from flash_cdc_spark.tables import default_sf_dir  # noqa: E402
+
+ITERS = 3
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -44,13 +58,16 @@ HEADLINE = [
     "q_knn_bruteforce",
     "q_sim_ann_lsh_topk",
     "q_sim_embedding_neardup",
-    # --- added r2 (append-only: keep the r1 prefix stable so per-query
+    # --- added r2 (append-only: keep the prefix stable so per-query
     # times stay comparable across rounds) ---
     "q_dedup_clusters",
     "q_sim_ann_ivf_topk",
     "q_sim_ann_lsh_multiprobe",
     "q_text_chunking",
     "q_skew_salted_join",
+    # --- added r3 ---
+    "q_sim_ann_ivf_multiprobe",
+    "q_envelope_decode_avro",
 ]
 
 
@@ -67,11 +84,20 @@ def main() -> None:
     load_table(spark, sf_dir, "events").count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+
+        def run() -> float:
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - start
+
+        run()  # warmup, uncounted
+        samples = sorted(run() for _ in range(ITERS))
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        spread[name] = round(100.0 * (samples[-1] - samples[0]) / med, 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +107,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_pct": spread,
+                "iters": ITERS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
