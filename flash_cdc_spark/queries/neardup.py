@@ -581,7 +581,7 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
     vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
-    centers = IVF.train_kmeans(vecs)
+    centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
     corpus = vecs.withColumn(
         "cell", F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
     )
@@ -828,7 +828,7 @@ def q_sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
     vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
-    centers = IVF.train_kmeans(vecs)
+    centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
     ranked_cells = IVF.cells_ranked(F.col("v"), centers)
     corpus = vecs.withColumn("cell", F.element_at(ranked_cells, 1)["cell"])
     probes = (
