@@ -78,7 +78,6 @@ CANARIES: list[str] = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "q18_large_orders",
 ]
 
 

