@@ -68,6 +68,7 @@ HEADLINE = [
     # --- added r3 ---
     "q_sim_ann_ivf_multiprobe",
     "q_envelope_decode_avro",
+    "q_multimodal_image_decode",
 ]
 
 
