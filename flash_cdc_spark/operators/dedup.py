@@ -40,6 +40,8 @@ __all__ = [
     "jaccard_verified_pairs",
     "simhash_signatures",
     "simhash_candidate_pairs",
+    "simhash64_signatures",
+    "simhash64_candidate_pairs",
 ]
 
 # Default SimHash byte-band bucket cap. With a 32-bit signature there
@@ -305,6 +307,104 @@ def simhash_candidate_pairs(
             r,
             (F.col("l.byte_idx") == F.col("r.byte_idx"))
             & (F.col("l.byte_val") == F.col("r.byte_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash64_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document, carried as TWO 32-bit halves
+    ``(id_col, sim_hi: bigint, sim_lo: bigint)`` — the scale-path
+    signature (VERDICT r2: 32-bit byte-banding saturates its 1,024
+    buckets at 100×; 64 bits banded 16-bit-wise gives 65,536 bucket
+    values per band, 4 × 2¹⁶ total).
+
+    Two halves rather than one bigint because bit 63 of a packed
+    signature overflows signed 64-bit on BOTH engines (Spark ``conv``
+    caps at 2⁶³−1; DuckDB ``power(2, 63)`` rounds) — each half stays
+    < 2³², exactly representable everywhere. Token-hash halves come
+    from md5 hex digits 1–8 (hi) and 9–16 (lo); half-signature bit b
+    (LSB order) is the majority of token-hash bit b — same single
+    shuffle, now 65 partial-aggregatable sums instead of 33."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("t"),
+        )
+        .select(id_col, F.md5(F.col("t")).alias("h"))
+        .select(
+            id_col,
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("vh"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("vl"),
+        )
+    )
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for half, col in (("hi", "vh"), ("lo", "vl")):
+        for b in range(32):
+            bit = F.shiftright(F.col(col), b).bitwiseAND(F.lit(1)).cast("int")
+            aggs.append(F.sum(bit).alias(f"ones_{half}_{b}"))
+    counted = toks.groupBy(id_col).agg(*aggs)
+
+    halves = {}
+    for half in ("hi", "lo"):
+        sig = F.lit(0).cast("bigint")
+        for b in range(32):
+            sig = sig + F.when(
+                F.lit(2) * F.col(f"ones_{half}_{b}") - F.col("n") >= 0,
+                F.lit(2**b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        halves[half] = sig
+    return counted.select(
+        F.col(id_col), halves["hi"].alias("sim_hi"), halves["lo"].alias("sim_lo")
+    )
+
+
+def simhash64_candidate_pairs(
+    docs_with_sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over the 64-bit two-half SimHash: band into four
+    16-bit bands (lo&0xFFFF, lo>>16, hi&0xFFFF, hi>>16 — pigeonhole:
+    Hamming ≤ 3 over 64 bits ⇒ at least one band identical), bucket-join
+    per band, verify with exact Hamming = popcount(hi⊕hi′) +
+    popcount(lo⊕lo′). Structurally scale-safe where byte-banding is
+    not: 2¹⁶ values per band keeps expected bucket width ≈ corpus/2¹⁶,
+    and ``max_bucket_width`` still guards the boilerplate tail."""
+    bands = F.array(
+        F.col("sim_lo").bitwiseAND(F.lit(65535)),
+        F.shiftright(F.col("sim_lo"), 16),
+        F.col("sim_hi").bitwiseAND(F.lit(65535)),
+        F.shiftright(F.col("sim_hi"), 16),
+    )
+    stacked = docs_with_sig.select(
+        F.col(id_col),
+        "sim_hi",
+        "sim_lo",
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    if max_bucket_width is not None:
+        stacked = cap_bucket_width(stacked, ["band_idx", "band_val"], max_bucket_width)
+    l, r = stacked.alias("l"), stacked.alias("r")
+    hamming = F.bit_count(
+        F.col("l.sim_hi").bitwiseXOR(F.col("r.sim_hi"))
+    ) + F.bit_count(F.col("l.sim_lo").bitwiseXOR(F.col("r.sim_lo")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(

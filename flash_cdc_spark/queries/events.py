@@ -202,6 +202,47 @@ def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_sketch_accuracy",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*)                AS n_events,
+           CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+                <= 0.05 * count(DISTINCT user_id) AS INT) AS ndv_within_5pct,
+           CAST(quantile_disc(value, 0.5)
+                BETWEEN quantile_cont(value, 0.45) AND quantile_cont(value, 0.55)
+                AS INT) AS p50_within_rank_band
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the sketch aggregates
+    (r3 — closes the `q_events_sketches` evidence gap, which stays
+    registered rows-only for the raw sketch values): each engine runs
+    ITS OWN sketch (Spark HLL++ / DuckDB HLL; Spark Greenwald-Khanna
+    approx_percentile vs DuckDB exact quantiles) and asserts the same
+    relational contract — NDV within 5% of exact, approximate median
+    inside the exact 45th–55th percentile rank band. The exact columns
+    are value-compared outright; the contract columns mismatch iff a
+    sketch drifts out of tolerance. Sketch values can't be compared
+    bit-for-bit across engines — the accuracy *bound* can."""
+    e = load_table(spark, sf_dir, "events")
+    exact_users = F.count_distinct("user_id")
+    approx_users = F.approx_count_distinct("user_id", rsd=0.02)
+    p50_approx = F.expr("approx_percentile(value, 0.5)")
+    return e.groupBy("event_type").agg(
+        exact_users.alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.abs(approx_users - exact_users) <= 0.05 * exact_users)
+        .cast("int")
+        .alias("ndv_within_5pct"),
+        p50_approx.between(F.percentile("value", 0.45), F.percentile("value", 0.55))
+        .cast("int")
+        .alias("p50_within_rank_band"),
+    )
+
+
+@query(
     "q_events_unpivot",
     oracle="""
     WITH wide AS (

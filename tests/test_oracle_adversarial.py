@@ -87,6 +87,48 @@ def test_simhash_cap_inert_on_normal_corpus(spark, sf_dir):
     assert sorted(map(key, capped)) == sorted(map(key, uncapped))
 
 
+def test_simhash64_boilerplate_and_near_dup(spark, tmp_path):
+    """64-bit/16-bit-band variant under the same adversarial corpus:
+    the cap still drops the boilerplate mega-clique, exact duplicates
+    still pair at Hamming 0, and the two-half oracle agrees bit-exact.
+    Also pins the scale property the 64-bit variant exists for: the
+    banded self-join sees 2¹⁶ values per band, so the distinct niche
+    docs land in singleton buckets."""
+    from flash_cdc_spark.operators.dedup import (
+        simhash64_candidate_pairs,
+        simhash64_signatures,
+    )
+    from flash_cdc_spark.queries import QUERIES
+
+    boiler = [(i, "web", "all rights reserved template page footer text") for i in range(1050)]
+    niche = [
+        (2001, "web", "rare unique document about spark shuffles"),
+        (2002, "web", "rare unique document about spark shuffles"),
+        (2003, "web", "completely different subject entirely unrelated words"),
+    ]
+    df = spark.createDataFrame(boiler + niche, "doc_id long, source string, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    pairs = QUERIES["q_dedup_simhash64_pairs"](spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert set(got) == {(2001, 2002)}, f"cap not active: {len(got)} pairs"
+    assert got[(2001, 2002)] == 0  # identical text → identical 64-bit sig
+    # uncapped, the boilerplate clique pairs quadratically (sig-identical
+    # docs collide in all four 16-bit bands regardless of band width)
+    sigs = simhash64_signatures(df)
+    uncapped = simhash64_candidate_pairs(sigs, max_hamming=3, max_bucket_width=None)
+    assert uncapped.count() > 500_000
+    # two-half signatures stay below 2^32 (no overflow on either engine)
+    mx = sigs.selectExpr("max(sim_hi) h", "max(sim_lo) l").first()
+    assert 0 <= mx["h"] < 2**32 and 0 <= mx["l"] < 2**32
+    r = compare("q_dedup_simhash64_pairs", spark, str(tmp_path), con)
+    assert r["ok"], r
+
+
 def test_asof_fixture_has_no_user_ts_duplicates(spark, sf_dir):
     """q_events_asof_join's tie semantics (window ORDER BY ts, event_id
     vs DuckDB ASOF ts >= ts) only coincide when no two events share

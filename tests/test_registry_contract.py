@@ -16,8 +16,9 @@ def test_driver_window_is_fully_oracle_backed():
     names = list(QUERIES)
     window = names[:50]
     assert all(n in ORACLE for n in window), [n for n in window if n not in ORACLE]
-    # rows-only queries register last
-    assert set(names[-2:]) == {"q_events_sketches", "q_multimodal_decode_features"}
+    # rows-only queries register last (r3: only the raw sketch values
+    # remain oracle-less — decode_features gained an md5-feature oracle)
+    assert names[-1] == "q_events_sketches"
     # this round's batch canaries sit inside the window
     assert set(CANARIES) <= set(window)
 
@@ -26,8 +27,10 @@ def test_registry_shape():
     assert len(QUERIES) >= 70
     assert set(ORACLE) <= set(QUERIES)
     non_sql = set(QUERIES) - set(ORACLE)
-    # only the genuinely non-SQL-expressible ops may lack oracles
-    assert non_sql == {"q_events_sketches", "q_multimodal_decode_features"}
+    # only the genuinely non-SQL-expressible op may lack an oracle
+    # (raw sketch values are engine-specific; their accuracy contract is
+    # oracle-checked by q_events_sketch_accuracy instead)
+    assert non_sql == {"q_events_sketches"}
     for name, fn in QUERIES.items():
         assert callable(fn), name
         assert name.startswith("q"), name
