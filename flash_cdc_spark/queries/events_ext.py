@@ -1,0 +1,139 @@
+"""Extended event-analytics queries (r3, registered PAST the driver
+window — r4 rotation candidates; continuously checked by the local
+oracle mimic).
+
+The funnel and cohort-retention shapes are the standard product-
+analytics workloads a warehouse engine is expected to run over an
+events table; both reduce to one or two key-uniform shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+
+@query(
+    "q_events_funnel_conversion",
+    oracle="""
+    WITH peru AS (
+        SELECT user_id,
+               list_sort(list({'ts': ts, 'et': event_type})) AS evs
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id
+    ),
+    stages AS (
+        SELECT user_id,
+               list_min(list_transform(
+                   list_filter(evs, e -> e.et = 'view'), e -> e.ts)) AS v_ts
+        FROM peru
+    ),
+    s2 AS (
+        SELECT p.user_id, s.v_ts,
+               list_min(list_transform(
+                   list_filter(p.evs,
+                       e -> e.et = 'click' AND s.v_ts IS NOT NULL
+                            AND e.ts >= s.v_ts),
+                   e -> e.ts)) AS c_ts
+        FROM peru p JOIN stages s USING (user_id)
+    ),
+    s3 AS (
+        SELECT p.user_id, s2.v_ts, s2.c_ts,
+               list_min(list_transform(
+                   list_filter(p.evs,
+                       e -> e.et = 'purchase' AND s2.c_ts IS NOT NULL
+                            AND e.ts >= s2.c_ts),
+                   e -> e.ts)) AS p_ts
+        FROM peru p JOIN s2 USING (user_id)
+    )
+    SELECT CAST(count(v_ts) AS BIGINT)               AS n_viewed,
+           CAST(count(c_ts) AS BIGINT)               AS n_clicked_after_view,
+           CAST(count(p_ts) AS BIGINT)               AS n_purchased_after_click,
+           round(count(c_ts) / CAST(count(v_ts) AS DOUBLE), 6) AS view_to_click,
+           round(count(p_ts) / CAST(count(c_ts) AS DOUBLE), 6) AS click_to_purchase
+    FROM s3
+    """,
+)
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts a stage only with an event AT OR AFTER their previous
+    stage's first event. Shape: ONE shuffle (groupBy user) collecting
+    the user's (ts, type) pairs into a sorted array, then pure
+    higher-order functions find the stage times — per-user event counts
+    are human-bounded, so the collected groups stay small at any corpus
+    scale, and the final funnel is a partial-aggregatable count."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    evs = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+    )
+    peru = e.groupBy("user_id").agg(evs.alias("evs"))
+
+    def first_ts(arr, et, not_before):
+        cand = F.filter(
+            arr,
+            lambda x: (x["et"] == et)
+            & (F.lit(True) if not_before is None else not_before.isNotNull() & (x["ts"] >= not_before)),
+        )
+        return F.array_min(F.transform(cand, lambda x: x["ts"]))
+
+    staged = (
+        peru.withColumn("v_ts", first_ts(F.col("evs"), "view", None))
+        .withColumn("c_ts", first_ts(F.col("evs"), "click", F.col("v_ts")))
+        .withColumn("p_ts", first_ts(F.col("evs"), "purchase", F.col("c_ts")))
+    )
+    return staged.agg(
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked_after_view"),
+        F.count("p_ts").alias("n_purchased_after_click"),
+        F.round(F.count("c_ts") / F.count("v_ts").cast("double"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.count("p_ts") / F.count("c_ts").cast("double"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@query(
+    "q_events_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT)          AS n_active
+    FROM activity a JOIN cohorts c USING (user_id)
+    WHERE date_diff('day', c.cohort_day, a.day) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, the
+    matrix counts distinct users still active N days later (N ≤ 7).
+    Shape: dedup to (user, day) → per-user min (both shuffle on
+    user_id) → re-join on user_id (co-partitioned — AQE reuses the
+    exchange) → count-distinct keyed by (cohort, offset). Every shuffle
+    keys on user_id or the small (cohort, offset) grid; no skew, no
+    broadcast of anything user-sized."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(offset <= 7)
+        .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

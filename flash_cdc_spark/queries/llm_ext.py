@@ -1,0 +1,137 @@
+"""Extended LLM-training-data queries (r3, registered PAST the driver
+window — r4 rotation candidates; continuously checked by the local
+oracle mimic like the rotated batch surface).
+
+Published-heuristic provenance: the quality rules follow the Gopher
+paper's document filters (Rae et al. 2021, §A1.1 — word-count bounds,
+mean-word-length bounds, stopword presence) and the repetition filter
+family (top n-gram mass); both are standard public corpus-curation
+steps a 100 TB text pipeline runs before training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+# The Gopher stopword probe set (public; §A1.1 uses a small English
+# function-word list — membership of ≥ 2 distinct entries).
+_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "be", "have", "that")
+
+
+@query(
+    "q_text_gopher_quality_rules",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               len(ws) AS n_words,
+               list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+                   / CAST(len(ws) AS DOUBLE) AS mwl,
+               len(list_filter(ws,
+                   w -> list_contains({list(_STOPWORDS)}, w))) AS stop_hits
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT)                    AS n_words,
+           round(mwl, 6)                              AS mean_word_len,
+           CAST(stop_hits >= 2 AS INT)                AS has_stopwords,
+           CAST(n_words BETWEEN 10 AND 100000
+                AND mwl BETWEEN 2 AND 10
+                AND stop_hits >= 2 AS INT)            AS passes_gopher
+    FROM m
+    """,
+)
+def q_text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality filters (Rae et al. 2021 §A1.1):
+    word-count bounds, mean word length bounds, stopword presence —
+    the standard pre-training corpus gate. Pure higher-order functions
+    over the token array: one narrow pass, no explode, no shuffle —
+    embarrassingly parallel at 100 TB (the plan is scan → project)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    mwl = (
+        F.aggregate(F.transform(ws, F.length), F.lit(0), lambda a, x: a + x)
+        / n_words.cast("double")
+    )
+    stop_hits = F.size(
+        F.filter(ws, lambda w: w.isin(*_STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        (stop_hits >= 2).cast("int").alias("has_stopwords"),
+        (
+            n_words.between(10, 100000)
+            & mwl.between(2, 10)
+            & (stop_hits >= 2)
+        )
+        .cast("int")
+        .alias("passes_gopher"),
+    )
+
+
+@query(
+    "q_text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(ws) - 1),
+                      i -> ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]))
+                   AS g
+        FROM toks WHERE len(ws) >= 2
+    ),
+    counts AS (
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)               AS n_bigrams,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac,
+           CAST(max(c) / CAST(sum(c) AS DOUBLE) > 0.18 AS INT) AS is_repetitive
+    FROM counts GROUP BY doc_id
+    """,
+)
+def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (the Gopher/C4 'top n-gram mass' family): the
+    fraction of a document's word-bigrams taken by its single most
+    frequent bigram — templated/looping text scores high and is dropped
+    before training. Shape: explode bigrams → ONE groupBy(doc_id, gram)
+    (partial-aggregatable count) → groupBy(doc_id) max/sum. Both
+    shuffles key on doc_id(+gram) — uniform keys, no hotspots, linear
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ws = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(ws) - 2)
+    grams = (
+        d.filter(F.size(ws) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at(ws, i + 1), F.lit(" "), F.element_at(ws, i + 2)
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    frac = F.max("c") / F.sum("c").cast("double")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(frac, 6).alias("top_bigram_frac"),
+        (frac > 0.18).cast("int").alias("is_repetitive"),
+    )
