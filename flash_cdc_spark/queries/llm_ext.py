@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
@@ -76,6 +77,93 @@ def q_text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("passes_gopher"),
+    )
+
+
+@query(
+    "q_sim_ann_recall_report",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings
+    ),
+    """ + f"""
+    comp AS (
+        SELECT vec_id, p, sum(w * v[d + 1]) AS s
+        FROM vecs, {SIM.planes_sql_values()}
+        GROUP BY vec_id, p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN s >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM comp GROUP BY vec_id
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id AS brute_top1 FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                       c.vec_id) AS rk
+            FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 25
+        ) WHERE rk = 1
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id AS ann_top1 FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                       c.vec_id) AS rk
+            FROM vecs q
+            JOIN buckets qb ON qb.vec_id = q.vec_id
+            JOIN buckets cb ON cb.bucket = qb.bucket
+            JOIN vecs c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 25
+        ) WHERE rk = 1
+    )
+    SELECT b.query_id,
+           CAST(b.brute_top1 AS BIGINT) AS brute_top1,
+           CAST(a.ann_top1 AS BIGINT)   AS ann_top1,
+           COALESCE(CAST(a.ann_top1 = b.brute_top1 AS INT), 0) AS hit
+    FROM brute b LEFT JOIN ann a USING (query_id)
+    """,
+)
+def q_sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality made oracle-checkable: for a 25-probe set, compute
+    brute-force cosine top-1 AND single-probe sign-LSH top-1 in the
+    same query and report the per-probe hit — both sides are fully
+    deterministic (6-dp-rounded cosine, neighbor-id tie-break), so
+    recall itself is value-compared across engines rather than only
+    pytest-asserted. A probe whose bucket holds no candidate yields a
+    NULL ann_top1 / hit 0 — the honest miss. Shape: the brute side
+    broadcasts 25 probes against the streamed corpus; the ANN side is
+    one shuffle on bucket id. (Recall is corpus-dependent: on the
+    isotropic driver fixture single-probe recall is modest by design —
+    see SCALE.md; the point here is that the number is externally
+    verified.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 25)
+    brute = (
+        SIM.brute_force_topk(e, probes, k=1)
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("brute_top1"))
+    )
+    ann = (
+        SIM.lsh_topk(e, probes, k=1)
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("ann_top1"))
+    )
+    return brute.join(ann, "query_id", "left").select(
+        "query_id",
+        "brute_top1",
+        "ann_top1",
+        F.coalesce(
+            (F.col("ann_top1") == F.col("brute_top1")).cast("int"), F.lit(0)
+        ).alias("hit"),
     )
 
 
