@@ -11,9 +11,10 @@ steps a 100 TB text pipeline runs before training.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flash_cdc_spark.operators import ivf as IVF
 from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
@@ -164,6 +165,105 @@ def q_sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             (F.col("ann_top1") == F.col("brute_top1")).cast("int"), F.lit(0)
         ).alias("hit"),
+    )
+
+
+@query(
+    "q_sim_ann_ivf_pruned_topk",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings
+    ),
+    """
+    + IVF.kmeans_cte()
+    + """,
+    assigned AS (SELECT vec_id, cell FROM best WHERE ark = 1),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(qa.cell AS INT) AS cell,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM vecs q
+        JOIN assigned qa ON q.vec_id = qa.vec_id
+        JOIN assigned ca ON ca.cell = qa.cell
+        JOIN vecs c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id BETWEEN 10 AND 19
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cell, cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the MATERIALIZED cell-partitioned layout — the
+    end-to-end form of the partition-pruning claim that
+    ``test_ivf_cell_partitioned_layout_prunes_probe_scan`` pins in
+    isolation. The query (a) assigns the corpus to trained k-means
+    cells and writes it ``partitionBy("cell")`` (the offline index
+    build), then (b) collects the 10 probes' cell ids driver-side (the
+    probe-dispatch step every IVF coordinator performs) and reads the
+    layout back filtered to those literal cells — so the parquet scan
+    carries ``PartitionFilters`` on ``cell`` and the probe touches ONLY
+    the probed cells' files, enforced by directory layout rather than a
+    row filter. At 100 TB with k=1024 cells this is the IVF payoff:
+    nprobe cells of bytes read, not a full-corpus scan. Results are
+    identical to computing the same nprobe=1 search inline (the oracle
+    trains the identical quantizer via unrolled CTEs); only the access
+    path differs — pruned scan vs full scan."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
+    corpus = vecs.withColumn(
+        "cell", F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
+    )
+    layout = tempfile.mkdtemp(prefix="flash_ivf_layout_")
+    corpus.write.partitionBy("cell").mode("overwrite").parquet(layout)
+    probe_cells = sorted(
+        r["cell"]
+        for r in corpus.filter(F.col("vec_id").between(10, 19))
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    pruned = spark.read.parquet(layout).filter(F.col("cell").isin(probe_cells))
+    probes = pruned.filter(F.col("vec_id").between(10, 19)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    pairs = pruned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.round(
+            SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 

@@ -373,6 +373,33 @@ def test_ivf_cell_partitioned_layout_prunes_probe_scan(spark, sf_dir, tmp_path):
     assert pruned.count() == expected > 0
 
 
+def test_ivf_pruned_topk_query_plan_carries_partition_filter(spark, sf_dir):
+    """The REGISTERED materialized-layout query (q_sim_ann_ivf_pruned_topk)
+    must read the cell-partitioned layout with a non-empty
+    PartitionFilter on cell — the end-to-end form of what the isolated
+    layout test above proves. The returned plan reads ONLY the layout
+    (the original embeddings scan happens eagerly during the index
+    build, not in the returned lazy plan)."""
+    import contextlib
+    import io
+
+    from flash_cdc_spark.queries.llm_ext import q_sim_ann_ivf_pruned_topk
+
+    df = q_sim_ann_ivf_pruned_topk(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    occurrences = plan.split("PartitionFilters")[1:]
+    assert occurrences, plan
+    for occ in occurrences:
+        head = occ.splitlines()[0]
+        assert "cell" in head and "[]" not in head.replace(" ", ""), head
+    rows = df.collect()
+    assert rows and all(1 <= r["rk"] <= 3 for r in rows)
+    assert {r["query_id"] for r in rows} <= set(range(10, 20))
+
+
 def test_ivf_multiprobe_top1_at_least_single_probe(spark, sf_dir):
     """nprobe=2 searches a candidate superset of nprobe=1, so per query
     its best cosine can only match or improve."""
