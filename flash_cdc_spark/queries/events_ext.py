@@ -137,3 +137,74 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q_streaming_stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id        AS purchase_id,
+           epoch_ms(p.ts)    AS purchase_ms,
+           round(p.value, 2) AS purchase_value,
+           c.event_id        AS click_id,
+           epoch_ms(c.ts)    AS click_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed stream-stream interval join, oracle-checked
+    (the fourth streaming-executed driver row): a real Structured
+    Streaming job joins the purchase stream to the click stream of the
+    same user within a 30-minute look-back, and the appended sink must
+    equal the batch inner join with the identical interval predicate.
+
+    Scale shape: both sides watermarked (1 h), so Spark's join state
+    buffers only watermark + interval of each stream per key and evicts
+    the rest — the attribution join of a 100 TB event pipeline, where
+    an unwatermarked stream-stream join would buffer both streams
+    forever. Inner-join matches emit in the micro-batch they are found;
+    the watermark exists purely to bound state."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming.windows import stream_stream_purchase_after_click
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="flash_ssj_")
+    try:
+        src = f"{workdir}/src"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = stream_stream_purchase_after_click(
+            stream, within="30 minutes", watermark="1 hour"
+        ).select(
+            "user_id",
+            "purchase_id",
+            F.unix_millis("purchase_ts").alias("purchase_ms"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+            "click_id",
+            F.unix_millis("click_ts").alias("click_ms"),
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{workdir}/out")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(f"{workdir}/out").collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, purchase_id bigint, purchase_ms bigint, "
+        "purchase_value double, click_id bigint, click_ms bigint",
+    )

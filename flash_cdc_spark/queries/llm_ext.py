@@ -323,3 +323,79 @@ def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("top_bigram_frac"),
         (frac > 0.18).cast("int").alias("is_repetitive"),
     )
+
+
+@query(
+    "q_train_contamination_check",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 AS bucket
+        FROM documents WHERE length(text) > 0
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, bucket,
+               md5(array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))
+                   AS gh
+        FROM (SELECT doc_id, bucket, ws, unnest(range(len(ws) - 7)) AS i
+              FROM toks WHERE len(ws) >= 8)
+    ),
+    train_g AS (SELECT DISTINCT gh FROM g WHERE bucket < 90),
+    ev AS (SELECT doc_id, gh FROM g WHERE bucket >= 95)
+    SELECT ev.doc_id,
+           CAST(count(*) AS BIGINT)     AS n_grams,
+           CAST(count(t.gh) AS BIGINT)  AS n_contaminated,
+           round(count(t.gh) / CAST(count(*) AS DOUBLE), 6)
+                                        AS contamination_frac,
+           CAST(count(t.gh) > 0 AS INT) AS is_contaminated
+    FROM ev LEFT JOIN train_g t ON t.gh = ev.gh
+    GROUP BY ev.doc_id
+    """,
+)
+def q_train_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the benchmark-hygiene gate every
+    LLM pipeline runs before training (the GPT-3/PaLM-style n-gram
+    overlap audit): for each TEST-split document, the fraction of its
+    distinct word-8-grams that also occur anywhere in the TRAIN split.
+    Splits reuse q_train_test_split's hashed-id buckets, so the audit
+    sees exactly the splits the pipeline would ship. Shape: one narrow
+    pass explodes each doc's distinct 8-gram md5s (fixed-width join
+    keys, never raw strings); the train side reduces to DISTINCT gram
+    hashes (partial-aggregatable); the probe is ONE shuffle join on the
+    hash with uniform keys — linear at 100 TB, with the tiny eval side
+    streamed against the big train side."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ws = F.split("text", " ")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    docs = d.select("doc_id", ws.alias("ws"), bucket.alias("bucket")).filter(
+        F.size("ws") >= 8
+    )
+    # explode first, md5 in the NEXT select (generator + other exprs
+    # over its output don't mix in one projection)
+    grams = docs.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 8),
+                lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 8)),
+            )
+        ).alias("gram"),
+    )
+    g = grams.select("doc_id", "bucket", F.md5("gram").alias("gh")).distinct()
+    train_g = g.filter(F.col("bucket") < 90).select("gh").distinct()
+    ev = g.filter(F.col("bucket") >= 95).select("doc_id", "gh")
+    hits = ev.join(train_g.withColumn("hit", F.lit(1)), "gh", "left")
+    n_hit = F.count("hit")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        n_hit.cast("bigint").alias("n_contaminated"),
+        F.round(n_hit / F.count(F.lit(1)).cast("double"), 6).alias(
+            "contamination_frac"
+        ),
+        (n_hit > 0).cast("int").alias("is_contaminated"),
+    )
