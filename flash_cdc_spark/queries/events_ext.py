@@ -9,7 +9,7 @@ events table; both reduce to one or two key-uniform shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.queries import query
@@ -207,4 +207,73 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
         rows,
         "user_id bigint, purchase_id bigint, purchase_ms bigint, "
         "purchase_value double, click_id bigint, click_ms bigint",
+    )
+
+
+@query(
+    "q_streaming_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed custom stateful operator
+    (``applyInPandasWithState``), oracle-checked — the fifth
+    streaming-executed driver row, and the one that externally
+    validates the arbitrary-state API the reference's replay cursor
+    maps onto: a real streaming job maintains per-user (count, sum)
+    state in Arrow-batched pandas groups, emitting the running total
+    each micro-batch; the LAST emission per user (largest n_events —
+    the count is monotone per key) must equal the batch
+    ``groupBy(user).count/sum``.
+
+    Scale shape: state is one (bigint, double) pair per user — bytes
+    per key, shuffled once on user_id; emissions flow through
+    ``foreachBatch`` because the file sink cannot take update-mode
+    output. The state store, not the stream length, bounds memory."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming.windows import running_user_totals
+
+    batch = load_table(spark, sf_dir, "events").select("user_id", "value")
+    workdir = tempfile.mkdtemp(prefix="flash_rt_")
+    try:
+        src = f"{workdir}/src"
+        out = f"{workdir}/out"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        totals = running_user_totals(stream)
+
+        def sink(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            totals.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        rows = (
+            spark.read.parquet(out)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                F.round("total_value", 2).alias("total_value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id bigint, n_events bigint, total_value double"
     )
