@@ -9,6 +9,10 @@ Decode engines, by format:
   parser handles the spec's whitespace/comment header grammar and
   yields pixel statistics; swap :func:`parse_pgm` for PIL to add
   compressed formats — the Spark plumbing is identical.
+- **WAV (RIFF PCM)** — a REAL audio decoder (r3): the public RIFF
+  chunk grammar with uncompressed 16-bit PCM needs no codec either;
+  :func:`parse_wav` walks the chunk list and yields waveform
+  statistics from the actual samples.
 - **everything else** — stubbed (deterministic md5-derived fake
   features, or ``NotImplementedError`` when ``strict=True``), since no
   compressed-media codec ships in this container.
@@ -38,6 +42,9 @@ __all__ = [
     "synth_pgm_udf",
     "parse_pgm",
     "decode_pgm_features",
+    "synth_wav_udf",
+    "parse_wav",
+    "decode_wav_features",
     "PGM_WIDTH",
     "PGM_HEIGHT",
 ]
@@ -211,3 +218,117 @@ def sample_frames(
         "frame_idx",
         (F.col("frame_idx") * every_n_bytes).alias("byte_offset"),
     )
+
+
+# --- WAV (RIFF PCM) — a REAL audio decoder (r3) ------------------------
+# The public RIFF/WAVE container with uncompressed 16-bit PCM is, like
+# Netpbm, parseable with the stdlib alone — so the audio decode path is
+# real wire-format parsing, not a stub. A librosa/soundfile decoder for
+# compressed audio drops into the same mapInPandas shape.
+
+WAV_N_SAMPLES = 256
+WAV_SAMPLE_RATE = 8000
+
+
+def synth_wav_udf(n_samples: int = WAV_N_SAMPLES, sample_rate: int = WAV_SAMPLE_RATE):
+    """Arrow-batched synthesizer: one RIFF/WAVE file (16-bit mono PCM)
+    per id, sample(k) = ((31·id + 17·k) mod 65536) − 32768 — a real
+    audio file whose waveform statistics are closed-form, so a
+    relational oracle can verify the DECODED samples end-to-end."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_id: pd.Series) -> pd.Series:
+        def mk(did: int) -> bytes:
+            did = int(did)
+            k = np.arange(n_samples, dtype=np.int64)
+            samples = ((31 * did + 17 * k) % 65536 - 32768).astype("<i2")
+            data = samples.tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack(
+                    "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+                )
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        return doc_id.map(mk)
+
+    return _synth
+
+
+def parse_wav(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a RIFF/WAVE file: walk the chunk list (id, le32 size,
+    payload, odd-size pad byte — the public RIFF grammar), read the
+    ``fmt `` chunk (PCM only) and the ``data`` chunk. Returns
+    (sample_rate, n_channels, bits_per_sample, sample bytes)."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        payload = blob[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            audio_format, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+            if audio_format != 1:
+                raise ValueError("compressed WAV not supported (PCM only)")
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            data = payload
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return fmt[0], fmt[1], fmt[2], data
+
+
+def decode_wav_features(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode via ``mapInPandas``: parse each WAV, emit
+    rate/length + waveform statistics computed from the actual PCM
+    samples. Same Arrow-batched executor-side shape as the image path."""
+    out_schema = (
+        f"{id_col} bigint, sample_rate int, n_samples int, "
+        "mean_amp double, rms double, peak int"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, means, rmss, peaks = [], [], [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                rate, channels, bits, raw = parse_wav(bytes(blob))
+                if channels != 1 or bits != 16:
+                    raise ValueError("expected 16-bit mono PCM")
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                ids.append(int(did))
+                rates.append(rate)
+                ns.append(arr.size)
+                means.append(float(arr.mean()))
+                rmss.append(float(np.sqrt((arr * arr).mean())))
+                peaks.append(int(np.abs(arr).max()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "mean_amp": means,
+                    "rms": rmss,
+                    "peak": peaks,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_decode, schema=out_schema)

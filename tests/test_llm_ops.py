@@ -254,6 +254,57 @@ def test_pgm_synth_decode_roundtrip(spark):
         assert abs(r["mean_px"] - sum(vals) / len(vals)) < 1e-9
 
 
+def test_wav_parser_riff_grammar():
+    """Real RIFF/WAVE grammar: chunk walking, word-alignment padding,
+    unknown chunks skipped, PCM-only guard, truncation detection."""
+    import struct
+
+    import numpy as np
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    # an odd-sized unknown chunk (3 bytes + 1 pad) between fmt and data
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + len(junk) + 8 + len(data))
+        + b"WAVE" + b"fmt " + fmt + junk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, channels, bits, raw = MM.parse_wav(blob)
+    assert (rate, channels, bits) == (8000, 1, 16)
+    assert np.array_equal(np.frombuffer(raw, dtype="<i2"), samples)
+    with pytest.raises(ValueError, match="RIFF"):
+        MM.parse_wav(b"RIFX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        MM.parse_wav(blob[:-2])
+    bad_fmt = struct.pack("<IHHIIHH", 16, 85, 1, 8000, 16000, 2, 16)  # MP3 tag
+    with pytest.raises(ValueError, match="PCM"):
+        MM.parse_wav(
+            b"RIFF" + struct.pack("<I", 4 + 8 + 16) + b"WAVE" + b"fmt " + bad_fmt
+        )
+
+
+def test_wav_synth_decode_roundtrip(spark):
+    """Synthesized WAVs decode to the closed-form waveform statistics."""
+    import numpy as np
+
+    df = spark.createDataFrame([(0,), (7,), (4242,)], "doc_id long")
+    wavs = df.withColumn("media", MM.synth_wav_udf()(F.col("doc_id")))
+    got = {r["doc_id"]: r for r in MM.decode_wav_features(wavs, "media").collect()}
+    for did in (0, 7, 4242):
+        k = np.arange(MM.WAV_N_SAMPLES, dtype=np.int64)
+        vals = ((31 * did + 17 * k) % 65536 - 32768).astype(np.float64)
+        r = got[did]
+        assert (r["sample_rate"], r["n_samples"]) == (
+            MM.WAV_SAMPLE_RATE,
+            MM.WAV_N_SAMPLES,
+        )
+        assert r["peak"] == int(np.abs(vals).max())
+        assert abs(r["mean_amp"] - vals.mean()) < 1e-9
+        assert abs(r["rms"] - np.sqrt((vals * vals).mean())) < 1e-9
+
+
 def test_ivf_quantizer_is_trained_not_label_means(spark, sf_dir):
     """VERDICT r2 #3: the IVF quantizer must be a real trained k-means,
     not per-label means — k=16 exceeds the 10-label cardinality, the
