@@ -277,3 +277,78 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id bigint, n_events bigint, total_value double"
     )
+
+
+@query(
+    "q_changefeed_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           epoch_ms(ts)      AS commit_ms,
+           round(value, 2)   AS value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_changefeed_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current-state table: the canonical CDC downstream
+    materialization (what every consumer of the reference's change
+    feed ultimately builds) — per record key (user_id, event_type),
+    keep only the most recent change. One shuffle on the key, then a
+    linear window pass; at 100 TB this is the compaction step that
+    turns an append-only changelog into a queryable snapshot, and the
+    key partitioning makes it embarrassingly parallel. Tie-break on
+    event_id so the winner is total-ordered on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_millis("ts").alias("commit_ms"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@query(
+    "q_changefeed_scd2_history",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           CAST(row_number() OVER w AS INT)     AS version,
+           epoch_ms(ts)                         AS valid_from_ms,
+           epoch_ms(lead(ts) OVER w)            AS valid_to_ms,
+           CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def q_changefeed_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD-type-2 history table: each change event becomes
+    a versioned row with a validity interval [valid_from, valid_to) —
+    valid_to is the NEXT change's timestamp (NULL ⇒ current row) — the
+    other standard CDC materialization next to the latest-state
+    snapshot. Single window pass per record key: one shuffle on
+    (user_id, event_type), then lead()/row_number() in the same sorted
+    pass — linear at 100 TB, no self-join (the naive interval build
+    joins the changelog to itself). Unique (ts, event_id) ordering
+    makes the intervals engine-deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(nxt).alias("valid_to_ms"),
+        F.isnull(nxt).cast("int").alias("is_current"),
+    )
