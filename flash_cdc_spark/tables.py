@@ -39,13 +39,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # sessions where the key is unset, so a get-then-set would throw)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read the raw int64 nanos and floor to microseconds
-        # (exact integer division — DuckDB's ns→µs handling floors too).
+        # events.parquet's ts physical type varies by driver round:
+        # TIMESTAMP(NANOS) (rejected by Spark's reader unless read as raw
+        # int64 nanos and floored to micros — exact integer division,
+        # DuckDB floors ns→µs the same way) or TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Normalize both
+        # to session-local TIMESTAMP; with the UTC session tz pinned above
+        # this matches the naive-UTC DuckDB oracle exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
