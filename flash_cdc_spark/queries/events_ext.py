@@ -352,3 +352,89 @@ def q_changefeed_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(nxt).alias("valid_to_ms"),
         F.isnull(nxt).cast("int").alias("is_current"),
     )
+
+
+@query(
+    "q_events_cogroup_enrich",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           CAST(p.user_id AS BIGINT)   AS user_id,
+           CAST(count(c.ts) AS BIGINT) AS n_clicks_prior_1h
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_events_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the two-sided Arrow escape hatch
+    (``groupBy().cogroup().applyInPandas``), the API for per-key merges
+    whose logic doesn't fit a join condition: each purchase is enriched
+    with the user's click count in the hour before it. The pandas fn
+    gets BOTH sides' rows for one user as aligned DataFrames and
+    binary-searches the sorted click times — O((p+c)·log c) per user
+    instead of the oracle's O(p·c) inequality join. Shape: one shuffle
+    per side on user_id (co-partitioned by the cogroup), Arrow-batched
+    per-group execution, no driver involvement — the same plan at
+    100 TB, with user_id uniform so no hot keys. Keys present on only
+    one side still reach the fn (empty frame), matching the LEFT join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # Catalyst prunes UNUSED input columns into the cogroup UDF
+        # (e.g. under a bare .count() no output column is consumed and
+        # the non-key side arrives key-only), so guard every access:
+        # row COUNT must stay exact even when values are never read.
+        n = len(left.index)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_clicks_prior_1h": pd.Series([], dtype="int64"),
+                }
+            )
+
+        def col(df: pd.DataFrame, name: str, length: int):
+            if name in df.columns:
+                return df[name].to_numpy()
+            return np.zeros(length, dtype="int64")
+
+        if "ts" in left.columns and "ts" in right.columns and len(right.index):
+            p_ts = left["ts"].to_numpy()
+            c_ts = np.sort(right["ts"].to_numpy())
+            lo = np.searchsorted(c_ts, p_ts - np.timedelta64(1, "h"), side="left")
+            hi = np.searchsorted(c_ts, p_ts, side="left")
+            n_clicks = (hi - lo).astype("int64")
+        else:
+            n_clicks = np.zeros(n, dtype="int64")
+        return pd.DataFrame(
+            {
+                "event_id": col(left, "event_id", n),
+                "user_id": col(left, "user_id", n),
+                "n_clicks_prior_1h": n_clicks,
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge, schema="event_id bigint, user_id bigint, n_clicks_prior_1h bigint"
+        )
+    )
