@@ -20,6 +20,17 @@ Register + use::
 
     spark.dataSource.register(FlashFeedDataSource)
     spark.readStream.format("flashfeed").option("path", log).load()
+    df.write.format("flashfeed").mode("append").option("path", log).save()
+
+The writer side is the *outbox* mirror of the reader (reference publish
+path, ``app/services/sf_pubsub.py:641-668``): tasks stage JSON-lines
+fragments under ``<path>.staging/`` (two-phase commit — stage on the
+executors, append on the driver), the driver's ``commit`` concatenates
+them onto the feed log in one pass and assigns ``replay_seq`` for rows
+that arrive without one (the bus, not the producer, owns replay ids).
+The streaming variant keeps a committed-epoch sidecar so a replayed
+``foreachBatch`` epoch is skipped instead of double-published
+(idempotent commit = the reference's dedupe-on-replay-id contract).
 
 Scale note: a Python data source runs its reader in Python workers —
 right for a control-plane-bounded CDC feed (the reference's own ceiling
@@ -30,12 +41,17 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -107,6 +123,120 @@ class _FeedStreamReader(SimpleDataSourceStreamReader):
         return iter(_read_lines(self._path, int(start["seq"]), int(end["seq"])))
 
 
+@dataclass
+class _StagedCommit(WriterCommitMessage):
+    """Per-task commit message: where the task staged its fragment."""
+
+    staged_path: str
+    rows: int
+
+
+def _staging_dir(path: str) -> str:
+    return path + ".staging"
+
+
+def _stage_rows(path: str, iterator) -> _StagedCommit:
+    """Executor side of the 2PC: serialize this task's rows to a
+    private fragment. Nothing is visible to readers until the driver's
+    ``commit`` appends the fragment to the log. On a shared filesystem
+    (object store at scale) the fragment path is the only coordination
+    needed — no locks, no cross-task ordering assumptions."""
+    os.makedirs(_staging_dir(path), exist_ok=True)
+    frag = os.path.join(_staging_dir(path), f"frag-{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(frag, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            ev = {k: v for k, v in zip(row.__fields__, row) if k in _FIELDS}
+            fh.write(json.dumps(ev) + "\n")
+            n += 1
+    return _StagedCommit(staged_path=frag, rows=n)
+
+
+def _append_staged(path: str, messages, truncate: bool = False) -> int:
+    """Driver side of the 2PC: fold staged fragments onto the feed log.
+
+    Rows missing ``replay_seq`` get the next line number — the feed
+    (the bus), not the producer, is the authority on replay ids, same
+    as the reference's server-assigned replay cursor."""
+    next_seq = 0
+    if not truncate and os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            next_seq = sum(1 for line in fh if line.strip())
+    appended = 0
+    with open(path, "w" if truncate else "a", encoding="utf-8") as out:
+        for msg in messages:
+            if msg is None or not os.path.exists(msg.staged_path):
+                continue
+            with open(msg.staged_path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    ev = json.loads(line)
+                    if ev.get("replay_seq") is None:
+                        ev["replay_seq"] = next_seq
+                    out.write(json.dumps(ev) + "\n")
+                    next_seq += 1
+                    appended += 1
+    _cleanup_staged(messages)
+    return appended
+
+
+def _cleanup_staged(messages) -> None:
+    for msg in messages:
+        if msg is not None and os.path.exists(msg.staged_path):
+            os.remove(msg.staged_path)
+
+
+class _FeedBatchWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self._path = options.get("path")
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        return _stage_rows(self._path, iterator)
+
+    def commit(self, messages):
+        _append_staged(self._path, messages, truncate=self._overwrite)
+
+    def abort(self, messages):
+        _cleanup_staged(messages)
+
+
+class _FeedStreamWriter(DataSourceStreamWriter):
+    """Epoch-idempotent streaming outbox: ``commit`` records each
+    published micro-batch id in a sidecar; a replayed epoch (restart
+    between sink-commit and checkpoint-commit) is dropped instead of
+    double-published — at-least-once upstream becomes exactly-once in
+    the log, the reference's replay-id dedupe contract."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+
+    def _epochs_path(self) -> str:
+        return self._path + ".epochs"
+
+    def _committed_epochs(self) -> set:
+        if not os.path.exists(self._epochs_path()):
+            return set()
+        with open(self._epochs_path(), encoding="utf-8") as fh:
+            return {int(line) for line in fh if line.strip()}
+
+    def write(self, iterator):
+        return _stage_rows(self._path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        if batchId in self._committed_epochs():
+            _cleanup_staged(messages)
+            return
+        _append_staged(self._path, messages)
+        with open(self._epochs_path(), "a", encoding="utf-8") as fh:
+            fh.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        _cleanup_staged(messages)
+
+
 class FlashFeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -120,3 +250,9 @@ class FlashFeedDataSource(DataSource):
 
     def simpleStreamReader(self, schema):  # noqa: N802 (Spark API name)
         return _FeedStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _FeedBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return _FeedStreamWriter(self.options)

@@ -2,16 +2,25 @@
 read, incremental streaming with offset tracking, flow-control cap, and
 checkpoint resume. (Continuous micro-batch trigger: a simple stream
 reader prefetches one batch per planning cycle, so availableNow would
-stop after a single batch.)"""
+stop after a single batch.)
+
+Writer side: the staged two-phase-commit outbox — batch append /
+overwrite / replay_seq assignment, abort cleanup, and the streaming
+writer's committed-epoch sidecar (replayed micro-batch is dropped, not
+double-published)."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
+from pyspark.sql import Row
 
 from flash_cdc_spark.sources.flashfeed import (
     FlashFeedDataSource,
+    _FeedStreamWriter,
+    _stage_rows,
     append_events,
 )
 
@@ -82,6 +91,112 @@ def test_stream_reads_appended_events_and_resumes(spark, tmp_path):
     append_events(log, [_ev(6), _ev(7)])
     got2, _ = _run_until(spark, log, ckpt, out, want_rows=7)
     assert sorted(r["replay_seq"] for r in got2.collect()) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def _envelope_df(spark, seqs, assign_seq=True):
+    rows = [_ev(i) for i in seqs]
+    if not assign_seq:
+        for r in rows:
+            r["replay_seq"] = None
+    return spark.createDataFrame(
+        rows,
+        "event_id string, replay_seq bigint, topic_name string, "
+        "schema_id string, payload string",
+    )
+
+
+def test_batch_write_roundtrip(spark, tmp_path):
+    log = str(tmp_path / "outbox.jsonl")
+    _envelope_df(spark, [1, 2, 3]).write.format("flashfeed").mode("append").option(
+        "path", log
+    ).save()
+    back = spark.read.format("flashfeed").option("path", log).load()
+    assert sorted(r["event_id"] for r in back.collect()) == ["e1", "e2", "e3"]
+    # append mode accumulates
+    _envelope_df(spark, [4]).write.format("flashfeed").mode("append").option(
+        "path", log
+    ).save()
+    assert spark.read.format("flashfeed").option("path", log).load().count() == 4
+    # staging dir is drained after commit
+    assert os.listdir(log + ".staging") == []
+
+
+def test_batch_write_overwrite_truncates(spark, tmp_path):
+    log = str(tmp_path / "outbox2.jsonl")
+    _envelope_df(spark, [1, 2, 3]).write.format("flashfeed").mode("append").option(
+        "path", log
+    ).save()
+    _envelope_df(spark, [9]).write.format("flashfeed").mode("overwrite").option(
+        "path", log
+    ).save()
+    rows = spark.read.format("flashfeed").option("path", log).load().collect()
+    assert [r["event_id"] for r in rows] == ["e9"]
+
+
+def test_write_assigns_replay_seq_when_missing(spark, tmp_path):
+    """The feed (bus) is the replay-id authority: rows written without a
+    replay_seq get the next line numbers, continuing past existing ones."""
+    log = str(tmp_path / "outbox3.jsonl")
+    append_events(log, [_ev(0), _ev(1)])  # lines 0..1 pre-exist
+    _envelope_df(spark, [101, 102], assign_seq=False).coalesce(1).write.format(
+        "flashfeed"
+    ).mode("append").option("path", log).save()
+    back = spark.read.format("flashfeed").option("path", log).load().collect()
+    assigned = sorted(
+        r["replay_seq"] for r in back if r["event_id"] in ("e101", "e102")
+    )
+    assert assigned == [2, 3]
+
+
+def test_stream_writer_epoch_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batchId committed twice — restart
+    between sink-commit and checkpoint-commit) must not double-publish."""
+    log = str(tmp_path / "outbox4.jsonl")
+    writer = _FeedStreamWriter({"path": log})
+
+    def staged(seqs):
+        return [_stage_rows(log, iter([Row(**_ev(i)) for i in seqs]))]
+
+    writer.commit(staged([1, 2]), batchId=0)
+    writer.commit(staged([1, 2]), batchId=0)  # replayed epoch: dropped
+    writer.commit(staged([3]), batchId=1)
+    back = spark.read.format("flashfeed").option("path", log).load().collect()
+    assert sorted(r["event_id"] for r in back) == ["e1", "e2", "e3"]
+    assert os.listdir(log + ".staging") == []  # replayed fragments cleaned too
+
+
+def test_stream_write_end_to_end(spark, tmp_path):
+    """flashfeed→flashfeed relay: readStream from log A, writeStream to
+    log B via the staged streaming writer."""
+    src = str(tmp_path / "feedA.jsonl")
+    dst = str(tmp_path / "feedB.jsonl")
+    ckpt = str(tmp_path / "ckpt_relay")
+    append_events(src, [_ev(i) for i in range(1, 5)])
+    q = (
+        spark.readStream.format("flashfeed")
+        .option("path", src)
+        .option("flow_batch_size", "10")
+        .load()
+        .writeStream.format("flashfeed")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if (
+                os.path.exists(dst)
+                and spark.read.format("flashfeed").option("path", dst).load().count()
+                >= 4
+            ):
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    back = spark.read.format("flashfeed").option("path", dst).load().collect()
+    assert sorted(r["event_id"] for r in back) == ["e1", "e2", "e3", "e4"]
 
 
 def test_flow_batch_size_caps_micro_batches(spark, tmp_path):
