@@ -438,3 +438,108 @@ def q_events_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, schema="event_id bigint, user_id bigint, n_clicks_prior_1h bigint"
         )
     )
+
+
+@query(
+    "q_streaming_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_ms(min(ts))           AS session_start_ms,
+           epoch_ms(max(ts)) + 1800000 AS session_end_ms,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           round(sum(value), 2)        AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed native ``session_window`` aggregation,
+    oracle-checked (the sixth streaming-executed driver row): a real
+    Structured Streaming job runs the gap-based session merge
+    (reference gap semantics: ``q_events_sessionize``'s lag/cumsum
+    twin, but computed by the streaming state store), and the appended
+    sink must equal the batch gaps-and-islands SQL.
+
+    End-of-stream flush: append mode only emits sessions already closed
+    by the watermark, so after the data pass a single far-future
+    SENTINEL event (user_id -1) is appended and the query restarted
+    from its checkpoint — the sentinel advances the global watermark
+    past every real session's end, flushing all state. The restart also
+    re-proves checkpoint recovery on a stateful query.
+
+    Session-boundary parity: Spark merges an event arriving at or
+    before last_ts + gap (closed boundary — pinned by
+    ``test_session_window_gap_boundary_semantics``), so a new session
+    starts only when the gap is STRICTLY greater: the oracle's is_new
+    test is ``> 1800000``, same as ``q_events_sessionize``;
+    ``session_window.end`` is last event + gap, mirrored as
+    ``epoch_ms(max(ts)) + 1800000``.
+
+    Scale shape: state is one merged-window span per (user, open
+    session), shuffled once on user_id, evicted at the watermark — the
+    standard sessionization front of a 100 TB clickstream pipeline."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming.windows import session_windows
+
+    batch = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    workdir = tempfile.mkdtemp(prefix="flash_sess_")
+    try:
+        src = f"{workdir}/src"
+        out = f"{workdir}/out"
+        batch.write.parquet(src)
+
+        def run_pass() -> None:
+            stream = spark.readStream.schema(batch.schema).parquet(src)
+            sessions = session_windows(stream, gap="30 minutes", watermark="30 minutes")
+            q = (
+                sessions.select(
+                    "user_id",
+                    F.unix_millis("session_start").alias("session_start_ms"),
+                    F.unix_millis("session_end").alias("session_end_ms"),
+                    "n_events",
+                    F.round("session_value", 2).alias("session_value"),
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", f"{workdir}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run_pass()  # pass 1: all real events
+        # pass 2: sentinel advances the watermark past every session end
+        max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts, 0.0)], "user_id bigint, ts timestamp, value double"
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+        sentinel.write.mode("append").parquet(src)
+        run_pass()
+
+        rows = (
+            spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, session_start_ms bigint, session_end_ms bigint, "
+        "n_events bigint, session_value double",
+    )

@@ -312,3 +312,62 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 6).alias("min_v"),
         F.round(F.max("x"), 6).alias("max_v"),
     )
+
+
+@query(
+    "q_text_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, tok
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(coalesce(text, ''), ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok
+    ),
+    total AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(-log2(v.tf / total.n)) / count(*), 4)
+               AS mean_surprisal_bits
+    FROM tok t JOIN vocab v USING (tok) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: a corpus-trained unigram LM
+    scores each document by mean token surprisal (−log2 p) in bits —
+    the cheap stand-in for model-based perplexity filtering that
+    curation pipelines use to drop gibberish (high surprisal) and
+    boilerplate (low surprisal) before training.
+
+    Scale shape: one shuffle to build the vocabulary (token → corpus
+    frequency), one shuffled hash join to score tokens against it (the
+    vocab of a 100 TB corpus does not broadcast), one shuffle for the
+    per-document mean; the corpus token total rides a 1-row broadcast
+    cross join (the TF-IDF ``N`` pattern) — no separate count scan, no
+    Python UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("n"))
+    return (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(-F.log2(F.col("tf") / F.col("n"))) / F.count(F.lit(1)), 4
+            ).alias("mean_surprisal_bits"),
+        )
+    )

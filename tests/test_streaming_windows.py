@@ -158,3 +158,39 @@ def test_continuous_rollup_matches_batch_and_is_idempotent(spark, events_stream,
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == expected
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Pin the merge boundary q_streaming_session_windows' oracle relies
+    on: the boundary is CLOSED — an event arriving exactly gap after the
+    previous one still merges; only a strictly larger gap splits. The
+    oracle's is_new test must therefore be ``> gap``, not ``>=``.
+    Session end = last event + gap."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:30:00", 1.0),      # exactly 30 min: merges
+        (1, "2024-01-01 01:00:00.001", 1.0),  # 30 min + 1 ms: NEW
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id bigint, ts string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_millis("s.start").alias("start_ms"),
+            F.unix_millis("s.end").alias("end_ms"),
+            "n",
+        )
+        .orderBy("user_id", "start_ms")
+        .collect()
+    )
+    base = 1704067200000  # 2024-01-01 00:00:00 UTC
+    assert [tuple(r) for r in got] == [
+        (1, base, base + 1800000 + 1800000, 2),  # exact-gap event merged
+        (1, base + 3600001, base + 3600001 + 1800000, 1),  # >gap: split
+        (2, base, base + 1800000, 1),
+    ]
