@@ -1,0 +1,138 @@
+"""Table-maintenance operators: small-file compaction + cluster-by
+layout rewrite.
+
+At 100 TB the physical layout IS the index: a streaming/CDC ingest path
+(micro-batch appends, `q_streaming_rollup`-style partition overwrites)
+leaves thousands of KB-sized parquet files per partition, and scan cost
+becomes file-open cost — the classic small-file problem. Periodic
+compaction rewrites each table to ~`target_file_mb` files; an optional
+``cluster_by`` sorts rows so each output file covers a narrow,
+non-overlapping key range, which turns parquet footer min/max stats
+into an effective file-skipping index for point/range predicates.
+
+Mechanism (one shuffle, fully distributed):
+
+- ``repartitionByRange(n, partition_cols + cluster_by)`` both balances
+  output file sizes (range partitioner samples the key distribution)
+  and makes cluster-key ranges disjoint across files;
+- ``sortWithinPartitions`` finishes the clustering inside each file so
+  min/max stats are tight per row group too;
+- the rewrite lands in a sibling temp directory and is swapped in with
+  two directory renames — readers see either the old or the new layout,
+  never a partial one. (On a real deployment this is the table-format
+  commit — Iceberg/Delta snapshot swap; plain parquet directories get
+  the rename dance.)
+
+Driver-side metadata scan: sizing walks the directory tree on the
+driver — that is a *metadata* operation (at scale it reads the table
+manifest, not the data) and stays O(#files), never O(rows).
+
+Reference parity: the reference has no storage layer at all (it streams
+per-event rows into Postgres, ``app/services/processor.py``); this is
+north-star scale tooling, not a ported operator.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionStats:
+    files_before: int
+    files_after: int
+    bytes_total: int
+    rows: int
+
+
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def plan_compaction(path: str, target_file_mb: float = 128) -> dict:
+    """Metadata-only sizing pass: current file census and the target
+    output file count ``ceil(total_bytes / target)`` (≥ 1). Fractional
+    ``target_file_mb`` is allowed (test-scale fixtures are < 1 MB)."""
+    files = _data_files(path)
+    total = sum(os.path.getsize(f) for f in files)
+    target_bytes = max(1, int(target_file_mb * 1024 * 1024))
+    return {
+        "files": len(files),
+        "bytes": total,
+        "target_files": max(1, math.ceil(total / target_bytes)),
+    }
+
+
+def compact_parquet_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: float = 128,
+    partition_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+) -> CompactionStats:
+    """Rewrite a parquet table to ~``target_file_mb`` files, optionally
+    hive-partitioned by ``partition_cols`` and clustered on
+    ``cluster_by`` (disjoint per-file key ranges). Atomic swap."""
+    plan = plan_compaction(path, target_file_mb)
+    df = spark.read.parquet(path)
+    rows = df.count()
+
+    range_cols = (partition_cols or []) + (cluster_by or [])
+    if range_cols:
+        shaped = df.repartitionByRange(plan["target_files"], *range_cols)
+        if cluster_by:
+            shaped = shaped.sortWithinPartitions(*range_cols)
+    else:
+        shaped = df.repartition(plan["target_files"])
+
+    tmp = f"{path}.compact-{uuid.uuid4().hex}"
+    writer = shaped.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+
+    old = f"{path}.pre-compact-{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+    return CompactionStats(
+        files_before=plan["files"],
+        files_after=len(_data_files(path)),
+        bytes_total=plan["bytes"],
+        rows=rows,
+    )
+
+
+def file_key_ranges(path: str, column: str) -> list[tuple]:
+    """Per-data-file (min, max) of ``column`` straight from the parquet
+    footer statistics — the metadata a scan's file-skipping consults.
+    Driver-side, O(#files)."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(_data_files(path)):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            spans.append((lo, hi))
+    return spans
