@@ -146,3 +146,39 @@ def test_asof_fixture_has_no_user_ts_duplicates(spark, sf_dir):
             .collect()
         )
         assert not dup, f"(user_id, ts) duplicate in {sf}: {dup}"
+
+
+def test_unigram_surprisal_null_and_empty_text(spark, tmp_path):
+    """NULL-text and empty-text documents must fall out of the unigram
+    LM identically on both engines (zero tokens after the ''-filter →
+    no output row, and they contribute nothing to the vocabulary), and
+    a tiny hand-computed corpus pins the surprisal math."""
+    import math
+
+    rows = [
+        (1, "web", "a a b"),
+        (2, "web", None),
+        (3, "web", ""),
+        (4, "books", "a c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    r = compare("q_text_unigram_surprisal", spark, str(tmp_path), con)
+    assert r["ok"], r
+
+    from flash_cdc_spark.queries import QUERIES
+
+    got = {
+        row["doc_id"]: (row["n_tokens"], row["mean_surprisal_bits"])
+        for row in QUERIES["q_text_unigram_surprisal"](spark, str(tmp_path)).collect()
+    }
+    # vocab: a×3, b×1, c×1, N=5
+    s_a, s_b = -math.log2(3 / 5), -math.log2(1 / 5)
+    assert set(got) == {1, 4}  # NULL/empty docs produce no row
+    assert got[1] == (3, round((2 * s_a + s_b) / 3, 4))
+    assert got[4] == (2, round((s_a + s_b) / 2, 4))

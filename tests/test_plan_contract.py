@@ -79,3 +79,21 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     p = _plan(QUERIES["q_events_range_join"](spark, sf_dir))
     assert "NestedLoop" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_unigram_surprisal_plan_shape(spark, sf_dir):
+    """q_text_unigram_surprisal scale invariants: the corpus token
+    total rides a 1-row broadcast nested-loop (never a shuffled join or
+    a CartesianProduct), the vocabulary is built with a partial
+    (map-side) aggregate before its shuffle, and no Python UDF appears
+    anywhere. The tok↔vocab join strategy itself is deliberately left
+    to the planner: at fixture scale the vocab is tiny and a broadcast
+    is the RIGHT plan; at 100 TB size estimates make it a shuffled
+    join — pinning either would wrongly freeze a scale-dependent
+    choice."""
+    p = _plan(QUERIES["q_text_unigram_surprisal"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(") >= 2  # vocab + doc agg shuffles
+    assert "HashAggregate" in p and "partial_count" in p  # map-side combine
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
