@@ -132,3 +132,38 @@ def test_spark_python_avro_decode_no_jar_needed(spark):
     }
     assert got["evt-3"] == ("Opportunity", ["r3_0", "r3_1"], 1_700_000_000_003)
     assert len(got) == 5
+
+
+# --- property-based fuzz: encode∘decode == identity over the full
+# value domain (int64 edges, NaN-free doubles, unicode incl.
+# surrogate-free astral chars, nested arrays/maps, null unions) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FUZZ_SCHEMA = AC.parse_schema(json.dumps({
+    "type": "record", "name": "Fz", "fields": [
+        {"name": "n", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "kv", "type": {"type": "map", "values": ["null", "string"]}},
+    ]}))
+
+_text = st.text(alphabet=st.characters(codec="utf-8"), max_size=40)
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    s=st.one_of(st.none(), _text),
+    d=st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+    b=st.booleans(),
+    raw=st.binary(max_size=64),
+    xs=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=8),
+    kv=st.dictionaries(_text, st.one_of(st.none(), _text), max_size=6),
+)
+def test_fuzz_roundtrip_identity(n, s, d, b, raw, xs, kv):
+    v = {"n": n, "s": s, "d": d, "b": b, "raw": raw, "xs": xs, "kv": kv}
+    assert AC.decode(_FUZZ_SCHEMA, AC.encode(_FUZZ_SCHEMA, v)) == v
