@@ -37,6 +37,7 @@ __all__ = [
     "cap_bucket_width",
     "SIMHASH_MAX_BUCKET_WIDTH",
     "minhash_candidate_pairs",
+    "incremental_candidate_pairs",
     "jaccard_verified_pairs",
     "simhash_signatures",
     "simhash_candidate_pairs",
@@ -191,6 +192,54 @@ def minhash_candidate_pairs(
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def incremental_candidate_pairs(
+    index_banded: DataFrame,
+    incoming_banded: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """Probe-side LSH: collide NEW documents' band hashes against an
+    existing banded corpus index WITHOUT self-joining the corpus — the
+    nightly-ingest shape of near-dup detection. Signatures are computed
+    only for the incoming slice; the corpus index is read as-is, never
+    recomputed (at 100 TB it is yesterday's persisted band table).
+
+    Scale: persist the index bucketed on the band-collision key (see
+    ``tests/test_bucketing.py``'s zero-Exchange SMJ) and the probe
+    shuffles ONLY the incoming slice — cost proportional to the daily
+    delta, not the corpus. ``max_bucket_width`` caps INDEX-side
+    mega-buckets (boilerplate cliques), same hazard and same cap as the
+    batch path; an incoming doc colliding with a dropped mega-bucket is
+    near-exact boilerplate and belongs to the signature-identity path.
+    """
+
+    def stack(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[F.col(f"band_{b}") for b in range(bands)])
+            ).alias("band_idx", "band_hash"),
+        )
+
+    idx = stack(index_banded)
+    if max_bucket_width is not None:
+        idx = cap_bucket_width(idx, ["band_idx", "band_hash"], max_bucket_width)
+    inc = stack(incoming_banded)
+    return (
+        idx.alias("l")
+        .join(
+            inc.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
         .distinct()
     )
 

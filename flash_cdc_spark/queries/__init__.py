@@ -75,6 +75,7 @@ from flash_cdc_spark.queries import llm_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import events_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import multimodal_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import llm_ext2  # noqa: E402,F401
+from flash_cdc_spark.queries import neardup_ext  # noqa: E402,F401
 
 # Per-round canary rotation (ADVICE r2): the driver re-checks only the
 # first 50 registered queries, so each round a fresh subset of the

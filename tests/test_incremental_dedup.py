@@ -1,0 +1,56 @@
+"""Incremental LSH probe (``incremental_candidate_pairs``): the
+nightly-ingest read path must agree with the full batch pairwise path
+on the pairs both can see, and never emit an index×index pair."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.operators.dedup import (
+    incremental_candidate_pairs,
+    minhash_bands,
+    minhash_candidate_pairs,
+    minhash_signature,
+    shingle_values,
+    shingles_col,
+    tokens_col,
+)
+from flash_cdc_spark.tables import load_table
+
+
+def _banded(docs):
+    vals = docs.withColumn("vals", shingle_values(F.col("shingles")))
+    sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
+    return sig.select("doc_id", *minhash_bands(k=16, bands=4))
+
+
+def test_incremental_probe_equals_cross_slice_batch_pairs(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+
+    inc_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_candidate_pairs(
+            _banded(corpus), _banded(incoming), bands=4
+        ).collect()
+    }
+    # every pair is cross-slice, oriented (corpus, incoming)
+    assert all(a % 10 != 0 and b % 10 == 0 for a, b in inc_pairs)
+
+    # the full batch self-join over ALL docs, restricted to cross-slice
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(_banded(docs), bands=4).collect()
+    }
+    batch_cross = {
+        (a, b) if b % 10 == 0 else (b, a)
+        for a, b in batch_pairs
+        if (a % 10 == 0) != (b % 10 == 0)
+    }
+    assert inc_pairs == batch_cross
+    assert len(inc_pairs) > 0  # non-vacuous at fixture scale
