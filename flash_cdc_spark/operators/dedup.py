@@ -34,6 +34,7 @@ __all__ = [
     "shingles_col",
     "minhash_signature",
     "minhash_bands",
+    "banded_minhash",
     "cap_bucket_width",
     "SIMHASH_MAX_BUCKET_WIDTH",
     "minhash_candidate_pairs",
@@ -161,6 +162,32 @@ def cap_bucket_width(
     )
 
 
+def banded_minhash(
+    doc_shingles: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingles_col_name: str = "shingles",
+) -> DataFrame:
+    """Shingles → MinHash(k) signature → band hashes, the one shared
+    pipeline every LSH path (batch self-join, incremental probe, tests)
+    must agree on — change banding here, nowhere else."""
+    vals = doc_shingles.withColumn("vals", shingle_values(F.col(shingles_col_name)))
+    sig = vals.select(F.col(id_col), *minhash_signature(F.col("vals"), k=k))
+    return sig.select(F.col(id_col), *minhash_bands(k=k, bands=bands))
+
+
+def _stack_bands(banded: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band_0..band_{n-1}) → (id, band_idx, band_hash) long form —
+    the shuffle-key layout both candidate-pair joins collide on."""
+    return banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
 def minhash_candidate_pairs(
     banded: DataFrame,
     id_col: str = "doc_id",
@@ -174,12 +201,7 @@ def minhash_candidate_pairs(
     hazard — pass ``max_bucket_width`` to drop them before the self-join
     (see :func:`cap_bucket_width`); AQE skew-join only smooths moderate
     skew."""
-    stacked = banded.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "band_idx", "band_hash"
-        ),
-    )
+    stacked = _stack_bands(banded, id_col, bands)
     if max_bucket_width is not None:
         stacked = cap_bucket_width(stacked, ["band_idx", "band_hash"], max_bucket_width)
     left = stacked.alias("l")
@@ -216,26 +238,20 @@ def incremental_candidate_pairs(
     mega-buckets (boilerplate cliques), same hazard and same cap as the
     batch path; an incoming doc colliding with a dropped mega-bucket is
     near-exact boilerplate and belongs to the signature-identity path.
-    """
 
-    def stack(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.posexplode(
-                F.array(*[F.col(f"band_{b}") for b in range(bands)])
-            ).alias("band_idx", "band_hash"),
-        )
-
-    idx = stack(index_banded)
+    A doc present on BOTH sides (a re-ingested update keeping its id)
+    never pairs with itself: the join excludes id equality."""
+    idx = _stack_bands(index_banded, id_col, bands)
     if max_bucket_width is not None:
         idx = cap_bucket_width(idx, ["band_idx", "band_hash"], max_bucket_width)
-    inc = stack(incoming_banded)
+    inc = _stack_bands(incoming_banded, id_col, bands)
     return (
         idx.alias("l")
         .join(
             inc.alias("r"),
             (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash")),
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")

@@ -18,10 +18,12 @@ Mechanism (one shuffle, fully distributed):
 - ``sortWithinPartitions`` finishes the clustering inside each file so
   min/max stats are tight per row group too;
 - the rewrite lands in a sibling temp directory and is swapped in with
-  two directory renames — readers see either the old or the new layout,
-  never a partial one. (On a real deployment this is the table-format
-  commit — Iceberg/Delta snapshot swap; plain parquet directories get
-  the rename dance.)
+  two directory renames. Readers never see a PARTIAL layout, but the
+  swap is not atomic: between the renames the path is briefly absent
+  (a concurrent reader would error and retry), and a failed second
+  rename is rolled back so the table is never left missing. True
+  either-or atomicity needs a table format's snapshot commit
+  (Iceberg/Delta); plain parquet directories get the rename dance.
 
 Driver-side metadata scan: sizing walks the directory tree on the
 driver — that is a *metadata* operation (at scale it reads the table
@@ -86,7 +88,6 @@ def compact_parquet_table(
     ``cluster_by`` (disjoint per-file key ranges). Atomic swap."""
     plan = plan_compaction(path, target_file_mb)
     df = spark.read.parquet(path)
-    rows = df.count()
 
     range_cols = (partition_cols or []) + (cluster_by or [])
     if range_cols:
@@ -101,10 +102,17 @@ def compact_parquet_table(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
+    # row count from the COMPACTED layout (the cheap one to scan) —
+    # never a second pass over the fragmented input
+    rows = spark.read.parquet(tmp).count()
 
     old = f"{path}.pre-compact-{uuid.uuid4().hex}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # restore; the table is never left missing
+        raise
     shutil.rmtree(old, ignore_errors=True)
 
     return CompactionStats(
@@ -131,6 +139,8 @@ def file_key_ranges(path: str, column: str) -> list[tuple]:
                 col = row_group.column(ci)
                 if col.path_in_schema == column and col.statistics is not None:
                     s = col.statistics
+                    if not s.has_min_max:  # writer omitted stats (e.g. big binary)
+                        continue
                     lo = s.min if lo is None else min(lo, s.min)
                     hi = s.max if hi is None else max(hi, s.max)
         if lo is not None:

@@ -522,7 +522,9 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()  # never rmtree under a live query
+                raise TimeoutError("session-window streaming pass exceeded 300s")
 
         run_pass()  # pass 1: all real events
         # pass 2: sentinel advances the watermark past every session end

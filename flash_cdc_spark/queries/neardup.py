@@ -15,6 +15,7 @@ from flash_cdc_spark.operators import multimodal as MM
 from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.operators.dedup import (
     SIMHASH_MAX_BUCKET_WIDTH,
+    banded_minhash,
     jaccard_verified_pairs,
     minhash_bands,
     minhash_candidate_pairs,
@@ -102,9 +103,7 @@ def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     docs = d.select(
         "doc_id", shingles_col(tokens_col("text"), n=n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    vals = docs.withColumn("vals", shingle_values(F.col("shingles")))
-    sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
-    banded = sig.select("doc_id", *minhash_bands(k=16, bands=4))
+    banded = banded_minhash(docs, k=16, bands=4)
     cands = minhash_candidate_pairs(
         banded, bands=4, max_bucket_width=LSH_MAX_BUCKET_WIDTH
     )

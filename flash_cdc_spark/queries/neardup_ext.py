@@ -16,11 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators.dedup import (
+    banded_minhash,
     incremental_candidate_pairs,
     jaccard_verified_pairs,
-    minhash_bands,
-    minhash_signature,
-    shingle_values,
     shingles_col,
     tokens_col,
 )
@@ -98,16 +96,11 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
-    def banded(side: DataFrame) -> DataFrame:
-        vals = side.withColumn("vals", shingle_values(F.col("shingles")))
-        sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
-        return sig.select("doc_id", *minhash_bands(k=16, bands=4))
-
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     cands = incremental_candidate_pairs(
-        banded(corpus),
-        banded(incoming),
+        banded_minhash(corpus, k=16, bands=4),
+        banded_minhash(incoming, k=16, bands=4),
         bands=4,
         max_bucket_width=LSH_MAX_BUCKET_WIDTH,
     )

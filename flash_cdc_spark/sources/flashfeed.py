@@ -29,8 +29,10 @@ executors, append on the driver), the driver's ``commit`` concatenates
 them onto the feed log in one pass and assigns ``replay_seq`` for rows
 that arrive without one (the bus, not the producer, owns replay ids).
 The streaming variant keeps a committed-epoch sidecar so a replayed
-``foreachBatch`` epoch is skipped instead of double-published
-(idempotent commit = the reference's dedupe-on-replay-id contract).
+micro-batch epoch is skipped instead of double-published (idempotent
+commit = the reference's dedupe-on-replay-id contract; see
+``_FeedStreamWriter`` for the one crash window where delivery degrades
+to at-least-once, matching the reference bus).
 
 Scale note: a Python data source runs its reader in Python workers —
 right for a control-plane-bounded CDC feed (the reference's own ceiling
@@ -161,12 +163,30 @@ def _append_staged(path: str, messages, truncate: bool = False) -> int:
     next_seq = 0
     if not truncate and os.path.exists(path):
         with open(path, encoding="utf-8") as fh:
-            next_seq = sum(1 for line in fh if line.strip())
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                next_seq += 1
+                seq = json.loads(line).get("replay_seq")
+                # never re-issue an id a producer already used explicitly
+                if seq is not None and seq + 1 > next_seq:
+                    next_seq = seq + 1
+    missing = [
+        m.staged_path
+        for m in messages
+        if m is not None and not os.path.exists(m.staged_path)
+    ]
+    if missing:
+        # a vanished fragment means a task staged rows we cannot publish;
+        # committing anyway would be silent data loss (and in overwrite
+        # mode would destroy the existing log with nothing to replace it)
+        raise RuntimeError(f"staged fragment(s) missing at commit: {missing}")
     appended = 0
     with open(path, "w" if truncate else "a", encoding="utf-8") as out:
         for msg in messages:
-            if msg is None or not os.path.exists(msg.staged_path):
-                continue
+            if msg is None:
+                continue  # user skipped / Spark passed a hole; nothing staged
             with open(msg.staged_path, encoding="utf-8") as fh:
                 for line in fh:
                     line = line.strip()
@@ -207,8 +227,16 @@ class _FeedStreamWriter(DataSourceStreamWriter):
     """Epoch-idempotent streaming outbox: ``commit`` records each
     published micro-batch id in a sidecar; a replayed epoch (restart
     between sink-commit and checkpoint-commit) is dropped instead of
-    double-published — at-least-once upstream becomes exactly-once in
-    the log, the reference's replay-id dedupe contract."""
+    double-published.
+
+    Honest contract: the log append and the sidecar record are two
+    writes, so a crash INSIDE commit (after the append, before the
+    record) re-publishes that one epoch on replay — at-least-once in
+    that narrow window, exactly-once everywhere else. That is precisely
+    the reference's bus contract (at-least-once delivery, consumers
+    dedupe on replay id / event_id); a single-file commit-marker log
+    would close the window at the cost of a tail-truncating recovery
+    pass in the reader."""
 
     def __init__(self, options):
         self._path = options.get("path")

@@ -209,3 +209,38 @@ def test_flow_batch_size_caps_micro_batches(spark, tmp_path):
     assert len(batches_with_rows) >= 3  # 7 events / cap 3
     for p in batches_with_rows:
         assert p["numInputRows"] <= 3
+
+
+def test_commit_raises_on_missing_fragment_and_preserves_log(spark, tmp_path):
+    """A vanished staged fragment must fail the commit loudly — and in
+    overwrite mode must NOT have truncated the existing log first."""
+    from flash_cdc_spark.sources.flashfeed import _append_staged, _StagedCommit
+
+    log = str(tmp_path / "feed5.jsonl")
+    append_events(log, [_ev(1)])
+    with pytest.raises(RuntimeError, match="missing"):
+        _append_staged(
+            log,
+            [_StagedCommit(staged_path=str(tmp_path / "gone.jsonl"), rows=1)],
+            truncate=True,
+        )
+    assert spark.read.format("flashfeed").option("path", log).load().count() == 1
+
+
+def test_assigned_replay_seq_skips_explicit_producer_ids(spark, tmp_path):
+    """Bus-assigned ids continue past the max EXPLICIT replay_seq in the
+    log, not just the line count — mixed batches stay collision-free."""
+    import json as _json
+
+    from flash_cdc_spark.sources.flashfeed import _append_staged, _StagedCommit
+
+    log = str(tmp_path / "feed6.jsonl")
+    append_events(log, [_ev(0), _ev(40)])  # explicit ids 0 and 40, 2 lines
+    frag = tmp_path / "frag.jsonl"
+    ev = _ev(0)
+    ev["event_id"], ev["replay_seq"] = "assigned", None
+    frag.write_text(_json.dumps(ev) + "\n")
+    _append_staged(log, [_StagedCommit(staged_path=str(frag), rows=1)])
+    rows = spark.read.format("flashfeed").option("path", log).load().collect()
+    got = {r["event_id"]: r["replay_seq"] for r in rows}
+    assert got["assigned"] == 41, got

@@ -7,11 +7,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators.dedup import (
+    banded_minhash,
     incremental_candidate_pairs,
-    minhash_bands,
     minhash_candidate_pairs,
-    minhash_signature,
-    shingle_values,
     shingles_col,
     tokens_col,
 )
@@ -19,9 +17,7 @@ from flash_cdc_spark.tables import load_table
 
 
 def _banded(docs):
-    vals = docs.withColumn("vals", shingle_values(F.col("shingles")))
-    sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
-    return sig.select("doc_id", *minhash_bands(k=16, bands=4))
+    return banded_minhash(docs, k=16, bands=4)
 
 
 def test_incremental_probe_equals_cross_slice_batch_pairs(spark, sf_dir):
@@ -54,3 +50,17 @@ def test_incremental_probe_equals_cross_slice_batch_pairs(spark, sf_dir):
     }
     assert inc_pairs == batch_cross
     assert len(inc_pairs) > 0  # non-vacuous at fixture scale
+
+
+def test_reingested_doc_never_pairs_with_itself(spark):
+    """A doc present in BOTH the index and the incoming slice (an
+    update keeping its id) must not emit the degenerate (x, x) pair."""
+    docs = spark.createDataFrame(
+        [
+            (7, "alpha beta gamma delta epsilon zeta"),
+            (8, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles"))
+    pairs = incremental_candidate_pairs(_banded(docs), _banded(docs), bands=4).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in pairs)
