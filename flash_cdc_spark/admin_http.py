@@ -96,7 +96,9 @@ class _Handler(BaseHTTPRequestHandler):
             r = row[0]
             config = PipelineConfig(
                 id=r["id"], name=r["client_name"], topic=r["topic_name"],
-                webhook_url=r["webhook_url"], instance_url="",
+                webhook_url=r["webhook_url"],
+                # older config tables predate the instance_url column
+                instance_url=(r["instance_url"] if "instance_url" in r.__fields__ else "") or "",
                 source_path=r["source_path"], checkpoint_root=r["checkpoint_root"],
                 flow_batch_size=r["flow_batch_size"], is_active=r["is_active"],
                 offsets_path=r["offsets_path"],

@@ -56,6 +56,7 @@ class AdminService:
                     config.name,
                     config.topic,
                     config.webhook_url,
+                    config.instance_url,
                     "password",
                     "user@example.com",
                     "secret",
@@ -68,6 +69,7 @@ class AdminService:
                 )
             ],
             "id long, client_name string, topic_name string, webhook_url string,"
+            "instance_url string,"
             "oauth_grant_type string, oauth_username string, oauth_password string,"
             "pubsub_host string, flow_batch_size int, is_active boolean,"
             "source_path string, checkpoint_root string, offsets_path string",

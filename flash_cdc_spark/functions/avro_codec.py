@@ -112,15 +112,24 @@ def _type_name(schema: Any) -> str:
 
 
 def _union_branch(schema: list, value: Any) -> int:
-    """Pick the union branch for a Python value (null vs first
-    structurally-compatible branch — sufficient for the nullable-field
-    unions change-event schemas use)."""
-    for i, b in enumerate(schema):
-        if _type_name(b) == "null" and value is None:
-            return i
-    for i, b in enumerate(schema):
-        if _type_name(b) != "null" and value is not None:
-            return i
+    """Pick the union branch for a Python value. Only NULLABLE unions
+    (null + exactly one other branch) are supported — the shape every
+    change-event schema uses. A wider union is rejected loudly: picking
+    'first non-null branch' would silently re-type the value (e.g. a
+    long written through the string branch of ["null","string","long"])
+    and corrupt data instead of erroring."""
+    non_null = [i for i, b in enumerate(schema) if _type_name(b) != "null"]
+    if len(non_null) > 1:
+        raise ValueError(
+            f"unsupported multi-branch union {schema!r}: only nullable "
+            "unions (null + one type) are implemented"
+        )
+    if value is None:
+        for i, b in enumerate(schema):
+            if _type_name(b) == "null":
+                return i
+    elif non_null:
+        return non_null[0]
     raise ValueError(f"no union branch for {value!r} in {schema!r}")
 
 

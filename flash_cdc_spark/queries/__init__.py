@@ -81,11 +81,12 @@ from flash_cdc_spark.queries import neardup_ext  # noqa: E402,F401
 # first 50 registered queries, so each round a fresh subset of the
 # long-green TPC-H-style batch queries rotates into the window tail.
 # Rotation history lives in COVERAGE.md. Edit this list once per round.
-# r3 note: three NEW oracle-backed queries entered the window
-# (q_multimodal_decode_features un-deferred, q_events_sketch_accuracy,
-# q_dedup_simhash64_pairs), so the canary allocation shrinks to the two
-# remaining slots — fresh-operator driver evidence outranks a repeat
-# check of an untouched r1-green batch query.
+# r3 note: six NEW oracle-backed queries entered the window
+# (q_envelope_decode_avro, q_dedup_simhash64_pairs,
+# q_multimodal_image_decode, q_multimodal_decode_features un-deferred,
+# q_events_sketch_accuracy, q_streaming_dedup_watermark), so the canary
+# allocation shrinks to the two remaining slots — fresh-operator driver
+# evidence outranks a repeat check of an untouched r1-green batch query.
 CANARIES: list[str] = [
     "q03_shipping_priority",
     "q10_returned_items",

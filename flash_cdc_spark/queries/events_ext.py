@@ -199,7 +199,9 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()  # never read a partial sink / rmtree under a live query
+            raise TimeoutError("streaming pass exceeded 300s")
         rows = spark.read.parquet(f"{workdir}/out").collect()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -259,7 +261,9 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()  # never read a partial sink / rmtree under a live query
+            raise TimeoutError("streaming pass exceeded 300s")
         w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
         rows = (
             spark.read.parquet(out)

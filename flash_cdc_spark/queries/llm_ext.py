@@ -217,6 +217,7 @@ def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to computing the same nprobe=1 search inline (the oracle
     trains the identical quantizer via unrolled CTEs); only the access
     path differs — pruned scan vs full scan."""
+    import shutil
     import tempfile
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -227,43 +228,56 @@ def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
     )
     layout = tempfile.mkdtemp(prefix="flash_ivf_layout_")
-    corpus.write.partitionBy("cell").mode("overwrite").parquet(layout)
-    probe_cells = sorted(
-        r["cell"]
-        for r in corpus.filter(F.col("vec_id").between(10, 19))
-        .select("cell")
-        .distinct()
-        .collect()
-    )
-    pruned = spark.read.parquet(layout).filter(F.col("cell").isin(probe_cells))
-    probes = pruned.filter(F.col("vec_id").between(10, 19)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("cell").alias("qcell"),
-    )
-    pairs = pruned.join(
-        F.broadcast(probes),
-        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("cell").cast("int").alias("cell"),
-        F.round(
-            SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cell",
-            "cosine",
-            F.col("rk").cast("int").alias("rk"),
+    try:
+        corpus.write.partitionBy("cell").mode("overwrite").parquet(layout)
+        probe_cells = sorted(
+            r["cell"]
+            for r in corpus.filter(F.col("vec_id").between(10, 19))
+            .select("cell")
+            .distinct()
+            .collect()
         )
+        pruned = spark.read.parquet(layout).filter(F.col("cell").isin(probe_cells))
+        probes = pruned.filter(F.col("vec_id").between(10, 19)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cell").alias("qcell"),
+        )
+        pairs = pruned.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.round(
+                SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        # materialize through the pruned scan BEFORE the layout dir is
+        # removed (the lazy plan would otherwise read deleted files —
+        # and leaving the dir behind leaked a corpus copy per call)
+        rows = (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cell",
+                "cosine",
+                F.col("rk").cast("int").alias("rk"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "query_id bigint, neighbor_id bigint, cell int, cosine double, rk int",
     )
 
 

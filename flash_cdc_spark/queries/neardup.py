@@ -234,7 +234,7 @@ def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, simhash, CAST(b AS INT) AS byte_idx,
                (simhash // CAST(power(2, 8 * b) AS BIGINT)) % 256 AS byte_val
         FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS b)
-        QUALIFY count(*) OVER (PARTITION BY byte_idx, byte_val) <= 1000
+        QUALIFY count(*) OVER (PARTITION BY byte_idx, byte_val) <= {cap}
     ),
     scand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -246,7 +246,7 @@ def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
     FROM scand
     WHERE bit_count(xor(sim_a, sim_b)) <= 3
-    """,
+    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH),
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-banding (pigeonhole for Hamming ≤ 3
@@ -302,7 +302,7 @@ _DUCK_SIMHASH64_SIG = """
                    ELSE sim_hi >> 16
                END AS band_val
         FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS b)
-        QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {cap}
     ),
     scand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -315,7 +315,7 @@ _DUCK_SIMHASH64_SIG = """
            CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS INT) AS hamming
     FROM scand
     WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) <= 3
-    """,
+    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH),
 )
 def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs with 16-bit bands — the structural
@@ -762,7 +762,7 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, simhash, CAST(b AS INT) AS byte_idx,
                (simhash // CAST(power(2, 8 * b) AS BIGINT)) % 256 AS byte_val
         FROM sgrp CROSS JOIN (SELECT unnest(range(4)) AS b)
-        QUALIFY count(*) OVER (PARTITION BY byte_idx, byte_val) <= 1000
+        QUALIFY count(*) OVER (PARTITION BY byte_idx, byte_val) <= {cap}
     ),
     pairs AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -798,7 +798,7 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM labeled
     GROUP BY cluster_id
     HAVING sum(n) > 1
-    """,
+    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup *clusters*: SimHash near-dup pairs (Hamming ≤ 3) →

@@ -24,6 +24,7 @@ as a ``when`` chain over ``schema_id`` — no repartitioning by schema.
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass, field
 
 import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve module-globally
@@ -66,11 +67,23 @@ class SchemaRegistry:
         return self.schemas[schema_id]
 
 
+@_functools.lru_cache(maxsize=64)
+def _parsed_schema_cached(avro_json: str):
+    """Per-process memo of parsed Avro schemas (importable on workers,
+    unlike a driver-side closure object)."""
+    from flash_cdc_spark.functions import avro_codec
+
+    return avro_codec.parse_schema(avro_json)
+
+
 def _python_avro_to_json_udf(avro_json: str):
     """Arrow-batched decoder: Avro binary → JSON string (bridged back
     into the typed struct with ``from_json`` so the output schema stays
-    the registry's StructType either way). The schema parses once per
-    executor UDF instantiation, not per row."""
+    the registry's StructType either way). The parsed schema is cached
+    per worker process (not re-parsed per Arrow batch, let alone per
+    row) — ``_dec`` runs once per batch, so the parse must live outside
+    it; a closure-hoisted parse would also work but could not be
+    pickled lazily, hence the module-level memo."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -79,7 +92,7 @@ def _python_avro_to_json_udf(avro_json: str):
 
         from flash_cdc_spark.functions import avro_codec
 
-        sch = avro_codec.parse_schema(avro_json)
+        sch = _parsed_schema_cached(avro_json)
         return payload.map(
             lambda b: None if b is None else _json.dumps(avro_codec.decode(sch, bytes(b)))
         )
@@ -99,7 +112,7 @@ def python_json_to_avro_udf(avro_json: str):
 
         from flash_cdc_spark.functions import avro_codec
 
-        sch = avro_codec.parse_schema(avro_json)
+        sch = _parsed_schema_cached(avro_json)
         return js.map(
             lambda s: None if s is None else avro_codec.encode(sch, _json.loads(s))
         )
@@ -129,6 +142,12 @@ def decode_envelope(
     """
     if not registry.schemas:
         raise ValueError("empty schema registry")
+
+    if use_avro not in (False, True, "jvm", "python"):
+        raise ValueError(
+            f"use_avro={use_avro!r}: expected False (JSON), 'python', "
+            "or True/'jvm' (spark-avro)"
+        )
 
     def _branch(schema_id: str) -> Column:
         schema = registry.get(schema_id)

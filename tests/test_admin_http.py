@@ -76,6 +76,10 @@ def test_admin_http_routes_end_to_end(spark, tmp_path, capture):
         mgr.wait(1, timeout_s=120)
         with capture.lock:
             assert [r["data"][0]["Id"] for r in capture.requests] == ["w1"]
+            # the restarted pipeline must deliver the CONFIGURED
+            # instance url, not a blank (the persisted config table
+            # carries instance_url since r3)
+            assert capture.requests[0]["data"][0]["instanceUrl"] == "https://i"
 
         # status page reflects the finished pipeline + defaults
         code, body = _call(f"{url}/clients/status")

@@ -167,3 +167,13 @@ _text = st.text(alphabet=st.characters(codec="utf-8"), max_size=40)
 def test_fuzz_roundtrip_identity(n, s, d, b, raw, xs, kv):
     v = {"n": n, "s": s, "d": d, "b": b, "raw": raw, "xs": xs, "kv": kv}
     assert AC.decode(_FUZZ_SCHEMA, AC.encode(_FUZZ_SCHEMA, v)) == v
+
+
+def test_multi_branch_union_rejected():
+    """["null","string","long"] must error, not silently re-type a long
+    through the string branch."""
+    sch = AC.parse_schema(json.dumps({
+        "type": "record", "name": "U", "fields": [
+            {"name": "x", "type": ["null", "string", "long"]}]}))
+    with pytest.raises(ValueError, match="multi-branch"):
+        AC.encode(sch, {"x": 5})
