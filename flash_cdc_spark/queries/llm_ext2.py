@@ -371,3 +371,52 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal_bits"),
         )
     )
+
+
+@query(
+    "q_train_global_ids",
+    oracle="""
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY source, doc_id) - 1 AS global_id
+    FROM documents
+    """,
+)
+def q_train_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global sample ids 0..N-1 in (source, doc_id) order
+    WITHOUT a global sort — the two-phase offset idiom every training
+    pipeline needs to index its samples: (1) rank locally inside each
+    source partition (parallel window), (2) collect the per-source
+    counts (metadata-sized — one row per source), exclusive-prefix-scan
+    them on the driver, and (3) broadcast the offsets back so
+    global_id = source_offset + local_rank. The oracle is the global
+    ``row_number() - 1`` the idiom must reproduce exactly.
+
+    Scale shape: the only full-data movement is ONE shuffle on source
+    for the local rank; the driver handles #sources rows, never data.
+    A skew-prone source mix refines the unit to (source, shard) with
+    hash shards — same idiom, same two phases (the refinement
+    ``q_train_sequence_packing`` documents). A naive global
+    ``row_number() OVER (ORDER BY ...)`` would single-task the entire
+    corpus through one window partition."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    local = d.select(
+        "doc_id", "source", (F.row_number().over(w) - 1).alias("local_rank")
+    )
+    counts = sorted(
+        (r["source"], r["n"])
+        for r in local.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for src, n in counts:
+        offsets.append((src, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "source string, src_offset bigint")
+    return (
+        local.join(F.broadcast(off_df), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("src_offset") + F.col("local_rank")).alias("global_id"),
+        )
+    )
