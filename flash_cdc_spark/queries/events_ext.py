@@ -594,3 +594,74 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.sum("n").over(grid).cast("double"), 6),
         )
     )
+
+
+@query(
+    "q_streaming_latest_state",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           epoch_ms(ts)      AS commit_ms,
+           round(value, 2)   AS value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed CDC upsert (the seventh streaming-executed
+    driver row): a real Structured Streaming job merges the change
+    stream micro-batch by micro-batch into a bucketed latest-state
+    parquet table (``streaming/upsert.py`` — delta-latest reduction,
+    touched-bucket pruning, dynamic partition overwrite), across
+    MULTIPLE micro-batches (the source is split into thirds and fed
+    with ``maxFilesPerTrigger=1``, so later batches must genuinely
+    merge against persisted state, not just write once). The final
+    table must equal the batch ``row_number() = 1`` snapshot — the same
+    oracle as the batch twin ``q_changefeed_latest_snapshot``."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming.upsert import streaming_latest_state
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="flash_upsert_")
+    try:
+        src = f"{workdir}/src"
+        # three source files → three micro-batches at maxFilesPerTrigger=1
+        for third in range(3):
+            batch.filter(F.pmod(F.col("event_id"), F.lit(3)) == third).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = streaming_latest_state(
+            stream, f"{workdir}/state", f"{workdir}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming upsert exceeded 300s")
+        rows = (
+            spark.read.parquet(f"{workdir}/state")
+            .select(
+                "user_id",
+                "event_type",
+                "event_id",
+                F.unix_millis("ts").alias("commit_ms"),
+                F.round("value", 2).alias("value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, event_type string, event_id bigint, "
+        "commit_ms bigint, value double",
+    )

@@ -1,0 +1,105 @@
+"""Streaming CDC upsert: continuously materialize a change stream into
+a keyed latest-state table (SCD1) — what every consumer of the
+reference's change feed ultimately maintains (reference consumers apply
+per-event UPDATEs row-by-row into Postgres; here the same contract is a
+set-based micro-batch merge).
+
+Pattern: ``readStream → foreachBatch`` merge. Each micro-batch
+
+1. reduces the delta to its latest row per key (micro-batch-local
+   window — deltas are small);
+2. hashes keys into ``n_buckets`` partitions and reads back ONLY the
+   state buckets the delta touches (partition pruning on the state
+   table — the merge cost scales with the delta, not the table);
+3. re-resolves latest(existing, delta) per key and dynamically
+   overwrites just those buckets.
+
+Replayed micro-batches re-derive the same bucket contents (max-by on
+event time is idempotent), so the state table is exactly-once despite
+an at-least-once stream — the same idempotence argument as the
+continuous rollup's partition overwrite.
+
+Self-overwrite hazard: the merge reads the same parquet path it
+overwrites; ``localCheckpoint(eager=True)`` materializes the existing
+slice and truncates its lineage so the writer no longer references the
+files it is about to replace.
+
+Scale: at 100 TB the bucket count is sized so a bucket ≈ one task's
+worth of state; the per-batch work is (delta shuffle on key) + (read +
+rewrite of touched buckets). A table format (Iceberg/Delta MERGE) would
+replace step 3's directory overwrite with a snapshot commit — same
+logical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from flash_cdc_spark.session import scoped_conf
+
+__all__ = ["streaming_latest_state"]
+
+
+def streaming_latest_state(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str] | None = None,
+    n_buckets: int = 8,
+) -> StreamingQuery:
+    """Run the change stream into a bucketed latest-state parquet table.
+
+    Recency order is (ts, event_id) descending — the same total order
+    as the batch ``q_changefeed_latest_snapshot`` twin, which is the
+    correctness oracle for this sink."""
+    keys = keys or ["user_id", "event_type"]
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("state_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets)))
+        )
+        touched = [r["state_bucket"] for r in delta.select("state_bucket").distinct().collect()]
+        # explicit existence check, NOT try/except — a failing state read
+        # mid-stream must fail the batch (and replay), never be silently
+        # treated as "no state yet" (that would drop state)
+        import os
+
+        if os.path.isdir(state_path) and any(
+            f.startswith("state_bucket=") for f in os.listdir(state_path)
+        ):
+            existing = (
+                spark.read.parquet(state_path)
+                .filter(F.col("state_bucket").isin(touched))
+                .localCheckpoint(eager=True)  # break lineage: we overwrite these files
+            )
+            merged_src = existing.unionByName(delta)
+        else:  # first batch: no state yet
+            merged_src = delta
+        merged = (
+            merged_src.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        with scoped_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            merged.write.mode("overwrite").partitionBy("state_bucket").parquet(state_path)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
