@@ -37,7 +37,13 @@ class AdminService:
     def _config_df(self) -> DataFrame | None:
         if not os.path.isdir(self.config_path) or not os.listdir(self.config_path):
             return None
-        return self.spark.read.parquet(self.config_path)
+        df = self.spark.read.parquet(self.config_path)
+        # schema backfill: tables persisted before r3 lack instance_url;
+        # surface it as NULL so every reader (status page, restart,
+        # upsert) sees one schema
+        if "instance_url" not in df.columns:
+            df = df.withColumn("instance_url", F.lit(None).cast("string"))
+        return df
 
     def _write_configs(self, df: DataFrame) -> None:
         df.coalesce(1).write.mode("overwrite").parquet(self.config_path)

@@ -105,7 +105,10 @@ def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     Expressed as anti-join + union (a broadcastable pattern for small
     config tables; a production deployment would use Delta ``MERGE``)."""
     keep = target.join(updates.select(key), on=key, how="left_anti")
-    return keep.unionByName(updates)
+    # allowMissingColumns: a target table written by an older release
+    # (fewer columns) must still accept upserts — the missing columns
+    # null-fill on the old rows instead of raising NUM_COLUMNS_MISMATCH
+    return keep.unionByName(updates, allowMissingColumns=True)
 
 
 def mask_columns(df: DataFrame, cols: Sequence[str], keep_last: int = 4) -> DataFrame:

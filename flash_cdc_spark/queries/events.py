@@ -304,9 +304,9 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.write.parquet(src)
         stream = spark.readStream.schema(batch.schema).parquet(src)
         q = continuous_rollup(stream, f"{workdir}/out", f"{workdir}/ckpt")
-        if not q.awaitTermination(300):
-            q.stop()  # never read a partial sink / rmtree under a live query
-            raise TimeoutError("streaming pass exceeded 300s")
+        from flash_cdc_spark.streaming import await_or_fail
+
+        await_or_fail(q)
         # materialize fully before the workdir is removed
         rows = spark.read.parquet(f"{workdir}/out").collect()
     finally:
@@ -369,9 +369,9 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()  # never read a partial sink / rmtree under a live query
-            raise TimeoutError("streaming pass exceeded 300s")
+        from flash_cdc_spark.streaming import await_or_fail
+
+        await_or_fail(q)
         rows = spark.read.parquet(f"{workdir}/out").collect()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

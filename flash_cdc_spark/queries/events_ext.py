@@ -199,9 +199,9 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()  # never read a partial sink / rmtree under a live query
-            raise TimeoutError("streaming pass exceeded 300s")
+        from flash_cdc_spark.streaming import await_or_fail
+
+        await_or_fail(q)
         rows = spark.read.parquet(f"{workdir}/out").collect()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -261,9 +261,9 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()  # never read a partial sink / rmtree under a live query
-            raise TimeoutError("streaming pass exceeded 300s")
+        from flash_cdc_spark.streaming import await_or_fail
+
+        await_or_fail(q)
         w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
         rows = (
             spark.read.parquet(out)
@@ -526,9 +526,9 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            if not q.awaitTermination(300):
-                q.stop()  # never rmtree under a live query
-                raise TimeoutError("session-window streaming pass exceeded 300s")
+            from flash_cdc_spark.streaming import await_or_fail
+
+            await_or_fail(q)
 
         run_pass()  # pass 1: all real events
         # pass 2: sentinel advances the watermark past every session end
@@ -644,9 +644,9 @@ def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = streaming_latest_state(
             stream, f"{workdir}/state", f"{workdir}/ckpt"
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming upsert exceeded 300s")
+        from flash_cdc_spark.streaming import await_or_fail
+
+        await_or_fail(q)
         rows = (
             spark.read.parquet(f"{workdir}/state")
             .select(

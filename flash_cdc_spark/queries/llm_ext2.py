@@ -397,23 +397,33 @@ def q_train_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash shards — same idiom, same two phases (the refinement
     ``q_train_sequence_packing`` documents). A naive global
     ``row_number() OVER (ORDER BY ...)`` would single-task the entire
-    corpus through one window partition."""
+    corpus through one window partition.
+
+    NULL sources: partitioned/joined through a high sentinel (U+FFFF —
+    sorts after every real source name) so null-source docs get ids
+    where the oracle's default NULLS-LAST ordering puts them, instead
+    of crashing the driver sort or being dropped by a
+    null-never-equal join."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
+    key = F.coalesce(F.col("source"), F.lit("￿"))
+    w = Window.partitionBy(key).orderBy("doc_id")
     local = d.select(
-        "doc_id", "source", (F.row_number().over(w) - 1).alias("local_rank")
+        "doc_id",
+        "source",
+        key.alias("src_key"),
+        (F.row_number().over(w) - 1).alias("local_rank"),
     )
     counts = sorted(
-        (r["source"], r["n"])
-        for r in local.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        (r["src_key"], r["n"])
+        for r in local.groupBy("src_key").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     offsets, acc = [], 0
     for src, n in counts:
         offsets.append((src, acc))
         acc += n
-    off_df = spark.createDataFrame(offsets, "source string, src_offset bigint")
+    off_df = spark.createDataFrame(offsets, "src_key string, src_offset bigint")
     return (
-        local.join(F.broadcast(off_df), "source")
+        local.join(F.broadcast(off_df), "src_key")
         .select(
             "doc_id",
             "source",

@@ -68,6 +68,8 @@ def streaming_latest_state(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
             .withColumn("state_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets)))
+            .localCheckpoint(eager=True)  # compute the delta reduction ONCE:
+            # both the touched-bucket collect and the final write reuse it
         )
         touched = [r["state_bucket"] for r in delta.select("state_bucket").distinct().collect()]
         # explicit existence check, NOT try/except — a failing state read

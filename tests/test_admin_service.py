@@ -73,3 +73,40 @@ def test_create_validate_upsert_autostart_and_status(spark, tmp_path, server):
     assert page[1]["client_name"] == "client-1-renamed"
     assert page[1]["status"] == "stopped" and page[1]["batches_seen"] >= 1
     assert page[2]["status"] == "stopped" and page[2]["batches_seen"] == 0
+
+
+def test_create_pipeline_upserts_into_pre_instance_url_table(spark, tmp_path):
+    """A config table persisted BEFORE the instance_url column existed
+    (13 columns) must still accept upserts — the read backfills the
+    missing column as NULL and unionByName null-fills old rows."""
+    import pyspark.sql.functions as F
+
+    from flash_cdc_spark.admin_service import AdminService
+    from flash_cdc_spark.streaming.pipelines import PipelineConfig, PipelineManager
+
+    config_path = str(tmp_path / "configs")
+    svc = AdminService(spark, PipelineManager(spark), config_path)
+
+    def cfg(pid, name):
+        return PipelineConfig(
+            id=pid, name=name, topic="/data/OppChangeEvent",
+            webhook_url="http://127.0.0.1:1/h", instance_url="https://new",
+            source_path=str(tmp_path / "src"), checkpoint_root=str(tmp_path / "ck"),
+            flow_batch_size=100, is_active=False, offsets_path=None,
+        )
+
+    assert svc.create_pipeline(cfg(1, "old-client"), start=False)["ok"]
+    # simulate the pre-r3 table: drop the instance_url column on disk
+    legacy = (
+        spark.read.parquet(config_path)
+        .drop("instance_url")
+        .localCheckpoint(eager=True)  # break lineage before self-overwrite
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(config_path)
+
+    out = svc.create_pipeline(cfg(2, "new-client"), start=False)
+    assert out["ok"], out
+    merged = {r["id"]: r for r in spark.read.parquet(config_path).collect()}
+    assert set(merged) == {1, 2}
+    assert merged[1]["instance_url"] is None  # backfilled
+    assert merged[2]["instance_url"] == "https://new"

@@ -182,3 +182,34 @@ def test_unigram_surprisal_null_and_empty_text(spark, tmp_path):
     assert set(got) == {1, 4}  # NULL/empty docs produce no row
     assert got[1] == (3, round((2 * s_a + s_b) / 3, 4))
     assert got[4] == (2, round((s_a + s_b) / 2, 4))
+
+
+def test_global_ids_null_source_matches_oracle(spark, tmp_path):
+    """A NULL-source document must receive a global id exactly where the
+    oracle's NULLS-LAST default ordering places it (after every real
+    source), not crash the driver-side sort or vanish through a
+    null-never-equal join."""
+    rows = [
+        (3, "web", "a"),
+        (1, None, "b"),  # adversarial: null source, low doc_id
+        (2, "books", "c"),
+        (4, None, "d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    r = compare("q_train_global_ids", spark, str(tmp_path), con)
+    assert r["ok"], r
+
+    from flash_cdc_spark.queries import QUERIES
+
+    got = {
+        row["doc_id"]: row["global_id"]
+        for row in QUERIES["q_train_global_ids"](spark, str(tmp_path)).collect()
+    }
+    # books(2)=0, web(3)=1, nulls last by doc_id: 1->2, 4->3
+    assert got == {2: 0, 3: 1, 1: 2, 4: 3}, got
