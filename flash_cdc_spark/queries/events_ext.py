@@ -665,3 +665,81 @@ def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, event_type string, event_id bigint, "
         "commit_ms bigint, value double",
     )
+
+
+@query(
+    "q_streaming_dim_enrich",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           e.event_type,
+           round(e.value, 2)  AS value,
+           c.c_name           AS user_name,
+           c.c_mktsegment     AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed stream-static dimension enrichment (the
+    eighth streaming-executed driver row): a real Structured Streaming
+    job left-joins the event stream against the customer dimension
+    (broadcast per micro-batch — the static side is re-resolved each
+    batch, so a refreshed dim is picked up mid-stream), and the
+    appended sink must equal the batch left join.
+
+    Scale shape: the canonical stream enrichment of a 100 TB event
+    pipeline — the dim broadcasts (no stream-side shuffle, no state
+    store at all; contrast the stream-stream interval join, which must
+    buffer both sides). Multiple micro-batches (maxFilesPerTrigger)
+    prove the per-batch dim re-resolution path."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming import await_or_fail
+    from flash_cdc_spark.streaming.windows import stream_static_enrich
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    workdir = tempfile.mkdtemp(prefix="flash_enrich_")
+    try:
+        src = f"{workdir}/src"
+        for half in range(2):
+            batch.filter(F.pmod(F.col("event_id"), F.lit(2)) == half).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stream_static_enrich(stream, dim, on="user_id").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            "user_name",
+            "segment",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{workdir}/out")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q)
+        rows = spark.read.parquet(f"{workdir}/out").collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, value double, "
+        "user_name string, segment string",
+    )
