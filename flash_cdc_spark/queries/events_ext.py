@@ -743,3 +743,71 @@ def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, user_id bigint, event_type string, value double, "
         "user_name string, segment string",
     )
+
+
+@query(
+    "q_streaming_scd2_history",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           CAST(row_number() OVER w AS INT)     AS version,
+           epoch_ms(ts)                         AS valid_from_ms,
+           epoch_ms(lead(ts) OVER w)            AS valid_to_ms,
+           CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def q_streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed SCD2 history materialization (the ninth
+    streaming-executed driver row): ``streaming_scd2_history`` merges
+    three real micro-batches into the bucketed version-history table.
+    The thirds split by ``event_id % 3`` delivers each key's events
+    OUT of time order across batches, so later batches must
+    retroactively insert versions between existing ones and re-stamp
+    their neighbors' validity windows — the late-data revision property
+    the recompute-per-touched-bucket design exists for. Final table
+    must equal the batch SCD2 window oracle (same as the batch twin
+    ``q_changefeed_scd2_history``)."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming import await_or_fail
+    from flash_cdc_spark.streaming.upsert import streaming_scd2_history
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="flash_scd2_")
+    try:
+        src = f"{workdir}/src"
+        for third in range(3):
+            batch.filter(F.pmod(F.col("event_id"), F.lit(3)) == third).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = streaming_scd2_history(stream, f"{workdir}/state", f"{workdir}/ckpt")
+        await_or_fail(q)
+        rows = (
+            spark.read.parquet(f"{workdir}/state")
+            .select(
+                "user_id",
+                "event_type",
+                "event_id",
+                "version",
+                "valid_from_ms",
+                "valid_to_ms",
+                "is_current",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, event_type string, event_id bigint, version int, "
+        "valid_from_ms bigint, valid_to_ms bigint, is_current int",
+    )

@@ -39,7 +39,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from flash_cdc_spark.session import scoped_conf
 
-__all__ = ["streaming_latest_state"]
+__all__ = ["streaming_latest_state", "streaming_scd2_history"]
 
 
 def streaming_latest_state(
@@ -97,6 +97,77 @@ def streaming_latest_state(
             spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
         ):
             merged.write.mode("overwrite").partitionBy("state_bucket").parquet(state_path)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_scd2_history(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str] | None = None,
+    n_buckets: int = 8,
+) -> StreamingQuery:
+    """Streaming SCD2: continuously materialize the FULL version
+    history per key (version, valid_from, valid_to, is_current) —
+    the audit twin of :func:`streaming_latest_state`.
+
+    Each micro-batch re-derives the SCD2 columns for the touched
+    buckets from (existing raw rows ∪ delta) and rewrites those
+    buckets. Because the derivation is an exact recompute, LATE data
+    retroactively inserts a version in the right place and re-stamps
+    the neighbors' validity windows — the property an append-only SCD2
+    writer cannot give. Cost: a touched bucket rewrites its whole
+    history per batch; a table format's MERGE would narrow that to the
+    affected keys (same logical plan, targeted commit).
+    """
+    keys = keys or ["user_id", "event_type"]
+    derived = ("version", "valid_from_ms", "valid_to_ms", "is_current")
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = batch_df.withColumn(
+            "state_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets))
+        ).localCheckpoint(eager=True)
+        touched = [
+            r["state_bucket"] for r in delta.select("state_bucket").distinct().collect()
+        ]
+        import os
+
+        if os.path.isdir(state_path) and any(
+            f.startswith("state_bucket=") for f in os.listdir(state_path)
+        ):
+            existing_raw = (
+                spark.read.parquet(state_path)
+                .filter(F.col("state_bucket").isin(touched))
+                .drop(*derived)
+                .localCheckpoint(eager=True)
+            )
+            raw = existing_raw.unionByName(delta)
+        else:
+            raw = delta
+        w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+        history = raw.select(
+            "*",
+            F.row_number().over(w).cast("int").alias("version"),
+            F.unix_millis("ts").alias("valid_from_ms"),
+            F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
+            F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+        )
+        with scoped_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            history.write.mode("overwrite").partitionBy("state_bucket").parquet(
+                state_path
+            )
 
     return (
         events.writeStream.foreachBatch(merge)
