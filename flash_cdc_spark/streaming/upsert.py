@@ -154,6 +154,11 @@ def streaming_scd2_history(
             raw = existing_raw.unionByName(delta)
         else:
             raw = delta
+        # identity dedup: a replayed (or at-least-once re-delivered)
+        # event must not become a second version — unlike the latest-
+        # state sink, whose max-by reduction absorbs duplicates for
+        # free, the history recompute needs the raw set made distinct
+        raw = raw.dropDuplicates([*keys, "event_id"])
         w = Window.partitionBy(*keys).orderBy("ts", "event_id")
         history = raw.select(
             "*",
