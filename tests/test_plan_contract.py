@@ -97,3 +97,18 @@ def test_unigram_surprisal_plan_shape(spark, sf_dir):
     assert p.count("hashpartitioning(") >= 2  # vocab + doc agg shuffles
     assert "HashAggregate" in p and "partial_count" in p  # map-side combine
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_incremental_probe_plan_has_single_band_join(spark, sf_dir):
+    """q_dedup_incremental_probe's scale contract: exactly ONE
+    band-collision join (index×incoming — never an index self-join),
+    the verification joins keyed on doc ids, and no cartesian product
+    anywhere. The probe side count stays linear in the incoming slice."""
+    p = _plan(QUERIES["q_dedup_incremental_probe"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # exactly one join keyed on the band hash (formatted explain lists a
+    # join's equi-keys as "Left keys [n]: [...]")
+    import re
+
+    band_key_joins = len(re.findall(r"Left keys.*band_hash", p))
+    assert band_key_joins == 1, p
