@@ -811,3 +811,45 @@ def q_streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, event_type string, event_id bigint, version int, "
         "valid_from_ms bigint, valid_to_ms bigint, is_current int",
     )
+
+
+@query(
+    "q_events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value)        AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2)                        AS value,
+           round((e.value - s.mu) / s.sigma, 4)     AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging: events whose value sits more than 3
+    sample standard deviations from their type's mean — the monitoring
+    primitive every event pipeline runs before alerting.
+
+    Scale shape: the per-type stats are a partial-aggregable groupBy on
+    a tiny key (5 types), broadcast back onto the stream — one full
+    shuffle-free scan plus a broadcast join; output is the anomaly tail
+    only."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

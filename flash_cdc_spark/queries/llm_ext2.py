@@ -485,3 +485,56 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lg_tf, lg_rk), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lg_tf, lg_rk), 6).alias("zipf_r2"),
     )
+
+
+@query(
+    "q_train_dataset_card",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, len(list_filter(string_split(coalesce(text, ''), ' '),
+                                       t -> t <> '')) AS n_tokens
+        FROM documents
+    ),
+    dup AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_docs FROM (
+        SELECT count(*) AS c FROM documents GROUP BY md5(coalesce(text, ''))
+        HAVING count(*) > 1))
+    SELECT CAST(count(*) AS BIGINT)                       AS n_docs,
+           CAST(count(DISTINCT d.source) AS BIGINT)       AS n_sources,
+           CAST(count(DISTINCT d.lang) AS BIGINT)         AS n_langs,
+           CAST(sum(t.n_tokens) AS BIGINT)                AS total_tokens,
+           round(avg(t.n_tokens), 4)                      AS mean_tokens_per_doc,
+           round(avg(d.n_chars), 4)                       AS mean_chars_per_doc,
+           (SELECT n_dup_docs FROM dup)                   AS n_exact_dup_docs
+    FROM documents d JOIN tok t USING (doc_id)
+    """,
+)
+def q_train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the summary block a training-data release
+    ships with — corpus size, source/language breadth, token budget,
+    and the exact-duplicate count (docs participating in any
+    identical-text group).
+
+    Scale shape: everything is a partial-aggregable global aggregate
+    over one scan, except the dup count (one shuffle on the text hash)
+    — assembled via a 1-row scalar subquery, never a driver-side
+    loop."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.coalesce("text", F.lit("")), " "), lambda t: t != "")
+    )
+    base = d.select("doc_id", "source", "lang", "n_chars", toks.alias("n_tokens"))
+    dup_docs = (
+        d.groupBy(F.md5(F.coalesce("text", F.lit(""))).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_exact_dup_docs"))
+    )
+    card = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens_per_doc"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars_per_doc"),
+    )
+    return card.crossJoin(F.broadcast(dup_docs))
