@@ -826,7 +826,7 @@ def q_streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(e.value, 2)                        AS value,
            round((e.value - s.mu) / s.sigma, 4)     AS zscore
     FROM events e JOIN stats s USING (event_type)
-    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
     """,
 )
 def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,7 +837,12 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-type stats are a partial-aggregable groupBy on
     a tiny key (5 types), broadcast back onto the stream — one full
     shuffle-free scan plus a broadcast join; output is the anomaly tail
-    only."""
+    only.
+
+    Degenerate types (sigma = 0: every event shares one value) are
+    excluded EXPLICITLY on both engines — Spark's non-ANSI divide would
+    NULL the z-score while DuckDB's IEEE divide yields ±inf, the kind
+    of engine divergence a constant-valued type would surface."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
@@ -845,7 +850,7 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         e.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > 3)
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3))
         .select(
             "event_id",
             "event_type",

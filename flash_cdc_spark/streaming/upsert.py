@@ -42,6 +42,30 @@ from flash_cdc_spark.session import scoped_conf
 __all__ = ["streaming_latest_state", "streaming_scd2_history"]
 
 
+def _read_state_if_exists(spark, state_path: str, touched: list):
+    """Read the touched state buckets, or None when no state exists yet.
+
+    Filesystem-agnostic (works for s3a://, hdfs://, not just local
+    paths): attempt the read and treat ONLY the path-not-found /
+    no-files signatures as "first batch" — any other failure propagates
+    and fails the batch (which replays), never silently rebuilds state
+    from the delta alone (that would drop history)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(state_path)
+            .filter(F.col("state_bucket").isin(touched))
+            # break lineage: the caller overwrites these same files
+            .localCheckpoint(eager=True)
+        )
+    except AnalysisException as ex:
+        msg = str(ex)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+
+
 def streaming_latest_state(
     events: DataFrame,
     state_path: str,
@@ -72,22 +96,8 @@ def streaming_latest_state(
             # both the touched-bucket collect and the final write reuse it
         )
         touched = [r["state_bucket"] for r in delta.select("state_bucket").distinct().collect()]
-        # explicit existence check, NOT try/except — a failing state read
-        # mid-stream must fail the batch (and replay), never be silently
-        # treated as "no state yet" (that would drop state)
-        import os
-
-        if os.path.isdir(state_path) and any(
-            f.startswith("state_bucket=") for f in os.listdir(state_path)
-        ):
-            existing = (
-                spark.read.parquet(state_path)
-                .filter(F.col("state_bucket").isin(touched))
-                .localCheckpoint(eager=True)  # break lineage: we overwrite these files
-            )
-            merged_src = existing.unionByName(delta)
-        else:  # first batch: no state yet
-            merged_src = delta
+        existing = _read_state_if_exists(spark, state_path, touched)
+        merged_src = existing.unionByName(delta) if existing is not None else delta
         merged = (
             merged_src.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -140,20 +150,8 @@ def streaming_scd2_history(
         touched = [
             r["state_bucket"] for r in delta.select("state_bucket").distinct().collect()
         ]
-        import os
-
-        if os.path.isdir(state_path) and any(
-            f.startswith("state_bucket=") for f in os.listdir(state_path)
-        ):
-            existing_raw = (
-                spark.read.parquet(state_path)
-                .filter(F.col("state_bucket").isin(touched))
-                .drop(*derived)
-                .localCheckpoint(eager=True)
-            )
-            raw = existing_raw.unionByName(delta)
-        else:
-            raw = delta
+        existing = _read_state_if_exists(spark, state_path, touched)
+        raw = existing.drop(*derived).unionByName(delta) if existing is not None else delta
         # identity dedup: a replayed (or at-least-once re-delivered)
         # event must not become a second version — unlike the latest-
         # state sink, whose max-by reduction absorbs duplicates for

@@ -5,6 +5,7 @@ oracle could silently diverge."""
 from __future__ import annotations
 
 import duckdb
+from pyspark.sql import functions as F
 
 from tests.oracle_harness import compare
 
@@ -213,3 +214,38 @@ def test_global_ids_null_source_matches_oracle(spark, tmp_path):
     }
     # books(2)=0, web(3)=1, nulls last by doc_id: 1->2, 4->3
     assert got == {2: 0, 3: 1, 1: 2, 4: 3}, got
+
+
+def test_zscore_constant_valued_type_matches_oracle(spark, tmp_path):
+    """An event_type whose every value is identical (sigma = 0) must be
+    excluded identically on both engines — Spark's non-ANSI divide
+    NULLs the z-score while DuckDB's IEEE divide yields ±inf, so
+    without the explicit sigma > 0 guard the engines disagree on row
+    membership."""
+    rows = [(i, f"2024-01-01 0{i}:00:00", 1, "flat", 5.0, "{}") for i in range(5)]
+    # one outlier among n points has max sample z = (n-1)/sqrt(n);
+    # n = 20 gives z ≈ 4.25 > 3 for the 500 among nineteen 1s
+    rows += [(10 + i, f"2024-01-02 {i:02d}:00:00", 2, "vary", float(v), "{}")
+             for i, v in enumerate([1.0] * 19 + [500.0])]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    r = compare("q_events_anomaly_zscore", spark, str(tmp_path), con)
+    assert r["ok"], r
+
+    from flash_cdc_spark.queries import QUERIES
+
+    got = QUERIES["q_events_anomaly_zscore"](spark, str(tmp_path)).collect()
+    # the 'flat' type contributes nothing; the 500 outlier is flagged
+    assert {r["event_type"] for r in got} == {"vary"}, got
