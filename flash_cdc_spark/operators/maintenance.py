@@ -25,6 +25,19 @@ Mechanism (one shuffle, fully distributed):
   either-or atomicity needs a table format's snapshot commit
   (Iceberg/Delta); plain parquet directories get the rename dance.
 
+Operational contract (hard requirements, not suggestions):
+
+- **ingest must be quiesced** while compaction runs. The swap verifies
+  the file census is unchanged since planning and aborts (restoring
+  the original directory, preserving any racing writer's files) if a
+  concurrent append/delete is detected — but detection narrows the
+  lost-update window, it cannot close it.
+- **local filesystem only**: the swap uses ``os.walk``/``os.rename``
+  directory semantics. Object stores have neither atomic rename nor
+  directories — there, compaction belongs to a table format's rewrite
+  action (Iceberg ``rewrite_data_files`` / Delta ``OPTIMIZE``), which
+  this module's plan/rewrite split mirrors deliberately.
+
 Driver-side metadata scan: sizing walks the directory tree on the
 driver — that is a *metadata* operation (at scale it reads the table
 manifest, not the data) and stays O(#files), never O(rows).
@@ -65,7 +78,10 @@ def _data_files(path: str) -> list[str]:
 def plan_compaction(path: str, target_file_mb: float = 128) -> dict:
     """Metadata-only sizing pass: current file census and the target
     output file count ``ceil(total_bytes / target)`` (≥ 1). Fractional
-    ``target_file_mb`` is allowed (test-scale fixtures are < 1 MB)."""
+    ``target_file_mb`` is allowed (test-scale fixtures are < 1 MB).
+    ``file_set`` (paths relative to the table root) is the input
+    snapshot the swap later verifies against — any divergence means a
+    writer raced the compaction."""
     files = _data_files(path)
     total = sum(os.path.getsize(f) for f in files)
     target_bytes = max(1, int(target_file_mb * 1024 * 1024))
@@ -73,6 +89,7 @@ def plan_compaction(path: str, target_file_mb: float = 128) -> dict:
         "files": len(files),
         "bytes": total,
         "target_files": max(1, math.ceil(total / target_bytes)),
+        "file_set": frozenset(os.path.relpath(f, path) for f in files),
     }
 
 
@@ -108,6 +125,26 @@ def compact_parquet_table(
 
     old = f"{path}.pre-compact-{uuid.uuid4().hex}"
     os.rename(path, old)
+    # Lost-update guard (ADVICE r3): a writer that appended to (or
+    # deleted from) the table AFTER the input snapshot was planned
+    # would have its change silently discarded by the swap — an append
+    # would ride into `old` and be rmtree'd; a delete would be
+    # resurrected by the rewrite. Verify the census is unchanged before
+    # committing; on divergence, restore the ORIGINAL directory (the
+    # racing writer's data is preserved) and fail loudly. The check
+    # narrows the race to the plan→rename window but cannot close it:
+    # compaction requires ingest into this path to be quiesced.
+    current = frozenset(os.path.relpath(f, old) for f in _data_files(old))
+    if current != plan["file_set"]:
+        os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        appeared = sorted(current - plan["file_set"])[:5]
+        vanished = sorted(plan["file_set"] - current)[:5]
+        raise RuntimeError(
+            f"concurrent modification of {path} during compaction "
+            f"(files appeared: {appeared}, vanished: {vanished}); "
+            "original layout restored — quiesce ingest before compacting"
+        )
     try:
         os.rename(tmp, path)
     except OSError:

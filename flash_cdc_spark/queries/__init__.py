@@ -50,13 +50,10 @@ def _flush_deferred() -> None:
     _DEFERRED.clear()
 
 
-# Import for registration side effects (order = inventory order).
-#
-# ORDER MATTERS: the round driver's correctness gate evaluates the first
-# 50 registered queries only (observed r1: CORRECTNESS_r01.json held
-# exactly the first 50 of 78). The north-star changefeed/LLM/near-dup
-# surface therefore registers FIRST; the TPC-H-style batch modules —
-# all 44 driver-confirmed green in round 1 — rotate to the back.
+# Import for registration side effects. Intra-module order still
+# determines the relative order of everything OUTSIDE the explicit
+# driver window below; the window itself is applied as a final reorder
+# (see ``WINDOW``), so module order no longer decides driver slots.
 from flash_cdc_spark.queries import changefeed  # noqa: E402,F401
 from flash_cdc_spark.queries import llm  # noqa: E402,F401
 from flash_cdc_spark.queries import neardup  # noqa: E402,F401
@@ -68,58 +65,115 @@ from flash_cdc_spark.queries import pandas_udfs  # noqa: E402,F401
 from flash_cdc_spark.queries import batch  # noqa: E402,F401
 from flash_cdc_spark.queries import batch_ext  # noqa: E402,F401
 
-# Past-window additions (r3): register AFTER the batch block so the
-# 50-slot window composition above stays exactly as documented; these
-# are r4 window-rotation candidates, checked by the local mimic now.
+# r3 additions (their queries now lead the r4 window; see WINDOW).
 from flash_cdc_spark.queries import llm_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import events_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import multimodal_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import llm_ext2  # noqa: E402,F401
 from flash_cdc_spark.queries import neardup_ext  # noqa: E402,F401
 
-# Per-round canary rotation (ADVICE r2): the driver re-checks only the
-# first 50 registered queries, so each round a fresh subset of the
-# long-green TPC-H-style batch queries rotates into the window tail.
-# Rotation history lives in COVERAGE.md. Edit this list once per round.
-# r3 note: six NEW oracle-backed queries entered the window
-# (q_envelope_decode_avro, q_dedup_simhash64_pairs,
-# q_multimodal_image_decode, q_multimodal_decode_features un-deferred,
-# q_events_sketch_accuracy, q_streaming_dedup_watermark), so the canary
-# allocation shrinks to the two remaining slots — fresh-operator driver
-# evidence outranks a repeat check of an untouched r1-green batch query.
-CANARIES: list[str] = [
-    "q03_shipping_priority",
-    "q10_returned_items",
+# ---------------------------------------------------------------------
+# r4 driver window (VERDICT r3, next-round item #1).
+#
+# The round driver value-compares only the FIRST 50 registered queries,
+# so which 50 lead the registry is an explicit per-round decision, not
+# a side effect of module import order. This round's composition:
+#
+# * slots 1-30 — the 30 r3-new queries that registered past the window
+#   last round (COVERAGE.md ledger rows 91-120). They are the only
+#   registered queries with no driver correctness row yet; rotating
+#   them in converts their local-oracle evidence into driver evidence.
+# * slots 31-48 — 18 regression keepers spanning every still-evolving
+#   subsystem the r4 diff touches or that carries scale risk: the
+#   changefeed pipeline, Avro wire decode, dedup/LSH/SimHash64/
+#   clusters, IVF+LSH ANN (both under active perf work this round),
+#   multimodal decode (feature codec swapped this round), sketches,
+#   and the five streaming-executed drivers.
+# * slots 49-50 — batch canaries from the r4 rotation pool
+#   (q05/q13 per COVERAGE.md; q03/q10 served in r3).
+#
+# Everything rotated out stays continuously checked by the local mimic
+# (tests/test_oracle.py) AND is now pinned against the committed
+# oracle-fingerprint snapshot (tests/test_oracle_snapshot.py), so a
+# regression in the rotated-out surface still fails pytest loudly.
+WINDOW: list[str] = [
+    # -- r3 past-window queries: first driver rows this round (30) --
+    "q_text_gopher_quality_rules",
+    "q_sim_ann_recall_report",
+    "q_sim_ann_ivf_pruned_topk",
+    "q_text_repetition_ratio",
+    "q_train_contamination_check",
+    "q_train_sequence_packing",
+    "q_events_funnel_conversion",
+    "q_events_cohort_retention",
+    "q_streaming_stream_stream_join",
+    "q_streaming_running_totals",
+    "q_changefeed_latest_snapshot",
+    "q_changefeed_scd2_history",
+    "q_events_cogroup_enrich",
+    "q_streaming_session_windows",
+    "q_events_markov_transitions",
+    "q_streaming_latest_state",
+    "q_streaming_dim_enrich",
+    "q_streaming_scd2_history",
+    "q_events_anomaly_zscore",
+    "q_multimodal_audio_decode",
+    "q_text_pii_redaction",
+    "q_dedup_canonical_docs",
+    "q_text_vocab_coverage",
+    "q_train_domain_mix_weights",
+    "q_embedding_dim_stats",
+    "q_text_unigram_surprisal",
+    "q_train_global_ids",
+    "q_text_zipf_slope",
+    "q_train_dataset_card",
+    "q_dedup_incremental_probe",
+    # -- regression keepers (18) --
+    "q_changefeed_flagship",
+    "q_envelope_decode_avro",
+    "q_dedup_exact_summary",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash64_pairs",
+    "q_dedup_clusters",
+    "q_sim_ann_ivf_topk",
+    "q_sim_ann_lsh_multiprobe",
+    "q_knn_bruteforce",
+    "q_text_tfidf_top_terms",
+    "q_multimodal_image_decode",
+    "q_multimodal_decode_features",
+    "q_events_sessionize",
+    "q_events_sketch_accuracy",
+    "q_streaming_rollup",
+    "q_streaming_dedup_watermark",
+    "q_streaming_changefeed_e2e",
+    "q_events_asof_join",
+    # -- batch canaries (2; rotation pool in COVERAGE.md) --
+    "q05_local_supplier_volume",
+    "q13_customer_distribution",
 ]
 
+# This round's batch canaries (tail of WINDOW); exported for the
+# registry-contract test and COVERAGE.md's rotation history.
+CANARIES: list[str] = ["q05_local_supplier_volume", "q13_customer_distribution"]
 
-def _rotate_canaries(canaries: list[str]) -> None:
-    """Move this round's canaries to the head of the batch block.
 
-    All ``batch``/``batch_ext`` queries register contiguously at the
-    end (their modules import last), so re-inserting the canaries at
-    the first batch position keeps every non-batch query's slot fixed.
-    """
-    names = list(QUERIES)
-    is_batch = {
-        n: QUERIES[n].__module__.rsplit(".", 1)[-1] in ("batch", "batch_ext")
-        for n in names
-    }
-    first_batch = next((i for i, n in enumerate(names) if is_batch[n]), len(names))
-    new_order = (
-        names[:first_batch]
-        + canaries
-        + [n for n in names[first_batch:] if n not in set(canaries)]
-    )
+def _apply_window(window: list[str]) -> None:
+    """Reorder the registry so ``window`` occupies the first 50 slots;
+    everything else follows in its original registration order."""
+    missing = [n for n in window if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"WINDOW names not registered: {missing}")
+    in_window = set(window)
+    new_order = window + [n for n in QUERIES if n not in in_window]
     snapshot = dict(QUERIES)
     QUERIES.clear()
     for n in new_order:
         QUERIES[n] = snapshot[n]
 
 
-_rotate_canaries(CANARIES)
+_apply_window(WINDOW)
 
 # Oracle-less (rows-only) queries land after every oracle-backed one.
 _flush_deferred()
 
-__all__ = ["QUERIES", "ORACLE", "query", "CANARIES"]
+__all__ = ["QUERIES", "ORACLE", "query", "CANARIES", "WINDOW"]

@@ -172,6 +172,23 @@ def _append_staged(path: str, messages, truncate: bool = False) -> int:
                 # never re-issue an id a producer already used explicitly
                 if seq is not None and seq + 1 > next_seq:
                     next_seq = seq + 1
+    # Pre-scan the STAGED fragments too: an explicit producer seq later
+    # in this same commit must not collide with a bus-assigned id
+    # handed out earlier in the commit (e.g. staged
+    # [replay_seq=None, replay_seq=0] on an empty log would otherwise
+    # emit two rows with replay_seq 0, breaking dedupe-on-replay-id).
+    # Bus-assigned ids therefore start past max(log, staged-explicit).
+    for msg in messages:
+        if msg is None or not os.path.exists(msg.staged_path):
+            continue
+        with open(msg.staged_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                seq = json.loads(line).get("replay_seq")
+                if seq is not None and seq + 1 > next_seq:
+                    next_seq = seq + 1
     missing = [
         m.staged_path
         for m in messages

@@ -42,14 +42,38 @@ from flash_cdc_spark.session import scoped_conf
 __all__ = ["streaming_latest_state", "streaming_scd2_history"]
 
 
+# Structured error classes that mean "no state table exists yet".
+# Matched via AnalysisException.getErrorClass() (stable identifiers in
+# Spark's error-condition registry) with a message-substring fallback
+# for builds that predate structured errors (ADVICE r3).
+_FIRST_BATCH_ERROR_CLASSES = frozenset({"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"})
+
+
+def _is_first_batch_error(ex) -> bool:
+    err_class = None
+    get = getattr(ex, "getErrorClass", None)
+    if callable(get):
+        try:
+            err_class = get()
+        except Exception:
+            err_class = None
+    if err_class is not None:
+        return err_class in _FIRST_BATCH_ERROR_CLASSES
+    msg = str(ex)
+    return any(c in msg for c in _FIRST_BATCH_ERROR_CLASSES) or (
+        "Path does not exist" in msg  # pre-3.4 phrasing
+    )
+
+
 def _read_state_if_exists(spark, state_path: str, touched: list):
     """Read the touched state buckets, or None when no state exists yet.
 
     Filesystem-agnostic (works for s3a://, hdfs://, not just local
-    paths): attempt the read and treat ONLY the path-not-found /
-    no-files signatures as "first batch" — any other failure propagates
-    and fails the batch (which replays), never silently rebuilds state
-    from the delta alone (that would drop history)."""
+    paths): attempt the read and treat ONLY the structured
+    path-not-found / no-files error classes as "first batch" — any
+    other failure propagates and fails the batch (which replays), never
+    silently rebuilds state from the delta alone (that would drop
+    history)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -60,10 +84,53 @@ def _read_state_if_exists(spark, state_path: str, touched: list):
             .localCheckpoint(eager=True)
         )
     except AnalysisException as ex:
-        msg = str(ex)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+        if _is_first_batch_error(ex):
             return None
         raise
+
+
+def _check_or_record_n_buckets(spark, state_path: str, n_buckets: int) -> None:
+    """Pin ``n_buckets`` for the lifetime of a state path.
+
+    ``state_bucket = pmod(hash(keys), n_buckets)`` is recomputed per
+    batch, so restarting a sink against existing state with a DIFFERENT
+    bucket count would strand a key's old row in a bucket the new
+    layout never touches — duplicate keys in the "latest-state" table
+    (ADVICE r3). First batch records the count in a ``_n_buckets``
+    sidecar inside the state directory (underscore-prefixed, so Spark
+    readers ignore it and dynamic partition overwrite never replaces
+    it); every batch thereafter verifies and raises on mismatch.
+    Uses the Hadoop FileSystem API so any supported scheme works."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    sidecar = jvm.org.apache.hadoop.fs.Path(
+        state_path.rstrip("/") + "/_n_buckets"
+    )
+    fs = sidecar.getFileSystem(hconf)
+    if fs.exists(sidecar):
+        stream = fs.open(sidecar)
+        try:
+            raw = bytearray()
+            b = stream.read()
+            while b != -1 and len(raw) < 32:
+                raw.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        recorded = int(raw.decode("ascii").strip())
+        if recorded != n_buckets:
+            raise ValueError(
+                f"state path {state_path} was built with n_buckets="
+                f"{recorded} but this sink was started with n_buckets="
+                f"{n_buckets}; the bucket count is fixed for the "
+                "lifetime of a state path (rebuild the table to change it)"
+            )
+        return
+    out = fs.create(sidecar, True)
+    try:
+        out.write(bytearray(f"{n_buckets}\n".encode("ascii")))
+    finally:
+        out.close()
 
 
 def streaming_latest_state(
@@ -84,6 +151,7 @@ def streaming_latest_state(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _check_or_record_n_buckets(spark, state_path, n_buckets)
         w = Window.partitionBy(*keys).orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -144,6 +212,7 @@ def streaming_scd2_history(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _check_or_record_n_buckets(spark, state_path, n_buckets)
         delta = batch_df.withColumn(
             "state_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets))
         ).localCheckpoint(eager=True)

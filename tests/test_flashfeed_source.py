@@ -244,3 +244,32 @@ def test_assigned_replay_seq_skips_explicit_producer_ids(spark, tmp_path):
     rows = spark.read.format("flashfeed").option("path", log).load().collect()
     got = {r["event_id"]: r["replay_seq"] for r in rows}
     assert got["assigned"] == 41, got
+
+
+def test_assigned_seq_cannot_collide_with_explicit_seq_in_same_commit(
+    spark, tmp_path
+):
+    """ADVICE r3: a staged batch mixing an assigned-id row with an
+    explicit producer seq appearing LATER in the same commit must not
+    emit duplicate replay ids — bus assignment pre-scans the staged
+    fragments and starts past max(log, staged-explicit)."""
+    import json as _json
+
+    from flash_cdc_spark.sources.flashfeed import _append_staged, _StagedCommit
+
+    log = str(tmp_path / "feed7.jsonl")  # empty log: worst case
+    frag = tmp_path / "frag_mixed.jsonl"
+    assigned = _ev(0)
+    assigned["event_id"], assigned["replay_seq"] = "assigned", None
+    explicit = _ev(0)
+    explicit["event_id"] = "explicit"  # keeps replay_seq 0 explicitly
+    frag.write_text(
+        _json.dumps(assigned) + "\n" + _json.dumps(explicit) + "\n"
+    )
+    _append_staged(log, [_StagedCommit(staged_path=str(frag), rows=2)])
+    rows = spark.read.format("flashfeed").option("path", log).load().collect()
+    seqs = [r["replay_seq"] for r in rows]
+    assert len(seqs) == len(set(seqs)), f"duplicate replay ids: {seqs}"
+    got = {r["event_id"]: r["replay_seq"] for r in rows}
+    assert got["explicit"] == 0
+    assert got["assigned"] > 0

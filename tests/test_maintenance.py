@@ -94,3 +94,34 @@ def test_cluster_by_yields_disjoint_file_key_ranges(spark, sf_dir, tmp_path):
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # ranges disjoint (boundary key may touch)
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_compaction_aborts_on_concurrent_append(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): a file appended after the input snapshot was
+    planned must not be silently deleted by the swap. Simulate the race
+    by shrinking the planned census (as if a writer added a file after
+    planning): compaction must abort with the original layout restored
+    and the racing file preserved."""
+    import flash_cdc_spark.operators.maintenance as m
+
+    out = str(tmp_path / "events_race")
+    load_table(spark, sf_dir, "events").repartition(8).write.parquet(out)
+    expect = _rows(spark, out)
+
+    real_plan = m.plan_compaction(out, target_file_mb=512)
+    racing_file = sorted(real_plan["file_set"])[0]
+    shrunk = dict(real_plan, file_set=real_plan["file_set"] - {racing_file})
+    monkeypatch.setattr(m, "plan_compaction", lambda *a, **k: shrunk)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="concurrent modification"):
+        m.compact_parquet_table(spark, out, target_file_mb=512)
+    # original directory restored intact, racing file included
+    assert _rows(spark, out) == expect
+    assert racing_file in {
+        f.removeprefix(out + "/") for f in m._data_files(out)
+    }
+    # no orphaned temp/old siblings left behind
+    leftovers = [p for p in tmp_path.iterdir() if p.name.startswith("events_race.")]
+    assert leftovers == [], leftovers

@@ -54,3 +54,66 @@ def test_full_replay_leaves_state_unchanged(spark, sf_dir, tmp_path):
         _run(spark, src, state, str(tmp_path / f"ckpt_{name}_2"), fn)
         assert _snapshot(spark, state) == first, f"{name} not replay-idempotent"
         assert len(first) > 0
+
+
+def test_n_buckets_is_pinned_for_state_path(spark, sf_dir, tmp_path):
+    """ADVICE r3: restarting a sink against existing state with a
+    different n_buckets would strand old rows in never-touched buckets
+    (silent duplicate keys). The sidecar-recorded count must make the
+    mismatched restart fail loudly instead."""
+    import pytest as _pytest
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    src = str(tmp_path / "src_nb")
+    batch.limit(200).coalesce(1).write.parquet(src)
+    state = str(tmp_path / "state_nb")
+
+    def run(ckpt, n_buckets):
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, event_type string, event_id bigint, "
+                "ts timestamp, value double"
+            ).parquet(src)
+        )
+        await_or_fail(
+            streaming_latest_state(
+                stream, state, str(tmp_path / ckpt), n_buckets=n_buckets
+            )
+        )
+
+    run("ckpt_nb_1", n_buckets=8)
+    first = _snapshot(spark, state)
+    # same count: replays fine
+    run("ckpt_nb_2", n_buckets=8)
+    assert _snapshot(spark, state) == first
+    # different count: loud failure, state untouched
+    with _pytest.raises(Exception, match="n_buckets"):
+        run("ckpt_nb_3", n_buckets=4)
+    assert _snapshot(spark, state) == first
+
+
+def test_read_state_error_classification(spark, tmp_path):
+    """First-batch detection must key on the structured error class:
+    a missing/empty state path initializes (returns None), but any
+    OTHER read failure propagates and fails the batch — never silently
+    rebuilding state from the delta alone."""
+    import pytest as _pytest
+
+    from flash_cdc_spark.streaming.upsert import _read_state_if_exists
+
+    # missing path -> first batch
+    assert _read_state_if_exists(spark, str(tmp_path / "nope"), [0]) is None
+    # empty dir (no schema to infer) -> first batch
+    empty = tmp_path / "empty_state"
+    empty.mkdir()
+    assert _read_state_if_exists(spark, str(empty), [0]) is None
+    # corrupt data file -> NOT a first batch: must raise
+    corrupt = tmp_path / "corrupt_state"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        df = _read_state_if_exists(spark, str(corrupt), [0])
+        if df is not None:  # force materialization if read was lazy
+            df.collect()
