@@ -13,9 +13,11 @@ Decode engines, by format:
   chunk grammar with uncompressed 16-bit PCM needs no codec either;
   :func:`parse_wav` walks the chunk list and yields waveform
   statistics from the actual samples.
-- **everything else** — stubbed (deterministic md5-derived fake
-  features, or ``NotImplementedError`` when ``strict=True``), since no
-  compressed-media codec ships in this container.
+- **everything else** — raw-byte moment statistics (real statistics of
+  the payload, no decode), or ``NotImplementedError`` when
+  ``strict=True``, since no compressed-media codec ships in this
+  container; a PIL/soundfile decoder drops into the same
+  :func:`media_features` sniff-and-decode dispatch.
 
 Everything Spark-side is real and tested either way: schemas, binary
 columns, metadata structs, the mapInPandas batch shape, and the
@@ -26,7 +28,6 @@ partition sizing keeps a batch's blobs within executor memory).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,7 +37,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "with_media_metadata",
-    "fake_decode_features",
+    "media_features",
+    "decode_media_features",
     "sample_frames",
     "FEATURE_DIM",
     "synth_pgm_udf",
@@ -66,36 +68,78 @@ def with_media_metadata(df: DataFrame, binary_col: str = "media", mime: str = "a
     )
 
 
-def _fake_features(blob: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder: 8 floats in [0,1) from
-    the md5 of the payload. Replace with PIL/librosa/decord in a real
-    deployment — the Spark plumbing around it is identical."""
-    h = hashlib.md5(blob).hexdigest()
-    return [int(h[i * 4 : i * 4 + 4], 16) / 0xFFFF for i in range(FEATURE_DIM)]
+def media_features(blob: bytes) -> list[float]:
+    """REAL moment features from decoded media samples (r4 — replaces
+    the md5-derived stand-in): sniff the container, decode with the
+    matching real parser (PGM pixels, WAV PCM samples; raw bytes for
+    untyped blobs), and emit 8 normalized statistics of the actual
+    sample values:
+
+    ``[mean, std_pop, min, max, median, frac_above_mid, energy,
+    value_diversity]``
+
+    Every feature is relationally recomputable, so the query wrapping
+    this (``q_multimodal_decode_features``) stays oracle-checked end to
+    end — now over DECODED sample values rather than a hash."""
+    if blob[:2] == b"P5":
+        _w, _h, maxval, raster = parse_pgm(blob)
+        arr = np.frombuffer(raster, dtype=np.uint8).astype(np.float64)
+        scale = float(maxval)
+        above = arr > maxval // 2
+    elif blob[:4] == b"RIFF":
+        _rate, channels, bits, raw = parse_wav(blob)
+        if channels != 1 or bits != 16:
+            raise ValueError("expected 16-bit mono PCM")
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        scale = 32768.0
+        above = arr > 0
+    else:
+        arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+        scale = 255.0
+        above = arr > 127
+    if arr.size == 0:
+        return [0.0] * FEATURE_DIM
+    nn = arr / scale
+    return [
+        float(nn.mean()),
+        float(nn.std()),  # population std — matches SQL stddev_pop
+        float(nn.min()),
+        float(nn.max()),
+        float(np.median(nn)),
+        float(above.mean()),
+        float((nn * nn).mean()),  # energy
+        float(np.unique(arr).size / arr.size),
+    ]
 
 
-def fake_decode_features(
+def decode_media_features(
     df: DataFrame, binary_col: str = "media", id_col: str = "doc_id", strict: bool = False
 ) -> DataFrame:
-    """Decode/feature-extract via ``mapInPandas`` (Arrow batches).
+    """Decode/feature-extract via ``mapInPandas`` (Arrow batches), using
+    the real PGM/WAV parsers for recognized containers and raw-byte
+    statistics otherwise.
 
-    ``strict=True`` raises ``NotImplementedError`` exactly where a real
-    codec would be invoked — marking the stub boundary explicitly."""
+    ``strict=True`` raises ``NotImplementedError`` for blobs whose
+    format has no real decoder here (compressed media — JPEG/MP3/H.264
+    need codecs this container lacks), marking that boundary explicitly
+    instead of silently degrading to byte statistics."""
     out_schema = f"{id_col} bigint, n_bytes int, features array<double>"
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            blobs = pdf[binary_col].map(bytes)
             if strict:
-                raise NotImplementedError(
-                    "real media decode requires an image/audio codec; "
-                    "install one and swap _fake_features"
-                )
-            blobs = pdf[binary_col]
+                for b in blobs:
+                    if b[:2] != b"P5" and b[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            "real media decode for this format requires a "
+                            "compressed-media codec (PGM/WAV decode natively)"
+                        )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": blobs.map(len).astype("int32"),
-                    "features": blobs.map(_fake_features),
+                    "features": blobs.map(media_features),
                 }
             )
 

@@ -556,51 +556,57 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PGM_HEADER_LEN = len(f"P5\n{MM.PGM_WIDTH} {MM.PGM_HEIGHT}\n255\n")
+
 @query(
     "q_multimodal_decode_features",
-    oracle="""
-    WITH h AS (
-        SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               md5(text) AS hx
-        FROM documents
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id,
+               (7 * d.doc_id + 13 * x.x + 29 * y.y) % 256 AS p
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range({MM.PGM_WIDTH})) AS x) x
+        CROSS JOIN (SELECT unnest(range({MM.PGM_HEIGHT})) AS y) y
     )
     SELECT doc_id,
-           CAST(n_bytes AS INT) AS n_bytes,
-           round(CAST('0x' || substr(hx, 1, 4) AS BIGINT) / 65535.0, 6) AS f0,
-           round(CAST('0x' || substr(hx, 5, 4) AS BIGINT) / 65535.0, 6) AS f1,
-           round(list_aggregate(list_transform(range(8),
-                     i -> CAST('0x' || substr(hx, CAST(i * 4 + 1 AS INT), 4) AS BIGINT)
-                          / 65535.0),
-                 'sum') / 8, 6) AS feature_mean
-    FROM h
+           CAST({_PGM_HEADER_LEN + MM.PGM_WIDTH * MM.PGM_HEIGHT} AS INT) AS n_bytes,
+           round(avg(p / 255.0), 6)                              AS f0,
+           round(stddev_pop(p / 255.0), 6)                       AS f1,
+           round(min(p) / 255.0, 6)                              AS f2,
+           round(max(p) / 255.0, 6)                              AS f3,
+           round(median(p / 255.0), 6)                           AS f4,
+           round(avg(CAST(p > 127 AS INT)), 6)                   AS f5,
+           round(avg((p / 255.0) * (p / 255.0)), 6)              AS f6,
+           round(count(DISTINCT p) / CAST(count(*) AS DOUBLE), 6) AS f7
+    FROM px GROUP BY doc_id
     """,
 )
 def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary media.
-    The stand-in codec's features are md5-derived — deterministic and
-    SQL-expressible — so since r3 this path is ORACLE-CHECKED end to
-    end: the oracle recomputes the 16-bit md5-slice features
-    relationally, verifying the Arrow round-trip, the batch iteration,
-    and the feature arithmetic (a real PIL/librosa decoder drops into
-    the same mapInPandas shape; see q_multimodal_image_decode for the
-    REAL-decoder twin over synthesized PGM bytes).
+    """Arrow-batched mapInPandas feature extraction over binary media —
+    REAL features since r4: one binary PGM per document is synthesized
+    executor-side (real Netpbm files, pixel values a closed-form
+    function of doc_id), then the generic :func:`media_features`
+    extractor sniffs the container, DECODES the pixels with the real
+    parser, and emits 8 moment statistics of the actual sample values
+    (mean/std/min/max/median/frac-above-mid/energy/diversity). The
+    oracle recomputes every feature relationally from the pixel
+    formula, so the Arrow round-trip, batch iteration, format dispatch,
+    and the statistics themselves are all value-compared (a PIL/
+    soundfile decoder for compressed formats drops into the same
+    sniff-and-decode dispatch).
 
-    The feature vector is projected to scalar columns (f0/f1 + mean) —
-    array cells are unhashable in the driver's pandas
-    canonicalization."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "media", F.encode(F.col("text"), "utf-8")
-    )
-    feats = MM.fake_decode_features(d, "media")
+    The feature vector is projected to scalar columns — array cells
+    are unhashable in the driver's pandas canonicalization."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = d.select("doc_id").withColumn("media", MM.synth_pgm_udf()(F.col("doc_id")))
+    feats = MM.decode_media_features(imgs, "media")
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.size("features"), 6).alias(
-            "feature_mean"
-        ),
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(MM.FEATURE_DIM)
+        ],
     )
 
 

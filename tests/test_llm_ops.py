@@ -100,28 +100,63 @@ def test_lsh_topk_subset_of_bruteforce_when_same_bucket(spark, sf_dir):
         assert pair in brute_pairs
 
 
-def test_multimodal_metadata_and_fake_decode(spark):
+def test_multimodal_metadata_and_media_decode(spark):
     df = spark.createDataFrame([(1, "hello world"), (2, "abc")], "doc_id long, text string")
     media = df.withColumn("media", F.encode("text", "utf-8"))
     meta = MM.with_media_metadata(media).select("doc_id", "media_meta.*").collect()
     by_id = {r["doc_id"]: r for r in meta}
     assert by_id[1]["n_bytes"] == 11
     assert by_id[1]["checksum"] == hashlib.md5(b"hello world").hexdigest()
-    feats = MM.fake_decode_features(media).collect()
+    feats = MM.decode_media_features(media).collect()
     fby = {r["doc_id"]: r for r in feats}
     assert fby[2]["n_bytes"] == 3
     assert len(fby[1]["features"]) == MM.FEATURE_DIM
-    assert all(0 <= x < 1 for x in fby[1]["features"])
+    assert all(0 <= x <= 1 for x in fby[1]["features"])
     # deterministic
-    assert MM.fake_decode_features(media).collect() == feats
+    assert MM.decode_media_features(media).collect() == feats
 
 
-def test_multimodal_strict_decode_raises(spark):
+def test_media_features_are_real_sample_statistics():
+    """The extractor must compute statistics of the DECODED samples,
+    per container format — checked against hand-computed values."""
+    import numpy as np
+
+    # PGM: constant-brightness image -> degenerate, fully known stats
+    px = bytes([100] * 6)
+    pgm = b"P5\n3 2\n255\n" + px
+    f = MM.media_features(pgm)
+    assert f[0] == f[2] == f[3] == f[4] == 100 / 255  # mean=min=max=median
+    assert f[1] == 0.0 and f[5] == 0.0  # std 0; nothing above 127
+    assert abs(f[6] - (100 / 255) ** 2) < 1e-12  # energy
+    assert f[7] == 1 / 6  # one distinct value over six pixels
+
+    # WAV: symmetric two-level square wave
+    import struct
+
+    samples = np.array([16384, -16384] * 4, dtype="<i2")
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    g = MM.media_features(wav)
+    assert g[0] == 0.0 and g[5] == 0.5  # zero mean; half above zero
+    assert abs(g[1] - 0.5) < 1e-12  # std of ±0.5 square wave
+    # untyped blob: raw byte stats
+    h = MM.media_features(b"\x00\xff")
+    assert h[2] == 0.0 and h[3] == 1.0 and h[5] == 0.5
+
+
+def test_multimodal_strict_decode_raises_for_unknown_format_only(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string").withColumn(
         "media", F.encode("text", "utf-8")
     )
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        MM.fake_decode_features(df, strict=True).collect()
+    with pytest.raises(Exception, match="NotImplementedError|compressed-media codec"):
+        MM.decode_media_features(df, strict=True).collect()
+    # recognized formats pass strict mode: they have a REAL decoder
+    pgm = df.select("doc_id").withColumn("media", MM.synth_pgm_udf()(F.col("doc_id")))
+    assert MM.decode_media_features(pgm, strict=True).count() == 1
 
 
 def test_frame_sampling_counts(spark):
