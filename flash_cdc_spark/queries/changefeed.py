@@ -250,7 +250,11 @@ def q_envelope_decode_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     never execute in this container (VERDICT r2 'What's missing' #2)."""
     import pyspark.sql.types as T
 
-    ev = load_table(spark, sf_dir, "events")
+    from flash_cdc_spark.session import ensure_min_parallelism
+
+    # the encode/decode pandas UDFs are the bottleneck; a 1-split scan
+    # would serialize them onto one core (no-op at real scale)
+    ev = ensure_min_parallelism(load_table(spark, sf_dir, "events"))
     n_ids = (F.col("event_id") % 3 + 1).cast("int")
     record_ids = F.transform(
         F.sequence(F.lit(0), n_ids - 1),

@@ -25,7 +25,27 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark", "scoped_conf"]
+__all__ = ["get_spark", "stop_spark", "scoped_conf", "ensure_min_parallelism"]
+
+
+def ensure_min_parallelism(df, min_partitions: int | None = None):
+    """Repartition ``df`` up to the session's default parallelism iff it
+    currently has FEWER partitions — the guard for Python-codec-bound
+    stages (pandas-UDF decode/encode) downstream of a small scan.
+
+    Why: a tiny parquet table arrives as 1–2 splits under the 128 MB
+    split size, so a following Arrow/pandas stage would run on 1–2 of
+    N cores (measured r4: the Avro wire-format query ran 1.9× slower
+    single-partition than repartitioned). At 100 TB the scan itself
+    yields thousands of splits and this is a no-op — the guard only
+    triggers when the input is narrower than the machine, exactly the
+    local/bench case. No-op (plan-identical) when partitions are
+    already sufficient, so it never inserts a shuffle at scale."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 @contextmanager

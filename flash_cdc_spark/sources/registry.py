@@ -120,6 +120,15 @@ def python_json_to_avro_udf(avro_json: str):
     return _enc
 
 
+# Perf note (measured r4, sf0.1, local[32]): a mapInPandas variant
+# emitting the decoded struct in one Arrow hop was tried and is SLOWER
+# than this bridge (2.50s vs 1.57s at equal parallelism) — Python
+# dict→Arrow-struct conversion costs more than C json.dumps + JVM
+# vectorized from_json, and mapInPandas round-trips every envelope
+# column through Arrow while the bridge ships only the payload bytes.
+# The pandas_udf JSON bridge IS the fast Python path; the decisive
+# scale lever is partition count at the codec boundary (see
+# ensure_min_parallelism), not the bridge itself.
 def decode_envelope(
     envelope: DataFrame,
     registry: SchemaRegistry,
