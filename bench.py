@@ -77,6 +77,10 @@ HEADLINE = [
     "q_multimodal_image_decode",
     "q_dedup_simhash64_pairs",
     "q_train_contamination_check",
+    # --- added r4 ---
+    # streaming merge sink, end-to-end (3 micro-batches + bucketed
+    # parquet merges): tracks the state-sink cost round over round
+    "q_streaming_latest_state",
 ]
 
 
