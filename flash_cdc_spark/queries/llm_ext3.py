@@ -1,0 +1,212 @@
+"""Corpus-curation additions (r4, registered past the driver window —
+r5 rotation candidates; continuously checked by the local oracle mimic
+and the committed fingerprint snapshot).
+
+Published-heuristic provenance: span-level cross-document dedup follows
+C4's "discard repeated three-sentence spans" step (Raffel et al. 2020,
+§2.2) re-expressed over fixed word windows; the n-gram LM
+perplexity-as-quality signal follows CCNet (Wenzek et al. 2020), which
+scores web text with a small LM trained on a trusted slice — here a
+bigram model with add-one smoothing trained on the engine's own
+deterministic train split, so both engines reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+# Same deterministic md5-bucket rule as q_train_test_split: bucket < 90
+# is the train slice. Membership is a pure function of doc_id — stable
+# across engines, runs, and repartitioning.
+_TRAIN_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90"
+)
+
+
+def _train_bucket_col() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+        < 90
+    )
+
+
+@query(
+    "q_text_span_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    ),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')) AS span_hash
+        FROM toks,
+             LATERAL (SELECT unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i)
+    ),
+    boiler AS (
+        SELECT span_hash FROM spans
+        GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 3
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN span_hash IN (SELECT span_hash FROM boiler)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           round(sum(CASE WHEN span_hash IN (SELECT span_hash FROM boiler)
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+               AS boilerplate_frac
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document SPAN dedup (Raffel et al. 2020 §2.2):
+    split each document into fixed 8-word windows, hash each window,
+    and flag spans that occur in ≥ 3 distinct documents as boilerplate
+    (navigation chrome, licenses, templates — the stuff page-level
+    dedup misses). Output: per-doc span census + boilerplate fraction,
+    the signal a cleaner uses to cut or rewrite the doc.
+
+    Scale shape: explode to (doc, span_hash) — linear in corpus tokens
+    with fixed-width md5 keys; one groupBy(span_hash) with a
+    count-distinct (partial-aggregable); the boilerplate set joins back
+    broadcast-or-shuffle by the same hash key. No pairwise anything:
+    cost is O(tokens), the reason C4 can run this at web scale."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ws = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(ws) / F.lit(8.0)).cast("bigint")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice(ws, i * 8 + 1, 8), " ")
+                ),
+            )
+        ).alias("span_hash"),
+    )
+    boiler = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("span_hash", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        spans.join(boiler, "span_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boilerplate"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+@query(
+    "q_text_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               {_TRAIN_BUCKET_SQL} AS is_train
+        FROM documents WHERE length(text) > 0
+    ),
+    bigrams AS (
+        SELECT doc_id, is_train,
+               ws[CAST(i + 1 AS INT)] AS w1, ws[CAST(i + 2 AS INT)] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(len(ws) - 1)) AS i)
+        WHERE len(ws) >= 2
+    ),
+    c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM bigrams WHERE is_train
+        GROUP BY w1, w2
+    ),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+    vocab AS (
+        SELECT count(DISTINCT w) AS v FROM (
+            SELECT unnest(ws) AS w FROM toks WHERE is_train
+        )
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               -log2((coalesce(c2.c2, 0) + 1.0)
+                     / (coalesce(c1.c1, 0) + (SELECT v FROM vocab))) AS nll
+        FROM bigrams b
+        LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        LEFT JOIN c1 ON c1.w1 = b.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)      AS n_bigrams,
+           round(avg(nll), 6)            AS cross_entropy,
+           round(pow(2.0, avg(nll)), 4)  AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020): score every
+    document's bigram cross-entropy / perplexity under an add-one
+    smoothed bigram model trained on the deterministic train split
+    (same md5-bucket rule as q_train_test_split). High-perplexity docs
+    are the curation outliers (gibberish, wrong-language, OCR noise);
+    low-perplexity extremes are templates.
+
+    Scale shape: the MODEL is vocab²-bounded (bigram + context counts
+    — partial-aggregable groupBys), never corpus-sized; scoring is two
+    hash joins of the corpus bigram stream against those counts, then
+    one per-doc aggregate. The vocabulary size joins in as a broadcast
+    scalar. This is the whole CCNet scoring loop as three shuffles."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ws = F.split(F.col("text"), " ")
+    toks = d.select("doc_id", ws.alias("ws"), _train_bucket_col().alias("is_train"))
+    bigrams = toks.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "is_train", "bg.w1", "bg.w2")
+    c2 = (
+        bigrams.filter("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = c2.groupBy(F.col("w1").alias("c1_w1")).agg(F.sum("c2").alias("c1"))
+    vocab = (
+        toks.filter("is_train")
+        .select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bigrams.join(c2, ["w1", "w2"], "left")
+        .join(c1, bigrams.w1 == F.col("c1_w1"), "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log2(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), F.avg("nll")), 4).alias("perplexity"),
+    )
