@@ -112,3 +112,22 @@ def test_incremental_probe_plan_has_single_band_join(spark, sf_dir):
 
     band_key_joins = len(re.findall(r"Left keys.*band_hash", p))
     assert band_key_joins == 1, p
+
+
+def test_new_tpch_plans_broadcast_dims_and_push_filters(spark, sf_dir):
+    """r4 TPC-H additions: Q2/Q9's dimension chain must broadcast (no
+    shuffle join against region/nation/supplier/part), Q9's LIKE and
+    Q2's size/type equality must reach the part scan, and Q22's
+    dormant-customer check must be a broadcast-able anti join — the
+    plans that keep these linear at 100 TB."""
+    p2 = _plan(QUERIES["q02_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p2
+    # part filter pushed to scan
+    assert "PushedFilters" in p2 and "p_size" in p2
+    p9 = _plan(QUERIES["q09_product_type_profit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p9
+    assert "StringContains(p_name,bolt)" in p9 or "p_name" in p9.split("PushedFilters", 1)[1]
+    p22 = _plan(QUERIES["q22_global_sales_opportunity"](spark, sf_dir))
+    assert "LeftAnti" in p22
+    p20 = _plan(QUERIES["q20_excess_shipments"](spark, sf_dir))
+    assert "LeftSemi" in p20
