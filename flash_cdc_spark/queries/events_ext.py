@@ -858,3 +858,89 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@query(
+    "q_streaming_feed_outbox",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT)            AS replay_seq,
+           'evt-' || CAST(event_id AS VARCHAR) AS out_event_id,
+           '/data/EventChange'                 AS topic_name,
+           'schema-v1'                         AS schema_id,
+           CAST(length(CAST(user_id AS VARCHAR) || ':' || event_type) AS INT)
+               AS payload_len
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def q_streaming_feed_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed 2PC feed outbox (K6; the tenth
+    streaming-executed driver row): a real Structured Streaming job
+    publishes the event stream through the custom ``flashfeed``
+    DataSourceStreamWriter — executor-staged JSONL fragments, driver
+    append on commit, committed-epoch sidecar — across THREE
+    micro-batches, then the feed log is read back through the matching
+    batch reader and value-compared against the relational projection
+    of the same events. Explicit producer replay_seq keeps the output
+    deterministic (bus assignment order varies with task scheduling);
+    every envelope field and the payload length must round-trip the
+    wire format exactly."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.sources.flashfeed import FlashFeedDataSource
+    from flash_cdc_spark.streaming import await_or_fail
+
+    try:
+        spark.dataSource.register(FlashFeedDataSource)
+    except Exception:
+        pass  # already registered on this session
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    env = ev.select(
+        F.concat(F.lit("evt-"), F.col("event_id").cast("string")).alias("event_id"),
+        F.col("event_id").cast("bigint").alias("replay_seq"),
+        F.lit("/data/EventChange").alias("topic_name"),
+        F.lit("schema-v1").alias("schema_id"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+        ).alias("payload"),
+    )
+    workdir = tempfile.mkdtemp(prefix="flash_outbox_")
+    try:
+        src = f"{workdir}/src"
+        for third in range(3):  # three files -> three micro-batches
+            env.filter(F.pmod(F.col("replay_seq"), F.lit(3)) == third).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        feed = f"{workdir}/feed.jsonl"
+        stream = (
+            spark.readStream.schema(env.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        await_or_fail(
+            stream.writeStream.format("flashfeed")
+            .option("path", feed)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        rows = (
+            spark.read.format("flashfeed")
+            .option("path", feed)
+            .load()
+            .select(
+                "replay_seq",
+                F.col("event_id").alias("out_event_id"),
+                "topic_name",
+                "schema_id",
+                F.length("payload").cast("int").alias("payload_len"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "replay_seq bigint, out_event_id string, topic_name string, "
+        "schema_id string, payload_len int",
+    )
