@@ -1008,3 +1008,104 @@ def q_sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "q_dedup_clusters64",
+    oracle="WITH RECURSIVE " + _DUCK_SIMHASH64_SIG + """
+    , sgrp AS (
+        -- identical-signature contraction at the (hi, lo) level, same
+        -- scheme as the 32-bit clusters query
+        SELECT sim_hi, sim_lo, min(doc_id) AS doc_id,
+               count(*) AS n, max(doc_id) AS max_doc
+        FROM ssig GROUP BY sim_hi, sim_lo
+    ),
+    sbands AS (
+        SELECT doc_id, sim_hi, sim_lo, CAST(b AS INT) AS band_idx,
+               CASE CAST(b AS INT)
+                   WHEN 0 THEN sim_lo & 65535
+                   WHEN 1 THEN sim_lo >> 16
+                   WHEN 2 THEN sim_hi & 65535
+                   ELSE sim_hi >> 16
+               END AS band_val
+        FROM sgrp CROSS JOIN (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {cap}
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM sbands l JOIN sbands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim_hi, r.sim_hi))
+              + bit_count(xor(l.sim_lo, r.sim_lo)) <= 3
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (
+        SELECT node, CAST(min(lbl) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    labeled AS (
+        SELECT coalesce(cc.cluster_id, g.doc_id) AS cluster_id,
+               g.n, g.max_doc
+        FROM sgrp g LEFT JOIN cc ON cc.node = g.doc_id
+    )
+    SELECT cluster_id,
+           CAST(sum(n) AS BIGINT)        AS n_members,
+           CAST(max(max_doc) AS BIGINT)  AS max_member
+    FROM labeled
+    GROUP BY cluster_id
+    HAVING sum(n) > 1
+    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH),
+)
+def q_dedup_clusters64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters over the SCALE-SAFE 64-bit SimHash path (r4 —
+    closes the loop on the r3 structural fix: the 16-bit-band variant
+    now feeds the full contract→band→verify→connected-components
+    pipeline, not just the pairs listing). Same shape as
+    ``q_dedup_clusters``: identical-(hi, lo) signature groups contract
+    to weighted representative nodes first, the capped 2¹⁶-value band
+    join emits only sparse candidate pairs, exact Hamming ≤ 3 verifies,
+    and min-label propagation with pointer jumping labels components.
+    At 100× corpus the 64-bit bands keep expected bucket width
+    ≈ n/65,536, so this is the clustering pipeline you would actually
+    run at 100 TB."""
+    from flash_cdc_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash64_signatures(d)
+    grp = (
+        sigs.groupBy("sim_hi", "sim_lo")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rep_pairs = simhash64_candidate_pairs(
+        grp.select("doc_id", "sim_hi", "sim_lo"),
+        max_hamming=3,
+        max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH,
+    ).select("doc_a", "doc_b")
+    cc = connected_components(rep_pairs)
+    labeled = grp.join(cc, grp.doc_id == cc.node, "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "n",
+        "max_doc",
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(F.sum("n").alias("n_members"), F.max("max_doc").alias("max_member"))
+        .filter(F.col("n_members") > 1)
+    )
