@@ -944,3 +944,57 @@ def q_streaming_feed_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replay_seq bigint, out_event_id string, topic_name string, "
         "schema_id string, payload_len int",
     )
+
+
+@query(
+    "q_events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS nxt1,
+               lead(event_type, 2) OVER w AS nxt2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type || ' > ' || nxt1 || ' > ' || nxt2 AS path
+        FROM seq WHERE nxt2 IS NOT NULL
+    ),
+    counted AS (
+        SELECT path, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, path) AS rk
+        FROM paths GROUP BY path
+    )
+    SELECT path, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+    FROM counted WHERE rk <= 20
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common 3-step event-type
+    sequences across users (the clickstream question funnels and
+    Markov transitions approximate from fixed templates — this one
+    DISCOVERS the templates). One user-keyed shuffle builds ordered
+    per-user sequences via two `lead()`s in a single window pass (no
+    self-joins, no per-user collect), then a path-keyed count and a
+    20-row TakeOrdered — path cardinality is |event_types|³-bounded,
+    so the second shuffle is tiny at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).filter(F.col("nxt2").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "nxt1", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counted.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select("path", "n", F.col("rk").cast("int").alias("rk"))
+    )

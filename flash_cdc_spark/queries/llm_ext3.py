@@ -13,7 +13,7 @@ deterministic train split, so both engines reproduce it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.queries import query
@@ -209,4 +209,73 @@ def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("cross_entropy"),
         F.round(F.pow(F.lit(2.0), F.avg("nll")), 4).alias("perplexity"),
+    )
+
+
+@query(
+    "q_embedding_covariance_topk",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, CAST(i AS INT) AS d,
+               CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i)
+    ),
+    means AS (SELECT d, avg(x) AS mu FROM comp GROUP BY d),
+    centered AS (
+        SELECT c.vec_id, c.d, c.x - m.mu AS xc
+        FROM comp c JOIN means m ON m.d = c.d
+    ),
+    cov AS (
+        SELECT a.d AS d1, b.d AS d2,
+               sum(a.xc * b.xc) / (SELECT count(*) FROM embeddings) AS cov
+        FROM centered a JOIN centered b
+          ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    ),
+    ranked AS (
+        SELECT d1, d2, round(cov, 9) AS covariance,
+               row_number() OVER (ORDER BY abs(cov) DESC, d1, d2) AS rk
+        FROM cov WHERE d1 < d2
+    )
+    SELECT d1, d2, covariance, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q_embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance audit — distributed linear algebra as
+    relational operators: the top-20 most-correlated dimension pairs of
+    the 64-dim embedding corpus (redundant dimensions are what PCA /
+    whitening / quantization-range decisions key on). Σ = Xᶜ᜔ᵀXᶜ/n is
+    computed as an explode→self-join→groupBy: per-vector components
+    explode to (vec_id, d, x), center by the per-dimension mean, and
+    every co-occurring (d1 ≤ d2) pair contributes one product to the
+    (d1, d2) cell — upper-triangle only, so the shuffle carries
+    n·d·(d+1)/2 products aggregated map-side into d² ≈ 4k cells. The
+    MODEL is dimension²-sized, never corpus-sized; at 100 TB this is
+    one pass + one bounded shuffle (the same shape MLlib's
+    RowMatrix.computeCovariance uses)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    comp = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    means = comp.groupBy("d").agg(F.avg("x").alias("mu"))
+    centered = comp.join(F.broadcast(means), "d").select(
+        "vec_id", "d", (F.col("x") - F.col("mu")).alias("xc")
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    cov = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.d") <= F.col("b.d")))
+        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .agg((F.sum(F.col("a.xc") * F.col("b.xc")) / F.lit(n)).alias("cov"))
+    )
+    w = Window.orderBy(F.abs(F.col("cov")).desc(), "d1", "d2")
+    return (
+        cov.filter(F.col("d1") < F.col("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "d1", "d2", F.round("cov", 9).alias("covariance"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )

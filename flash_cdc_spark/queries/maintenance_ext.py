@@ -73,3 +73,127 @@ def q_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_event_id bigint, max_event_id bigint, sum_value double, "
         "files_reduced int",
     )
+
+
+@query(
+    "q_quality_constraint_report",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'orders_orderkey_unique' AS check_name,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+               CAST(count(*) AS BIGINT) AS population
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_complete',
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_totalprice_positive',
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_referential',
+               CAST(count(*) AS BIGINT),
+               (SELECT CAST(count(*) AS BIGINT) FROM orders)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey IS NULL
+        UNION ALL
+        SELECT 'lineitem_orderkey_referential',
+               CAST(count(*) AS BIGINT),
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey IS NULL
+        UNION ALL
+        SELECT 'lineitem_discount_in_range',
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.3
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events_ts_not_future',
+               CAST(sum(CASE WHEN ts > TIMESTAMP '2030-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM events
+    )
+    """,
+)
+def q_quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality report — the constraint
+    families a production table contract asserts (uniqueness,
+    completeness, value range, referential integrity, temporal sanity)
+    evaluated in ONE pass per table plus two anti-joins, emitting one
+    row per check with its violation count and population.
+
+    Scale shape: every per-table check family shares a single scan and
+    aggregate (sums of CASE indicators + count-distinct are all
+    partial-aggregable), so adding a tenth check to a table adds zero
+    I/O; the referential checks are anti joins on the key — broadcast
+    when the parent side is dimension-sized, shuffle otherwise. This is
+    how a constraint engine (AWS Deequ's analyzer pattern) maps onto
+    Catalyst."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def report(name: str, violations: F.Column, population: F.Column, df: DataFrame):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            violations.cast("bigint").alias("violations"),
+            population.cast("bigint").alias("population"),
+        )
+
+    cnt = F.count(F.lit(1))
+    orders_checks = [
+        report(
+            "orders_orderkey_unique",
+            cnt - F.countDistinct("o_orderkey"),
+            cnt,
+            o,
+        ),
+        report(
+            "orders_custkey_complete",
+            F.sum(F.col("o_custkey").isNull().cast("int")),
+            cnt,
+            o,
+        ),
+        report(
+            "orders_totalprice_positive",
+            F.sum((F.col("o_totalprice") <= 0).cast("int")),
+            cnt,
+            o,
+        ),
+    ]
+    n_orders = o.count()
+    n_lineitem = li.count()
+    orphan_orders = report(
+        "orders_custkey_referential",
+        cnt,
+        F.lit(n_orders),
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"),
+    )
+    orphan_lineitem = report(
+        "lineitem_orderkey_referential",
+        cnt,
+        F.lit(n_lineitem),
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    li_range = report(
+        "lineitem_discount_in_range",
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.3)).cast("int")),
+        cnt,
+        li,
+    )
+    ev_ts = report(
+        "events_ts_not_future",
+        F.sum((F.col("ts") > F.lit("2030-01-01").cast("timestamp")).cast("int")),
+        cnt,
+        ev,
+    )
+    out = orders_checks[0]
+    for part in orders_checks[1:] + [orphan_orders, orphan_lineitem, li_range, ev_ts]:
+        out = out.unionByName(part)
+    return out
