@@ -81,6 +81,10 @@ HEADLINE = [
     # streaming merge sink, end-to-end (3 micro-batches + bucketed
     # parquet merges): tracks the state-sink cost round over round
     "q_streaming_latest_state",
+    "q_text_span_dedup",
+    "q_text_bigram_perplexity",
+    "q_embedding_covariance_topk",
+    "q09_product_type_profit",
 ]
 
 
