@@ -136,17 +136,24 @@ def test_failed_batch_replays_after_restart(spark, tmp_path, webhook_server):
 
 def test_since_mode_drops_old_but_advances(spark, tmp_path, webhook_server):
     cutoff_ms = 1_700_000_000_000
+    # The pipeline recomputes "now" when it builds the stream, so the
+    # effective cutoff = pipeline_now - N min can drift up to ~a minute
+    # past the one computed here (floor division) plus wall-clock
+    # elapsed between this line and stream build. Events therefore sit
+    # ±4 min around the nominal cutoff: far outside any realistic
+    # drift, which previously flaked when the test ran at an unlucky
+    # wall-clock second (margin shrank to ~0).
     _write_events(
         spark,
         str(tmp_path / "source"),
         [
-            _event_row(1, ["old1"], flag="true", ts=cutoff_ms - 60_000),
-            _event_row(2, ["new1"], flag="true", ts=cutoff_ms + 60_000),
+            _event_row(1, ["old1"], flag="true", ts=cutoff_ms - 240_000),
+            _event_row(2, ["new1"], flag="true", ts=cutoff_ms + 240_000),
         ],
     )
     mgr = PipelineManager(spark, retry_policy=FAST_POLICY)
     config = _mk_config(tmp_path, webhook_server, pid=3)
-    # since_minutes chosen so now - N minutes lands exactly on cutoff_ms
+    # since_minutes chosen so now - N minutes lands ~on cutoff_ms
     now_ms = int(time.time() * 1000)
     since_minutes = max(1, (now_ms - cutoff_ms) // 60_000)
     mgr.start(config, ReplayArgs(mode="since", since_minutes=since_minutes))
