@@ -998,3 +998,70 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("path", "n", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "q_streaming_db_upsert",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           epoch_ms(ts)      AS commit_ms,
+           round(value, 2)   AS value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_db_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed transactional DB sink (the eleventh
+    streaming-executed driver row; reference parity with its
+    Postgres-consumer delivery, ``app/services/processor.py``): a real
+    streaming job upserts the change stream micro-batch by micro-batch
+    into a sqlite table, with the batch-id ledger and the per-key
+    conditional upsert sharing ONE transaction — exactly-once in the
+    database under at-least-once replay. The final table must equal
+    the batch latest-snapshot relation, same oracle as the parquet
+    merge sink."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming import await_or_fail
+    from flash_cdc_spark.streaming.dbsink import read_db_state, streaming_db_upsert
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="flash_dbsink_")
+    try:
+        src = f"{workdir}/src"
+        for third in range(3):
+            batch.filter(F.pmod(F.col("event_id"), F.lit(3)) == third).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        await_or_fail(
+            streaming_db_upsert(stream, f"{workdir}/state.db", f"{workdir}/ckpt")
+        )
+        rows = (
+            read_db_state(spark, f"{workdir}/state.db")
+            .select(
+                "user_id",
+                "event_type",
+                "event_id",
+                "commit_ms",
+                F.round("value", 2).alias("value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, event_type string, event_id bigint, "
+        "commit_ms bigint, value double",
+    )
