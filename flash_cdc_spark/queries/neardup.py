@@ -1109,3 +1109,133 @@ def q_dedup_clusters64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_members"), F.max("max_doc").alias("max_member"))
         .filter(F.col("n_members") > 1)
     )
+
+
+def _duck_pagerank_cte(iters: int, damping: float = 0.85) -> str:
+    """Unrolled PageRank CTEs over the rep-level 64-bit band-join pair
+    graph (expects ``pairs(doc_a, doc_b)`` upstream). Same unrolled-
+    iteration oracle device as :func:`operators.ivf.kmeans_cte`: both
+    engines round ranks to 9 dp per iteration so float-reduction order
+    cannot diverge."""
+    parts = [
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS r FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"r{t} AS (SELECT e.dst AS node, "
+            f"round({1 - damping} / (SELECT n FROM nn) "
+            f"+ {damping} * sum(r{t - 1}.r / deg.cnt), 9) AS r "
+            f"FROM edges e JOIN r{t - 1} ON r{t - 1}.node = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+    return ",\n    ".join(parts)
+
+
+_PAGERANK_ITERS = 8
+
+
+@query(
+    "q_dedup_pagerank_centrality",
+    oracle="WITH " + _DUCK_SIMHASH64_SIG + """
+    , sgrp AS (
+        SELECT sim_hi, sim_lo, min(doc_id) AS doc_id
+        FROM ssig GROUP BY sim_hi, sim_lo
+    ),
+    sbands AS (
+        SELECT doc_id, sim_hi, sim_lo, CAST(b AS INT) AS band_idx,
+               CASE CAST(b AS INT)
+                   WHEN 0 THEN sim_lo & 65535
+                   WHEN 1 THEN sim_lo >> 16
+                   WHEN 2 THEN sim_hi & 65535
+                   ELSE sim_hi >> 16
+               END AS band_val
+        FROM sgrp CROSS JOIN (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {cap}
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM sbands l JOIN sbands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim_hi, r.sim_hi))
+              + bit_count(xor(l.sim_lo, r.sim_lo)) <= 3
+    ),
+    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH)
+    + _duck_pagerank_cte(_PAGERANK_ITERS)
+    + f"""
+    , ranked AS (
+        SELECT node, r,
+               row_number() OVER (ORDER BY r DESC, node) AS rk
+        FROM r{_PAGERANK_ITERS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, round(r, 8) AS rank,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup graph (iterative graph
+    analytics #3 beside connected components and k-means): rank the
+    rep-level nodes of the capped 64-bit SimHash band-join graph by
+    8-iteration damped PageRank — the centrality signal a curation
+    pipeline uses to pick the most-connected canonical document (or to
+    spot template hubs) inside big near-dup neighborhoods.
+
+    Scale shape: classic iterative Spark — per iteration one
+    edges⋈ranks join (shuffle on src) + one groupBy(dst), with
+    ``localCheckpoint`` lineage truncation every other round; the edge
+    list comes from the same capped band join as the clusters queries
+    (never all-pairs). Ranks round to 9 dp per iteration on BOTH
+    engines (the kmeans_cte device), so the unrolled-CTE oracle is
+    bit-comparable despite float reductions."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash64_signatures(d)
+    grp = (
+        sigs.groupBy("sim_hi", "sim_lo")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = simhash64_candidate_pairs(
+        grp.select("doc_id", "sim_hi", "sim_lo"),
+        max_hamming=3,
+        max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH,
+    ).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("cnt"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    damping = 0.85
+    ranks = nodes.withColumn("r", F.round(F.lit(1.0 / n), 9))
+    for t in range(_PAGERANK_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("r") / F.col("cnt")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(
+                    F.lit((1 - damping) / n) + F.lit(damping) * F.sum("c"), 9
+                ).alias("r")
+            )
+        )
+        if t % 2 == 1:  # truncate lineage every other round
+            ranks = ranks.localCheckpoint(eager=True)
+    w = Window.orderBy(F.col("r").desc(), "node")
+    return (
+        ranks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.round("r", 8).alias("rank"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
