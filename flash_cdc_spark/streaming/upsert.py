@@ -236,15 +236,23 @@ def streaming_latest_state(
         w = Window.partitionBy(*keys).orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
+        # the touched-bucket set rides the delta checkpoint job via
+        # observe() (same device as the CC loop's convergence count):
+        # one blocking job computes the reduction AND the bucket list,
+        # instead of checkpoint + a follow-up distinct/collect action
+        from pyspark.sql import Observation
+
+        obs = Observation()
         delta = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
             .withColumn("state_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets)))
+            .observe(obs, F.collect_set("state_bucket").alias("touched"))
             .localCheckpoint(eager=True)  # compute the delta reduction ONCE:
-            # both the touched-bucket collect and the final write reuse it
+            # both the touched-bucket set and the final write reuse it
         )
-        touched = [r["state_bucket"] for r in delta.select("state_bucket").distinct().collect()]
+        touched = list(obs.get["touched"])
         existing = _read_state_if_exists(spark, state_path, touched)
         merged_src = existing.unionByName(delta) if existing is not None else delta
         merged = (
@@ -294,12 +302,17 @@ def streaming_scd2_history(
             return
         spark = batch_df.sparkSession
         _check_or_record_n_buckets(spark, state_path, n_buckets)
-        delta = batch_df.withColumn(
-            "state_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets))
-        ).localCheckpoint(eager=True)
-        touched = [
-            r["state_bucket"] for r in delta.select("state_bucket").distinct().collect()
-        ]
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        delta = (
+            batch_df.withColumn(
+                "state_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets))
+            )
+            .observe(obs, F.collect_set("state_bucket").alias("touched"))
+            .localCheckpoint(eager=True)
+        )
+        touched = list(obs.get["touched"])
         existing = _read_state_if_exists(spark, state_path, touched)
         raw = existing.drop(*derived).unionByName(delta) if existing is not None else delta
         # identity dedup: a replayed (or at-least-once re-delivered)
