@@ -1065,3 +1065,86 @@ def q_streaming_db_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, event_type string, event_id bigint, "
         "commit_ms bigint, value double",
     )
+
+
+@query(
+    "q_events_resample_locf",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM events WHERE user_id < 40 GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT user_id, slot, obs FROM (
+            SELECT user_id, date_trunc('hour', ts) AS slot, value AS obs,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id < 40
+        ) WHERE rn = 1
+    )
+    SELECT g.user_id,
+           epoch_ms(g.slot) AS slot_ms,
+           CAST(h.obs IS NOT NULL AS INT) AS observed,
+           round(last_value(h.obs IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.slot = g.slot
+    """,
+)
+def q_events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular 1-hour grid with
+    last-observation-carried-forward — the gap-fill operator every
+    hypertable/metrics store exposes (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``), and the feature-engineering
+    step that turns irregular event streams into fixed-step model
+    inputs. Per user: hourly slots spanning the user's own active
+    range (``sequence`` + explode — grid generation is JVM-side),
+    hourly observations reduce by latest (ts, event_id), and gaps fill
+    via ``last(obs, ignorenulls)`` over an unbounded-preceding row
+    window.
+
+    Scale shape: one user-keyed shuffle shared by the bounds and
+    hourly aggregates, the grid explode is linear in slots, and the
+    LOCF window is the same partition key — no extra exchange. Grid
+    density is bounded per key (a user's active hours), never a global
+    calendar cross-join."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("slot"),
+    )
+    hourly = (
+        ev.withColumn("slot", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "slot")
+        .agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("obs")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            F.unix_millis("slot").alias("slot_ms"),
+            F.col("obs").isNotNull().cast("int").alias("observed"),
+            F.round(F.last("obs", ignorenulls=True).over(w), 2).alias("value"),
+        )
+    )
