@@ -1148,3 +1148,64 @@ def q_events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("obs", ignorenulls=True).over(w), 2).alias("value"),
         )
     )
+
+
+@query(
+    "q_events_peak_concurrency",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type, epoch_ms(ts) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, epoch_ms(ts) + 1800000, -1 FROM events
+    ),
+    swept AS (
+        SELECT event_type,
+               sum(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS active
+        FROM bounds
+    )
+    SELECT event_type,
+           CAST(max(active) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM swept GROUP BY event_type
+    """,
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency by the classic sweep line: each event
+    opens a 30-minute half-open activity interval; +1/-1 boundary
+    deltas sort by (time, delta) — ends before starts at the same
+    instant — and a running sum over that order is the live
+    concurrency gauge, whose max is the capacity-planning number
+    (simultaneous sessions, connections, streams). Determinism under
+    ties: equal-key runs are all +1s or all -1s, so the prefix-maximum
+    is order-independent within a run.
+
+    Scale shape: one union (map-side), one event_type-keyed shuffle for
+    the running-sum window, one aggregate. The interval list is never
+    joined against itself — the O(n²) overlap-join formulation this
+    replaces."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.unix_millis("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.unix_millis("ts") + F.lit(1_800_000)).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bounds.withColumn("active", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("active").cast("bigint").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+        )
+    )
