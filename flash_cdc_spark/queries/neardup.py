@@ -1239,3 +1239,78 @@ def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@query(
+    "q_dedup_minhash_calibration",
+    oracle="WITH "
+    + _DUCK_MINHASH.format(
+        shingle_expr=_TRIGRAMS,
+        params=_duck_affine_params_cte(),
+        cap=LSH_MAX_BUCKET_WIDTH,
+    )
+    + """
+    , est AS (
+        SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0 AS est
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           round(e.est, 6)                  AS est_jaccard,
+           v.jaccard                        AS exact_jaccard,
+           round(abs(e.est - v.jaccard), 6) AS abs_err
+    FROM veri v JOIN est e ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b
+    """,
+)
+def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration, externally value-compared (the
+    recall-report pattern applied to dedup): for every trigram-LSH
+    candidate pair, the signature-agreement ESTIMATE of Jaccard
+    (matching components / k) sits next to the EXACT shingle-set
+    Jaccard and their absolute error — so the estimator's quality
+    itself is oracle-checked, not asserted. This is the measurement a
+    pipeline uses to pick k and the dedup threshold (E[est] = J, σ =
+    sqrt(J(1-J)/k) ≈ 0.125 at k=16, J=0.5).
+
+    Scale shape: candidates come from the same capped band join as
+    every LSH path (never all-pairs); the estimate joins the k-column
+    signatures for the candidate pairs only; the exact side reuses the
+    two-sided shingle join. All per-pair, output linear in
+    candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    vals = docs.withColumn("vals", shingle_values(F.col("shingles")))
+    sig = vals.select("doc_id", *minhash_signature(F.col("vals"), k=16))
+    banded = sig.select("doc_id", *minhash_bands(k=16, bands=4))
+    cands = minhash_candidate_pairs(
+        banded, bands=4, max_bucket_width=LSH_MAX_BUCKET_WIDTH
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(16)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(16)],
+    )
+    matches = sum(
+        (F.col(f"a_{j}") == F.col(f"b_{j}")).cast("int") for j in range(16)
+    )
+    est = (
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(16.0)).alias("est"))
+    )
+    exact = jaccard_verified_pairs(cands, docs, threshold=0.0)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.round("est", 6).alias("est_jaccard"),
+        F.col("jaccard").alias("exact_jaccard"),
+        F.round(F.abs(F.col("est") - F.col("jaccard")), 6).alias("abs_err"),
+    )
