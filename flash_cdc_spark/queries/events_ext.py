@@ -1209,3 +1209,47 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
         )
     )
+
+
+@query(
+    "q_events_rolling_active_users",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM activity)
+    SELECT d.day,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM days d JOIN activity a
+      ON a.day <= d.day AND a.day > d.day - INTERVAL 7 DAY
+    GROUP BY d.day
+    """,
+)
+def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the sliding
+    DISTINCT-count, which no window function computes directly
+    (count-distinct isn't decomposable over sliding frames). The
+    relational shape: dedup to (day, user) once, then a bounded range
+    join of the day grid against that activity set and a distinct
+    count per day.
+
+    Scale shape: the activity dedup is one (day, user) shuffle; the
+    range join fans each activity row out to ≤ 7 grid days (bounded by
+    the window width, not data), so the join output is 7× the deduped
+    activity — linear. The day grid is calendar-sized. This beats the
+    naive events×days join (which would fan out raw events) by
+    deduplicating FIRST."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = activity.select("day").distinct().select(F.col("day").alias("grid_day"))
+    return (
+        activity.join(
+            days,
+            (F.col("day") <= F.col("grid_day"))
+            & (F.col("day") > F.col("grid_day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy(F.col("grid_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
