@@ -1253,3 +1253,41 @@ def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("grid_day").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "q_events_value_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               least(CAST(floor((value - lo) / ((hi - lo) / 16.0)) AS INT), 15) AS bin
+        FROM events CROSS JOIN bounds
+    )
+    SELECT event_type, bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 16-bin histogram of event values per type — the
+    distribution-profiling primitive behind data drift checks and UI
+    sparklines. Global (lo, hi) bounds broadcast as a one-row scalar
+    (one pass), then binning is pure arithmetic and the count keys on
+    (type, bin) — a 16·|types|-cell aggregate, map-side combined. The
+    top bin is closed (least(..., 15)) so hi lands in bin 15 on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(16.0)
+    bin_col = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"), F.lit(15)
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -279,3 +279,119 @@ def q_embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+_POWER_ITERS = 6
+
+
+def _duck_power_iteration_cte(iters: int) -> str:
+    """Unrolled power-iteration CTEs over a ``cov(d1, d2, cov)`` matrix
+    CTE (full matrix, both triangles). Same determinism device as
+    kmeans_cte/pagerank: matvec results and normalized vectors round to
+    9 dp per iteration on both engines."""
+    parts = [
+        "v0 AS (SELECT CAST(unnest(range(64)) AS INT) AS d, "
+        "round(1.0 / 8.0, 9) AS v)",  # 1/sqrt(64)
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"u{t} AS (SELECT m.d1 AS d, round(sum(m.cov * v.v), 9) AS u "
+            f"FROM cov m JOIN v{t - 1} v ON v.d = m.d2 GROUP BY m.d1)"
+        )
+        parts.append(
+            f"n{t} AS (SELECT sqrt(sum(u * u)) AS nrm FROM u{t})"
+        )
+        parts.append(
+            f"v{t} AS (SELECT d, round(u / (SELECT nrm FROM n{t}), 9) AS v "
+            f"FROM u{t})"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_embedding_top_eigenvector",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, CAST(i AS INT) AS d,
+               CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i)
+    ),
+    means AS (SELECT d, avg(x) AS mu FROM comp GROUP BY d),
+    centered AS (
+        SELECT c.vec_id, c.d, c.x - m.mu AS xc
+        FROM comp c JOIN means m ON m.d = c.d
+    ),
+    upper_cov AS (
+        SELECT a.d AS d1, b.d AS d2,
+               round(sum(a.xc * b.xc)
+                     / (SELECT count(*) FROM embeddings), 9) AS cov
+        FROM centered a JOIN centered b
+          ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    ),
+    cov AS (
+        SELECT d1, d2, cov FROM upper_cov
+        UNION ALL
+        SELECT d2, d1, cov FROM upper_cov WHERE d1 < d2
+    ),
+    """
+    + _duck_power_iteration_cte(_POWER_ITERS)
+    + f"""
+    , ranked AS (
+        SELECT d, v, row_number() OVER (ORDER BY abs(v) DESC, d) AS rk
+        FROM v{_POWER_ITERS}
+    )
+    SELECT d, round(v, 6) AS loading, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal component of the embedding corpus by relational power
+    iteration — the capstone on `q_embedding_covariance_topk`: the
+    covariance matrix (upper triangle + mirror, 9-dp cells) feeds 6
+    matvec-normalize iterations expressed as join+groupBy over the
+    d²-cell matrix table, and the top-10 |loading| dimensions come out.
+    This is PCA's workhorse as pure relational algebra: the corpus is
+    touched ONCE (covariance pass); every iteration is dimension²-sized
+    — driver-free, executor-cheap, identical on both engines via the
+    9-dp-per-iteration rounding device shared with the k-means and
+    PageRank oracles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    comp = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    means = comp.groupBy("d").agg(F.avg("x").alias("mu"))
+    centered = comp.join(F.broadcast(means), "d").select(
+        "vec_id", "d", (F.col("x") - F.col("mu")).alias("xc")
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    upper = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.d") <= F.col("b.d")))
+        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .agg(F.round(F.sum(F.col("a.xc") * F.col("b.xc")) / F.lit(n), 9).alias("cov"))
+    )
+    cov = upper.unionByName(
+        upper.filter(F.col("d1") < F.col("d2")).select(
+            F.col("d2").alias("d1"), F.col("d1").alias("d2"), "cov"
+        )
+    ).localCheckpoint(eager=True)  # matrix reused every iteration
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("d"), F.round(F.lit(1.0 / 8.0), 9).alias("v")
+    )
+    for _ in range(_POWER_ITERS):
+        u = (
+            cov.join(v, cov.d2 == v.d)
+            .groupBy(F.col("d1").alias("ud"))
+            .agg(F.round(F.sum(F.col("cov") * F.col("v")), 9).alias("u"))
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            F.col("ud").alias("d"), F.round(F.col("u") / F.col("nrm"), 9).alias("v")
+        )
+    w = Window.orderBy(F.abs(F.col("v")).desc(), "d")
+    return (
+        v.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("d", F.round("v", 6).alias("loading"), F.col("rk").cast("int").alias("rk"))
+    )
