@@ -27,23 +27,32 @@ from tests.freeze_oracle_snapshot import (
     snapshot_path,
 )
 
-SF = "0.001"
+# Both committed snapshot scales are pinned: sf0.001 catches logic
+# drift fast; sf0.01 additionally pins scale-sensitive constants
+# (bucket caps, thresholds, window sizes) against the data the round
+# driver actually grades at.
+SFS = ["0.001", "0.01"]
+
+
+@pytest.fixture(scope="module", params=SFS)
+def sf(request) -> str:
+    return request.param
 
 
 @pytest.fixture(scope="module")
-def snapshot() -> dict:
-    path = snapshot_path(SF)
+def snapshot(sf) -> dict:
+    path = snapshot_path(sf)
     assert os.path.exists(path), (
         f"missing committed snapshot {path}; run "
-        "`python -m tests.freeze_oracle_snapshot`"
+        f"`python -m tests.freeze_oracle_snapshot --sf {sf}`"
     )
     with open(path, encoding="utf-8") as fh:
         return json.load(fh)
 
 
 @pytest.fixture(scope="module")
-def duck():
-    con = deterministic_duck(f"/root/testdata/sf{SF}")
+def duck(sf):
+    con = deterministic_duck(f"/root/testdata/sf{sf}")
     yield con
     con.close()
 
