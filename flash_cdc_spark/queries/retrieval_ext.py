@@ -1,0 +1,230 @@
+"""Retrieval scoring (r4, second wave; past-window r5 candidates):
+
+- Okapi BM25 lexical top-k (Robertson & Zaragoza 2009, "The
+  Probabilistic Relevance Framework: BM25 and Beyond") — the inverted-
+  index ranking function, expressed relationally;
+- hybrid lexical+vector fusion by Reciprocal Rank Fusion (Cormack,
+  Clarke & Buettcher SIGIR'09) — the standard way production RAG
+  stacks combine a BM25 list with an ANN cosine list.
+
+Together with the ANN suite (`queries/neardup.py`, `llm_ext.py`) this
+completes the retrieval triangle: lexical, vector, and fused. The
+reference engine has no retrieval surface; north-star scope (SURVEY
+§2.9 / LLM-pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.operators import similarity as SIM
+from flash_cdc_spark.operators.dedup import tokens_col
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+# Fixed query-term set (vocabulary words with distinct document
+# frequencies, so idf genuinely differentiates).
+_QTERMS = ("merge", "window", "customer")
+_K1 = 1.2
+_B = 0.75
+_TOPK = 10
+_RRF_K = 60  # the Cormack et al. constant
+
+_QTERMS_SQL = ",".join(f"'{t}'" for t in _QTERMS)
+
+# Shared DuckDB CTE chain: full BM25 ranking over docs containing any
+# query term. Emits bm(doc_id, bm25, rk).
+_DUCK_BM25 = f"""
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM tok
+        WHERE t IN ({_QTERMS_SQL}) GROUP BY doc_id, t
+    ),
+    idf AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT f.doc_id,
+               round(sum(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                   f.tf * ({_K1} + 1) /
+                   (f.tf + {_K1} * (1 - {_B} + {_B} * l.dl / s.avgdl))
+               ), 6) AS bm25
+        FROM tf f
+        JOIN idf d ON f.t = d.t
+        JOIN dl l ON f.doc_id = l.doc_id
+        CROSS JOIN stats s
+        GROUP BY f.doc_id
+    ),
+    bm AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+    )
+"""
+
+
+def _bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 ranking as a DataFrame ``(doc_id, bm25, rk)`` —
+    rank over the 6-dp-rounded score (ties by doc_id) so both engines
+    order identically."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*_QTERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("t").agg(F.count("*").alias("df"))
+    per_term = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return scored.withColumn("rk", F.row_number().over(w))
+
+
+@query(
+    "q_retrieval_bm25_topk",
+    oracle="WITH "
+    + _DUCK_BM25
+    + f"""
+    SELECT doc_id, bm25, CAST(rk AS INT) AS rk
+    FROM bm WHERE rk <= {_TOPK}
+    """,
+)
+def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed conjunctive-OR term query: tf per
+    (doc, term) + per-term df + doc length normalization
+    (k1=1.2, b=0.75), Robertson idf ``ln(1 + (N-df+.5)/(df+.5))``.
+
+    Scale shape: the inverted-index pattern — explode to postings,
+    filter to QUERY TERMS FIRST (so only matching postings shuffle),
+    one groupBy on (doc, term), broadcast idf + corpus stats, top-k by
+    TakeOrdered. At 100 TB the posting filter is the whole point: work
+    is proportional to the query terms' postings, not the corpus. The
+    global rank window here exists only for the driver value-compare;
+    the production form stops at ``orderBy(score).limit(k)``."""
+    bm = _bm25_ranking(spark, sf_dir)
+    return bm.filter(F.col("rk") <= _TOPK).select(
+        "doc_id", "bm25", F.col("rk").cast("int").alias("rk")
+    )
+
+
+@query(
+    "q_retrieval_hybrid_rrf",
+    oracle="WITH "
+    + _DUCK_BM25
+    + f""",
+    vec AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings
+    ),
+    probe AS (SELECT v AS pv, nrm AS pn FROM vec WHERE vec_id = 0),
+    cosd AS (
+        SELECT vec_id,
+               round(list_dot_product(v, pv) / (nrm * pn), 6) AS cosine
+        FROM vec CROSS JOIN probe WHERE vec_id <> 0
+    ),
+    vr AS (
+        SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS vrk
+        FROM cosd
+    ),
+    fused AS (
+        SELECT COALESCE(b.doc_id, v.vec_id) AS doc_id,
+               round(COALESCE(1.0 / ({_RRF_K} + b.rk), 0) +
+                     COALESCE(1.0 / ({_RRF_K} + v.vrk), 0), 6) AS rrf
+        FROM bm b FULL JOIN vr v ON b.doc_id = v.vec_id
+    ),
+    fr AS (
+        SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused
+    )
+    SELECT doc_id, rrf, CAST(rk AS INT) AS rk
+    FROM fr WHERE rk <= {_TOPK}
+    """,
+)
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the full BM25 lexical ranking with a
+    vector cosine ranking (probe = embedding 0, the brute-force oracle
+    shape) by Reciprocal Rank Fusion ``score = sum(1/(60+rank))`` —
+    rank-based, so the two lists need no score calibration. Documents
+    on only one list contribute that list's term alone (full outer
+    join). Top-k of the fused score.
+
+    Scale shape: each leg is its own scale path (posting-filtered BM25;
+    ANN instead of brute cosine in production — the fusion is rank-
+    only, so swapping the vector leg to the IVF/LSH top-k changes
+    nothing downstream); the fuse itself is a join of two k-to-
+    corpus-sized rank lists on the id key, then TakeOrdered."""
+    bm = _bm25_ranking(spark, sf_dir)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    vec = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    probe = vec.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("nrm").alias("pn")
+    )
+    cosd = (
+        vec.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                SIM.dot(F.col("v"), F.col("pv")) / (F.col("nrm") * F.col("pn")), 6
+            ).alias("cosine"),
+        )
+    )
+    vr = cosd.withColumn(
+        "vrk", F.row_number().over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+    )
+
+    fused = (
+        bm.select("doc_id", "rk")
+        .join(vr.select("vec_id", "vrk"), bm.doc_id == vr.vec_id, "full")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rk")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vrk")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("frk", F.row_number().over(w))
+        .filter(F.col("frk") <= _TOPK)
+        .select("doc_id", "rrf", F.col("frk").cast("int").alias("rk"))
+    )
