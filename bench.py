@@ -85,6 +85,12 @@ HEADLINE = [
     "q_text_bigram_perplexity",
     "q_embedding_covariance_topk",
     "q09_product_type_profit",
+    # --- added r4, second wave ---
+    "q_dedup_prefix_jaccard_join",
+    "q_retrieval_bm25_topk",
+    "q_retrieval_hybrid_rrf",
+    "q_events_heavy_hitters",
+    "q_graph_triangle_count",
 ]
 
 

@@ -86,16 +86,28 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
     """Distinct n-token shingles as an array column: shingle_i =
     tokens[i] .. tokens[i+n-1] joined by spaces (0-based i up to len-n).
     Built with sequence/transform — vectorized, no explode needed until
-    the band join."""
-    # guard: sequence(0, -1) would generate a DESCENDING range in Spark,
-    # so short docs (< n tokens) must map to an empty index list
-    idx = F.when(
-        F.size(tokens) >= n, F.sequence(F.lit(0), F.size(tokens) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    parts = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + F.lit(k + 1)) for k in range(n)]
-    )
-    return F.array_distinct(F.transform(idx, parts))
+    the band join.
+
+    Evaluation note: higher-order functions run interpreted (outside
+    whole-stage codegen), and an outer expression captured in a lambda
+    body is RE-EVALUATED on every lambda invocation — with ``tokens``
+    = ``split(text)`` that made shingling O(len²) splits per document
+    (~13 s for 5 000 docs before the fix). The ``transform`` over a
+    single-element array is a let-binding: ``split`` evaluates once per
+    row and the inner lambdas see a bound array variable."""
+
+    def build(toks: Column) -> Column:
+        # guard: sequence(0, -1) would generate a DESCENDING range in
+        # Spark, so short docs (< n tokens) map to an empty index list
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        parts = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+        )
+        return F.array_distinct(F.transform(idx, parts))
+
+    return F.element_at(F.transform(F.array(tokens), build), 1)
 
 
 def shingle_values(shingles: Column) -> Column:
@@ -276,17 +288,23 @@ def jaccard_verified_pairs(
     b = doc_shingles.select(
         F.col(id_col).alias("doc_b"), F.col(shingles_col_name).alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
-        "double"
-    )
+    # project the intersection size ONCE — the hash-set build over both
+    # shingle arrays is the per-pair cost, and relying on codegen
+    # common-subexpression elimination to dedupe it is not guaranteed
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
+        .withColumn(
+            "_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            F.round(
+                F.col("_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -25,33 +25,39 @@ from pyspark.sql import functions as F
 from flash_cdc_spark.operators import ivf as IVF
 from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.operators.dedup import (
+    SIMHASH_MAX_BUCKET_WIDTH,
     jaccard_verified_pairs,
     shingles_col,
+    simhash64_candidate_pairs,
+    simhash64_signatures,
     tokens_col,
 )
 from flash_cdc_spark.operators.frequency import exact_heavy_hitters
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
-# Word-bigram shingle expression (DuckDB side) — the unigram corpus
-# vocabulary is tiny so unigram SETS overlap heavily; bigrams isolate
-# the planted near-duplicates (25 pairs >= 0.5 at sf0.01).
-_BIGRAMS = (
-    "list_transform(range(CASE WHEN len(string_split(text,' ')) >= 2 "
-    "THEN len(string_split(text,' ')) - 1 ELSE 0 END), "
-    "i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"
-)
+_JACCARD_T = 0.8
 
-_JACCARD_T = 0.5
+
+def _trigrams_sql() -> str:
+    # Word-TRIGRAM shingles: the corpus vocabulary is tiny, so unigram
+    # sets overlap heavily and even bigram document frequencies average
+    # in the hundreds — prefix postings would explode. Trigram df is low
+    # enough that the prefix inverted index stays sparse (the same
+    # reason the LSH queries shingle at n=3), while the planted
+    # near-duplicates still clear Jaccard 0.5.
+    from flash_cdc_spark.queries.neardup import _TRIGRAMS
+
+    return _TRIGRAMS
 
 
 @query(
     "q_dedup_prefix_jaccard_join",
     oracle=f"""
     WITH docs AS (
-        SELECT doc_id, list_distinct({_BIGRAMS}) AS sh
+        SELECT doc_id, list_distinct({_trigrams_sql()}) AS sh
         FROM documents
-        WHERE len(list_distinct({_BIGRAMS})) > 0
+        WHERE len(list_distinct({_trigrams_sql()})) > 0
     ),
     tok AS (
         SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM docs
@@ -98,20 +104,34 @@ def q_dedup_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join touches prefix postings only — for t=0.5 that
     is ~half of each posting list, and rare-first ordering makes
     prefix postings the SHORT lists. No quadratic blowup unless the
-    data is genuinely all-near-duplicate. Word-bigram shingles (the
-    unigram vocabulary here is so small every pair overlaps).
+    data is genuinely all-near-duplicate. Word-trigram shingles: the
+    corpus vocabulary is tiny, so unigram/bigram document frequencies
+    are huge and would flood the prefix index; trigram df is sparse
+    (same reason the MinHash queries shingle at n=3).
     """
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", shingles_col(tokens_col("text"), n=2).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    from flash_cdc_spark.session import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    # materialize the shingled corpus once: the plan reads it three
+    # times (posting explode + both verify sides) and the md5-free but
+    # split-heavy shingle expression is the per-read cost (the same
+    # device the PageRank/CC queries use for their reused edge list)
+    docs = (
+        d.select("doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=True)
+    )
 
     tok = docs.select(
         "doc_id",
         F.size("shingles").alias("sz"),
         F.explode("shingles").alias("s"),
     )
-    wdf = tok.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    # document frequency by groupBy + broadcast join back (the df map
+    # is vocabulary-sized) — a window over the postings would shuffle
+    # the whole posting table by shingle just to annotate it
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    wdf = tok.join(F.broadcast(dfreq), "s")
     pref = (
         wdf.withColumn(
             "r",
@@ -291,4 +311,91 @@ def q_train_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _SAMPLE_PER_SOURCE)
         .select("doc_id", "source", F.col("rk").cast("int").alias("sample_rank"))
+    )
+
+
+def _triangle_oracle() -> str:
+    from flash_cdc_spark.queries.neardup import _DUCK_SIMHASH64_SIG
+
+    return (
+        "WITH "
+        + _DUCK_SIMHASH64_SIG
+        + """
+    , sgrp AS (SELECT sim_hi, sim_lo, min(doc_id) AS doc_id
+               FROM ssig GROUP BY sim_hi, sim_lo),
+    sbands AS (
+        SELECT doc_id, sim_hi, sim_lo, CAST(b AS INT) AS band_idx,
+               CASE CAST(b AS INT)
+                   WHEN 0 THEN sim_lo & 65535
+                   WHEN 1 THEN sim_lo >> 16
+                   WHEN 2 THEN sim_hi & 65535
+                   ELSE sim_hi >> 16
+               END AS band_val
+        FROM sgrp CROSS JOIN (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {cap}
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM sbands l JOIN sbands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim_hi, r.sim_hi))
+              + bit_count(xor(l.sim_lo, r.sim_lo)) <= 3
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    pernode AS (
+        SELECT unnest([a, b, c]) AS doc_id FROM tri
+    )
+    SELECT doc_id, count(*) AS n_triangles
+    FROM pernode GROUP BY doc_id
+    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH)
+    )
+
+
+@query("q_graph_triangle_count", oracle=_triangle_oracle())
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup graph (graph
+    analytics #4 beside connected components, PageRank, and the
+    clusters queries) — the local clustering signal curation uses to
+    tell genuine template neighborhoods (dense, triangle-rich) from
+    chains of borderline matches (triangle-free). Edges are the SAME
+    capped 64-bit SimHash band join the clusters/PageRank queries use
+    (rep-node contraction first, never all-pairs).
+
+    The counting shape is the standard distributed one (node-ordered
+    edge orientation, a < b < c): every edge is oriented low->high, so
+    each triangle is produced exactly once by joining e1(a,b) x
+    e2(b,c) on the middle node then verifying the closing edge (a,c)
+    with a second equi-join — two shuffle joins on node keys, no
+    wedge materialized more than once. At 100 TB the same plan holds:
+    the expensive wedge join is bounded by the capped bucket width, and
+    per-node counts come off an explode + groupBy."""
+    from flash_cdc_spark.session import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    sigs = simhash64_signatures(d)
+    grp = sigs.groupBy("sim_hi", "sim_lo").agg(F.min("doc_id").alias("doc_id"))
+    pairs = simhash64_candidate_pairs(
+        grp.select("doc_id", "sim_hi", "sim_lo"),
+        max_hamming=3,
+        max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH,
+    ).select("doc_a", "doc_b")
+
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
     )

@@ -29,6 +29,7 @@ from flash_cdc_spark.operators.dedup import (
     tokens_col,
 )
 from flash_cdc_spark.operators import ivf as IVF
+from flash_cdc_spark.session import ensure_min_parallelism
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
@@ -99,7 +100,7 @@ LSH_MAX_BUCKET_WIDTH = 64
 
 
 def _minhash_pipeline(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id", shingles_col(tokens_col("text"), n=n).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -152,7 +153,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature cliques collapse to (signature, count, keeper); pairwise
     Jaccard verification is reserved for *sparse* band-collision
     candidates (see ``q_dedup_ngram_lsh_candidates``), never cliques."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id", shingles_col(tokens_col("text"), n=1).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -643,7 +644,7 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing (stays one narrow pass); matching docs share fingerprints
     robustly under local edits — the standard plagiarism/near-dup
     sketch."""
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).filter(
         (F.length("text") >= 8) & (F.col("doc_id") < 300)
     )
     gram_idx = F.sequence(F.lit(0), F.length("text") - 5)
@@ -828,7 +829,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized."""
     from flash_cdc_spark.operators.graph import connected_components
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     sigs = simhash_signatures(d)
     grp = (
         sigs.groupBy("simhash")
@@ -1082,7 +1083,7 @@ def q_dedup_clusters64(spark: SparkSession, sf_dir: str) -> DataFrame:
     run at 100 TB."""
     from flash_cdc_spark.operators.graph import connected_components
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     sigs = simhash64_signatures(d)
     grp = (
         sigs.groupBy("sim_hi", "sim_lo")
@@ -1193,7 +1194,7 @@ def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs). Ranks round to 9 dp per iteration on BOTH
     engines (the kmeans_cte device), so the unrolled-CTE oracle is
     bit-comparable despite float reductions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     sigs = simhash64_signatures(d)
     grp = (
         sigs.groupBy("sim_hi", "sim_lo")
@@ -1280,7 +1281,7 @@ def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures for the candidate pairs only; the exact side reuses the
     two-sided shingle join. All per-pair, output linear in
     candidates."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles")
     ).filter(F.size("shingles") > 0)
