@@ -295,22 +295,29 @@ def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial-aggregatable count) → groupBy(doc_id) max/sum. Both
     shuffles key on doc_id(+gram) — uniform keys, no hotspots, linear
     at 100 TB."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    ws = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(ws) - 2)
-    grams = (
-        d.filter(F.size(ws) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.concat(
-                        F.element_at(ws, i + 1), F.lit(" "), F.element_at(ws, i + 2)
-                    ),
-                )
-            ).alias("g"),
-        )
+    from flash_cdc_spark.session import ensure_min_parallelism
+
+    d = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.length("text") > 0)
+    # materialize the split ONCE as a column: a split expression
+    # captured in a HOF lambda body re-evaluates per element (HOFs run
+    # interpreted, outside codegen CSE) — O(len²) splits per doc
+    toks = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.concat(
+                    F.element_at("ws", i + 1),
+                    F.lit(" "),
+                    F.element_at("ws", i + 2),
+                ),
+            )
+        ).alias("g"),
     )
     counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     frac = F.max("c") / F.sum("c").cast("double")

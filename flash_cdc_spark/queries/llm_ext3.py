@@ -78,15 +78,18 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-or-shuffle by the same hash key. No pairwise anything:
     cost is O(tokens), the reason C4 can run this at web scale."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    ws = F.split(F.col("text"), " ")
-    n_spans = F.ceil(F.size(ws) / F.lit(8.0)).cast("bigint")
-    spans = d.select(
+    # materialize the split ONCE as a column: a split expression
+    # captured in a HOF lambda body re-evaluates per element (HOFs run
+    # interpreted, outside codegen CSE) — O(len²/8) splits per doc
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n_spans = F.ceil(F.size("ws") / F.lit(8.0)).cast("bigint")
+    spans = toks.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), n_spans - 1),
                 lambda i: F.md5(
-                    F.array_join(F.slice(ws, i * 8 + 1, 8), " ")
+                    F.array_join(F.slice("ws", i * 8 + 1, 8), " ")
                 ),
             )
         ).alias("span_hash"),
