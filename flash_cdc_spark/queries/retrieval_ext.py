@@ -228,3 +228,121 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("frk") <= _TOPK)
         .select("doc_id", "rrf", F.col("frk").cast("int").alias("rk"))
     )
+
+
+_NDCG_K = 5
+
+
+@query(
+    "q_retrieval_ndcg_eval",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings
+    ),
+    """
+    + f"""
+    comp AS (
+        SELECT vec_id, p, sum(w * v[d + 1]) AS s
+        FROM vecs, {SIM.planes_sql_values()}
+        GROUP BY vec_id, p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN s >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM comp GROUP BY vec_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id, {_NDCG_K + 1} - rk AS rel, rk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                       c.vec_id) AS rk
+            FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 25
+        ) WHERE rk <= {_NDCG_K}
+    ),
+    sysl AS (
+        SELECT query_id, neighbor_id, rk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                       c.vec_id) AS rk
+            FROM vecs q
+            JOIN buckets qb ON qb.vec_id = q.vec_id
+            JOIN buckets cb ON cb.bucket = qb.bucket
+            JOIN vecs c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 25
+        ) WHERE rk <= {_NDCG_K}
+    ),
+    dcg AS (
+        SELECT s.query_id,
+               sum(COALESCE(t.rel, 0) / log2(s.rk + 1)) AS dcg
+        FROM sysl s LEFT JOIN truth t
+          ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+        GROUP BY s.query_id
+    ),
+    idcg AS (
+        SELECT query_id, sum(rel / log2(rk + 1)) AS idcg
+        FROM truth GROUP BY query_id
+    )
+    SELECT i.query_id,
+           round(COALESCE(d.dcg, 0) / i.idcg, 6) AS ndcg
+    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+    """,
+)
+def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the sign-LSH ANN ranking against the brute-force
+    cosine ground truth (Järvelin & Kekäläinen 2002) — the graded
+    complement of the top-1 recall report: a system list that finds
+    the right neighbors in the wrong order is scored between 0 and 1
+    instead of binary. Relevance grades come from the ground-truth
+    rank (5..1); DCG discounts by log2(position+1); a probe whose LSH
+    bucket offers no candidates scores an honest 0. Both rankings
+    order by (6-dp-rounded cosine, neighbor id), so the metric itself
+    is deterministic and value-compared cross-engine.
+
+    Scale shape: same legs as the recall report (broadcast probe set
+    against the streamed corpus for truth, one bucket-id shuffle for
+    the system list); the NDCG arithmetic is a k-row-per-probe join +
+    groupBy — metadata-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 25)
+    truth = (
+        SIM.brute_force_topk(e, probes, k=_NDCG_K)
+        .filter(F.col("rk") <= _NDCG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(_NDCG_K + 1) - F.col("rk")).alias("rel"),
+            F.col("rk").alias("trk"),
+        )
+    )
+    sysl = (
+        SIM.lsh_topk(e, probes, k=_NDCG_K)
+        .filter(F.col("rk") <= _NDCG_K)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    dcg = (
+        sysl.join(truth.select("query_id", "neighbor_id", "rel"),
+                  ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0)) / F.log2(F.col("rk") + 1)
+            ).alias("dcg")
+        )
+    )
+    idcg = truth.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("trk") + 1)).alias("idcg")
+    )
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6).alias(
+            "ndcg"
+        ),
+    )
