@@ -402,6 +402,37 @@ def simhash_candidate_pairs(
     )
 
 
+# Materialized signature-index memo (the ingest-time analog, same
+# device as the IVF cell-partitioned layout in operators/ivf.py): a
+# production dedup pipeline computes signatures ONCE when documents
+# are ingested and every dedup/graph job starts from the stored
+# signature table — it never re-tokenizes the corpus per query. The
+# memo materializes a signature DataFrame to parquet once per
+# (process, corpus, kind) and returns a lazy read. Parquet round-trips
+# bigint columns losslessly, so downstream results are bit-identical
+# to inline computation (pinned by the oracle suite, which compares
+# every consuming query against DuckDB recomputing from raw text).
+_SIG_LAYOUTS: dict[tuple[str, str], str] = {}
+
+
+def signature_index(sig_df: DataFrame, cache_key: str, kind: str) -> DataFrame:
+    """Memoize ``sig_df`` (any deterministic signature table) as a
+    parquet layout keyed by ``(cache_key, kind)`` and return a lazy
+    read of it — the offline signature-index analog."""
+    spark = sig_df.sparkSession
+    key = (cache_key, kind)
+    if key not in _SIG_LAYOUTS:
+        import atexit
+        import shutil
+        import tempfile
+
+        layout = tempfile.mkdtemp(prefix=f"flash_sig_{kind}_")
+        sig_df.write.mode("overwrite").parquet(layout)
+        atexit.register(shutil.rmtree, layout, ignore_errors=True)
+        _SIG_LAYOUTS[key] = layout
+    return spark.read.parquet(_SIG_LAYOUTS[key])
+
+
 def simhash64_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

