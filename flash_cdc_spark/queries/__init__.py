@@ -77,6 +77,7 @@ from flash_cdc_spark.queries import llm_ext3  # noqa: E402,F401
 from flash_cdc_spark.queries import maintenance_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import curation_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import retrieval_ext  # noqa: E402,F401
+from flash_cdc_spark.queries import udtf_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # r4 driver window (VERDICT r3, next-round item #1).

@@ -174,3 +174,66 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on Spark 4's NEW arbitrary-state
+    API (``transformWithStateInPandas`` + ``StatefulProcessor``) — the
+    successor to ``applyInPandasWithState`` with typed state handles
+    (value/list/map state, timers, TTL). Carrying both keeps the old
+    operator as the compatibility path and pins the new API with the
+    same oracle. State here: one ValueState tuple (n, total) per user.
+
+    Dependency note: the new API's Python state server speaks a
+    protobuf-encoded protocol, so it needs the ``google.protobuf``
+    package at RUNTIME (worker side). This offline container lacks it —
+    construction fails fast with a documented error rather than
+    crashing mid-stream (same fail-loud policy as the Delta MERGE
+    sink); ``running_user_totals`` (applyInPandasWithState) is the
+    executable equivalent here and shares the oracle."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "(the StatefulProcessor state-server protocol is "
+            "protobuf-encoded); it is not installed in this environment. "
+            "Use running_user_totals (applyInPandasWithState) instead, or "
+            "install protobuf."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    output_schema = "user_id bigint, n_events bigint, total_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -86,6 +86,42 @@ def test_running_user_totals_stateful(spark, events_stream):
     assert final == expected
 
 
+def test_running_user_totals_transform_with_state(spark, events_stream):
+    """Spark 4 `transformWithStateInPandas` (StatefulProcessor + typed
+    ValueState), no skips: with google.protobuf available the new API
+    must converge to the same per-user totals as the legacy
+    applyInPandasWithState operator and the batch aggregate; without it
+    (this offline container — the state-server protocol is
+    protobuf-encoded) construction must fail fast with the documented
+    error, never crash mid-stream."""
+    stream, batch = events_stream
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            W.running_user_totals_tws(stream.select("user_id", "value", "ts"))
+        return
+    got = _run_to_memory(
+        spark,
+        W.running_user_totals_tws(stream.select("user_id", "value", "ts")),
+        "t_tws",
+        output_mode="update",
+    ).collect()
+    # n_events is monotone per key — the max-n emission is the final state
+    final = {}
+    for r in got:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert final == expected
+
+
 def test_stream_static_enrich(spark, events_stream):
     stream, batch = events_stream
     dim = batch.select("user_id").distinct().withColumn(
