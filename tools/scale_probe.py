@@ -82,6 +82,39 @@ def measure(docs: DataFrame) -> dict:
     ).count()
     out["simhash64_pairs"] = sh_pairs
     out["simhash64_sec"] = round(time.perf_counter() - t0, 2)
+
+    # exact set-similarity join (prefix filtering, t=0.8): the
+    # non-probabilistic path — no bucket cap exists here, so its
+    # growth curve is the one to watch on a dup-heavy corpus
+    from pyspark.sql import Window
+    from flash_cdc_spark.operators.dedup import jaccard_verified_pairs
+
+    t0 = time.perf_counter()
+    T = 0.8
+    tok = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    pref = (
+        tok.join(F.broadcast(dfreq), "s")
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
+        .filter(F.col("r") <= F.col("sz") - F.ceil(F.lit(T) * F.col("sz")) + 1)
+        .select("doc_id", "s")
+    )
+    cand = (
+        pref.alias("l")
+        .join(
+            pref.alias("r"),
+            (F.col("l.s") == F.col("r.s")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    out["prefix_pairs"] = jaccard_verified_pairs(cand, sh, threshold=T).count()
+    out["prefix_sec"] = round(time.perf_counter() - t0, 2)
     return out
 
 
@@ -95,6 +128,7 @@ def main() -> int:
         r["reps"] = reps
         r["minhash_pairs_per_doc"] = round(r["minhash_pairs"] / r["n_docs"], 3)
         r["simhash64_pairs_per_doc"] = round(r["simhash64_pairs"] / r["n_docs"], 3)
+        r["prefix_pairs_per_doc"] = round(r["prefix_pairs"] / r["n_docs"], 3)
         print(json.dumps(r))
     spark.stop()
     return 0
