@@ -161,6 +161,128 @@ def q_dedup_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verified_pairs(cand, docs, threshold=_JACCARD_T)
 
 
+_CONTAIN_T = 0.9
+
+
+@query(
+    "q_dedup_containment_pairs",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, list_distinct({_trigrams_sql()}) AS sh
+        FROM documents
+        WHERE len(list_distinct({_trigrams_sql()})) > 0
+    ),
+    tok AS (
+        SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM docs
+    ),
+    wdf AS (
+        SELECT *, count(*) OVER (PARTITION BY s) AS df FROM tok
+    ),
+    pref AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY df, s) AS r
+            FROM wdf
+        ) WHERE r <= sz - ceil({_CONTAIN_T} * sz) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT least(l.doc_id, r.doc_id) AS doc_a,
+                        greatest(l.doc_id, r.doc_id) AS doc_b
+        FROM pref l JOIN tok r
+          ON l.s = r.s AND l.doc_id <> r.doc_id
+    )
+    SELECT doc_a, doc_b, containment, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     least(len(a.sh), len(b.sh)), 6) AS containment,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS jaccard
+        FROM cand c
+        JOIN docs a ON c.doc_a = a.doc_id
+        JOIN docs b ON c.doc_b = b.doc_id
+    ) WHERE containment >= {_CONTAIN_T}
+    """,
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup (quote / subset detection):
+    containment = |A∩B| / min(|A|,|B|) catches a short document
+    embedded inside a longer one — a case symmetric Jaccard scores low
+    and MinHash-LSH systematically misses. Exact, via the containment
+    form of prefix filtering: if containment ≥ t on the smaller set A,
+    then ANY |A| - ceil(t·|A|) + 1 of A's shingles must hit B, so A's
+    rare-first prefix is joined against the FULL inverted index (not
+    both prefixes — that is the difference from the Jaccard join) and
+    every candidate is verified exactly. Output: pairs with
+    containment ≥ 0.9 plus their Jaccard for triage.
+
+    Scale shape: left side of the join emits prefix (rare) postings
+    only, so join output is bounded by the rare shingles' document
+    frequencies; the right side is the full posting table the Jaccard
+    join already builds. One df shuffle + one posting join + bounded
+    verify."""
+    from flash_cdc_spark.session import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = (
+        d.select("doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=True)
+    )
+    tok = docs.select(
+        "doc_id",
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("s"),
+    )
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    wdf = tok.join(F.broadcast(dfreq), "s")
+    pref = (
+        wdf.withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
+        .filter(
+            F.col("r")
+            <= F.col("sz") - F.ceil(F.lit(_CONTAIN_T) * F.col("sz")) + 1
+        )
+        .select("doc_id", "s")
+    )
+    cand = (
+        pref.alias("l")
+        .join(
+            tok.select("doc_id", "s").alias("rt"),
+            (F.col("l.s") == F.col("rt.s"))
+            & (F.col("l.doc_id") != F.col("rt.doc_id")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("rt.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("rt.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_i", inter)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_i") / F.least(F.size("sh_a"), F.size("sh_b")), 6
+            ).alias("containment"),
+            F.round(
+                F.col("_i")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("_i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+    )
+
+
 _SEMDEDUP_T = 0.3  # corpus embeddings are isotropic noise; 0.3 sits
 # inside the observed tail (max pairwise cosine ~0.51) so the flag is
 # exercised on real hits, not vacuously false
