@@ -91,6 +91,9 @@ HEADLINE = [
     "q_retrieval_hybrid_rrf",
     "q_events_heavy_hitters",
     "q_graph_triangle_count",
+    "q_dedup_semdedup",
+    "q_dedup_containment_pairs",
+    "q_udtf_chunk_digest",
 ]
 
 
