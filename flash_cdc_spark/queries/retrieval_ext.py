@@ -30,6 +30,9 @@ _K1 = 1.2
 _B = 0.75
 _TOPK = 10
 _RRF_K = 60  # the Cormack et al. constant
+_RRF_LIST = 50  # fuse top-50 lists (RRF is defined over the systems'
+# RETRIEVED lists, not full corpus rankings — and list truncation is
+# what keeps every rank window bounded at scale)
 
 _QTERMS_SQL = ",".join(f"'{t}'" for t in _QTERMS)
 
@@ -67,10 +70,13 @@ _DUCK_BM25 = f"""
 """
 
 
-def _bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BM25 ranking as a DataFrame ``(doc_id, bm25, rk)`` —
-    rank over the 6-dp-rounded score (ties by doc_id) so both engines
-    order identically."""
+def _bm25_ranking(
+    spark: SparkSession, sf_dir: str, top_n: int = _TOPK
+) -> DataFrame:
+    """Top-``top_n`` BM25 ranking as a DataFrame ``(doc_id, bm25,
+    rk)`` — rank over the 6-dp-rounded score (ties by doc_id) so both
+    engines order identically; the rank window runs AFTER a
+    TakeOrdered limit, so it never sees more than ``top_n`` rows."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col("text")).alias("t"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -107,8 +113,13 @@ def _bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = per_term.groupBy("doc_id").agg(
         F.round(F.sum("contrib"), 6).alias("bm25")
     )
+    # top-n by TakeOrderedAndProject FIRST (per-partition heaps, no
+    # global sort/shuffle), THEN rank — the row_number window runs over
+    # n rows, never the full match set (a bare global Window.orderBy
+    # would single-partition every matching document at 100 TB)
+    topn = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(top_n)
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return scored.withColumn("rk", F.row_number().over(w))
+    return topn.withColumn("rk", F.row_number().over(w))
 
 
 @query(
@@ -129,9 +140,8 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter to QUERY TERMS FIRST (so only matching postings shuffle),
     one groupBy on (doc, term), broadcast idf + corpus stats, top-k by
     TakeOrdered. At 100 TB the posting filter is the whole point: work
-    is proportional to the query terms' postings, not the corpus. The
-    global rank window here exists only for the driver value-compare;
-    the production form stops at ``orderBy(score).limit(k)``."""
+    is proportional to the query terms' postings, not the corpus; the
+    rank window runs after TakeOrdered, over k rows only."""
     bm = _bm25_ranking(spark, sf_dir)
     return bm.filter(F.col("rk") <= _TOPK).select(
         "doc_id", "bm25", F.col("rk").cast("int").alias("rk")
@@ -160,11 +170,13 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS vrk
         FROM cosd
     ),
+    bm50 AS (SELECT doc_id, rk FROM bm WHERE rk <= {_RRF_LIST}),
+    vr50 AS (SELECT vec_id, vrk FROM vr WHERE vrk <= {_RRF_LIST}),
     fused AS (
         SELECT COALESCE(b.doc_id, v.vec_id) AS doc_id,
                round(COALESCE(1.0 / ({_RRF_K} + b.rk), 0) +
                      COALESCE(1.0 / ({_RRF_K} + v.vrk), 0), 6) AS rrf
-        FROM bm b FULL JOIN vr v ON b.doc_id = v.vec_id
+        FROM bm50 b FULL JOIN vr50 v ON b.doc_id = v.vec_id
     ),
     fr AS (
         SELECT doc_id, rrf,
@@ -176,19 +188,23 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: fuse the full BM25 lexical ranking with a
-    vector cosine ranking (probe = embedding 0, the brute-force oracle
-    shape) by Reciprocal Rank Fusion ``score = sum(1/(60+rank))`` —
-    rank-based, so the two lists need no score calibration. Documents
-    on only one list contribute that list's term alone (full outer
-    join). Top-k of the fused score.
+    """Hybrid retrieval: fuse the BM25 lexical top-50 list with a
+    vector cosine top-50 list (probe = embedding 0, the brute-force
+    oracle shape) by Reciprocal Rank Fusion ``score = sum(1/(60+rank))``
+    — rank-based, so the two lists need no score calibration, and
+    defined over the systems' retrieved LISTS (Cormack et al. fuse
+    top-k runs, not full corpus rankings). Documents on only one list
+    contribute that list's term alone (full outer join). Top-k of the
+    fused score.
 
     Scale shape: each leg is its own scale path (posting-filtered BM25;
     ANN instead of brute cosine in production — the fusion is rank-
     only, so swapping the vector leg to the IVF/LSH top-k changes
-    nothing downstream); the fuse itself is a join of two k-to-
-    corpus-sized rank lists on the id key, then TakeOrdered."""
-    bm = _bm25_ranking(spark, sf_dir)
+    nothing downstream); the fuse itself is a full-outer join of two
+    top-50 lists — 100 rows — then TakeOrdered. Every rank window is
+    bounded by the list length (TakeOrdered first, rank second), so
+    nothing single-partitions a corpus-sized set."""
+    bm = _bm25_ranking(spark, sf_dir, top_n=_RRF_LIST)
 
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
@@ -206,8 +222,15 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    vr = cosd.withColumn(
-        "vrk", F.row_number().over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+    # TakeOrdered to the list length FIRST; the rank window then runs
+    # over 50 rows, not the corpus
+    vr = (
+        cosd.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_RRF_LIST)
+        .withColumn(
+            "vrk",
+            F.row_number().over(Window.orderBy(F.col("cosine").desc(), "vec_id")),
+        )
     )
 
     fused = (
