@@ -1233,10 +1233,13 @@ def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if t % 2 == 1:  # truncate lineage every other round
             ranks = ranks.localCheckpoint(eager=True)
+    # TakeOrdered to the top 20 FIRST (per-partition heaps), then rank
+    # within those 20 — a bare global Window.orderBy would
+    # single-partition every graph node at corpus scale
+    top = ranks.orderBy(F.col("r").desc(), "node").limit(20)
     w = Window.orderBy(F.col("r").desc(), "node")
     return (
-        ranks.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w))
         .select(
             F.col("node").cast("bigint").alias("node"),
             F.round("r", 8).alias("rank"),
