@@ -416,9 +416,20 @@ _SIG_LAYOUTS: dict[tuple[str, str], str] = {}
 
 
 def signature_index(sig_df: DataFrame, cache_key: str, kind: str) -> DataFrame:
-    """Memoize ``sig_df`` (any deterministic signature table) as a
+    """Memoize ``sig_df`` (a deterministic signature table) as a
     parquet layout keyed by ``(cache_key, kind)`` and return a lazy
-    read of it — the offline signature-index analog."""
+    read of it — the offline signature-index analog.
+
+    CONTRACT: ``sig_df`` must be the CANONICAL full-corpus signature
+    table for ``(cache_key, kind)`` — the memo keys on those two
+    strings only and ignores the DataFrame itself, so a caller passing
+    a filtered or different signature frame under an existing key
+    would silently read the first writer's layout. Callers that need a
+    subset must filter the RETURNED frame, never the input. The
+    one-time parquet write is absorbed by the first consuming query's
+    wall-clock; ``bench.py`` notes this (first-touch cost) next to the
+    headline so per-query timings stay interpretable.
+    """
     spark = sig_df.sparkSession
     key = (cache_key, kind)
     if key not in _SIG_LAYOUTS:

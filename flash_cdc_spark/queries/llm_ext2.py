@@ -102,22 +102,26 @@ def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
         SELECT doc_id, n_chars,
                len(string_split(text, ' ')) AS n_tokens,
-               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                   AS cluster_key
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(lower(text), ' '))),
+                   ' ')) AS cluster_key
         FROM documents
     ),
     ranked AS (
+        -- cluster totals computed BEFORE the rk=1 filter: a window in
+        -- the outer SELECT would run after WHERE and see one row
         SELECT *,
                row_number() OVER (PARTITION BY cluster_key
                                   ORDER BY n_chars DESC, doc_id) AS rk,
-               count(*) OVER (PARTITION BY cluster_key) AS n_members
+               count(*) OVER (PARTITION BY cluster_key) AS n_members,
+               sum(n_tokens) OVER (PARTITION BY cluster_key)
+                   AS cluster_tokens
         FROM fp
     )
     SELECT cluster_key,
-           CAST(n_members AS BIGINT)          AS n_members,
-           CAST(doc_id AS BIGINT)             AS canonical_doc_id,
-           CAST(sum(n_tokens) OVER (PARTITION BY cluster_key) - n_tokens
-                AS BIGINT)                    AS tokens_dropped
+           CAST(n_members AS BIGINT)               AS n_members,
+           CAST(doc_id AS BIGINT)                  AS canonical_doc_id,
+           CAST(cluster_tokens - n_tokens AS BIGINT) AS tokens_dropped
     FROM ranked
     WHERE rk = 1 AND n_members >= 2
     """,
@@ -128,19 +132,25 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the longest, tie-broken by smallest doc_id — the common
     keep-highest-quality policy) and the rest are dropped; the query
     reports each multi-member cluster's canonical doc and the token
-    volume the drop reclaims. Cluster key here is the exact
-    whitespace-normalized fingerprint (the near-dup variants feed the
-    same selection step from their CC labels). Shape: one shuffle on
-    cluster_key, then window ranking inside each cluster — keys are
-    md5s (uniform, no skew), linear at 100 TB."""
+    volume the drop reclaims. Cluster key is the WORD-SET fingerprint
+    (md5 of the sorted distinct lowercased words) — a deterministic
+    near-dup canonicalization that collapses reorderings and
+    repetition-count edits, so clusters are non-empty on realistic
+    corpora where byte-exact duplicates are rare (the near-dup
+    variants feed the same selection step from their CC labels).
+    Shape: one shuffle on cluster_key, then window ranking inside each
+    cluster — keys are md5s (uniform, no skew), linear at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     fp = d.select(
         "doc_id",
         "n_chars",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))).alias(
-            "cluster_key"
-        ),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+                " ",
+            )
+        ).alias("cluster_key"),
     )
     w = Window.partitionBy("cluster_key")
     ranked = fp.select(

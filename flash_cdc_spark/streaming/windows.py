@@ -26,6 +26,7 @@ __all__ = [
     "session_windows",
     "dedup_within_watermark",
     "running_user_totals",
+    "running_user_totals_tws",
 ]
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators.frequency import (
+    batch_frequent_candidates,
     exact_heavy_hitters,
     misra_gries_candidates,
 )
@@ -37,6 +38,37 @@ def test_mg_candidates_superset_of_heavy_hitters(spark):
     assert exact <= cands  # MG never drops a true heavy hitter
     # candidate set stays metadata-sized: <= partitions * k
     assert len(cands) <= 7 * k
+
+
+def test_batch_candidates_superset_of_heavy_hitters(spark):
+    df = _skewed_df(spark, n_parts=7)
+    k = 20  # threshold n/k = 100 -> true heavy hitters {1, 2, 3}
+    cands = {
+        r.user_id for r in batch_frequent_candidates(df, "user_id", k).collect()
+    }
+    exact = {
+        r.user_id
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") * k > df.count())
+        .collect()
+    }
+    assert exact == {1, 2, 3}
+    assert exact <= cands  # per-batch prune never drops a true heavy hitter
+
+
+def test_exact_heavy_hitters_both_methods_agree(spark):
+    df = _skewed_df(spark, n_parts=5)
+    k = 20
+    batch = {
+        (r.user_id, r.cnt)
+        for r in exact_heavy_hitters(df, "user_id", k, method="batch").collect()
+    }
+    mg = {
+        (r.user_id, r.cnt)
+        for r in exact_heavy_hitters(df, "user_id", k, method="mg").collect()
+    }
+    assert batch == mg and batch
 
 
 def test_exact_heavy_hitters_matches_plain_groupby_any_partitioning(spark):

