@@ -5,13 +5,26 @@ this container — the routes, payload shapes, and status codes mirror
 
 Routes (reference parity):
 
-- ``POST /clients/``            → create (validate → dup-check → upsert
-  → autostart; ``clients.py:81-134``). 200 on success, 400 on
+- ``POST   /clients/``            → create (validate → dup-check →
+  upsert → autostart; ``clients.py:81-134``). 200 on success, 400 on
   validation error, 409 on duplicate name.
-- ``GET  /clients/status``      → config ⋈ live status with defaults
+- ``GET    /clients/``            → list with ``?q=`` ilike filter,
+  ``?is_active=``, ``?limit=``/``?offset=`` pagination; returns
+  ``{items, total, limit, offset}`` (``clients.py:197-227``).
+- ``GET    /clients/status``      → config ⋈ live status with defaults
   (``clients.py:137-189``).
-- ``POST /clients/{id}/start``  → start from stored config.
-- ``POST /clients/{id}/stop``   → graceful stop.
+- ``GET    /clients/{id}``        → point lookup, 404 when absent
+  (``clients.py:31-35,231-242``).
+- ``PATCH  /clients/{id}``        → partial update with merged-entity
+  re-validation + restart/stop side effect (``clients.py:244-324``).
+  200 with recycle outcome; 400 on validation/duplicate; 404 missing.
+- ``DELETE /clients/{id}``        → stop-first delete
+  (``clients.py:327-343``). 200; 404 when absent.
+- ``POST   /clients/{id}/test``   → dry-run connection/config test of
+  the stored row (``clients.py:60-78`` reshaped onto the stored
+  config).
+- ``POST   /clients/{id}/start``  → start from stored config.
+- ``POST   /clients/{id}/stop``   → graceful stop.
 
 The server is driver-side control plane only — request handling calls
 the same Spark actions the Python API does; no data ever flows through
@@ -24,18 +37,26 @@ import json
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 from flash_cdc_spark.admin_service import AdminService
 from flash_cdc_spark.streaming.pipelines import PipelineConfig
 
 __all__ = ["AdminHttpServer"]
 
-_ID_ROUTE = re.compile(r"^/clients/(\d+)/(start|stop)$")
+_ACTION_ROUTE = re.compile(r"^/clients/(\d+)/(start|stop|test)$")
+_ID_ROUTE = re.compile(r"^/clients/(\d+)$")
 
 
 def _config_from_json(body: dict) -> PipelineConfig:
     known = {f for f in PipelineConfig.__dataclass_fields__}
     return PipelineConfig(**{k: v for k, v in body.items() if k in known})
+
+
+def _parse_bool(raw: str | None) -> bool | None:
+    if raw is None:
+        return None
+    return raw.lower() in ("1", "true", "yes")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -54,14 +75,70 @@ class _Handler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(n) or b"{}")
 
     def do_GET(self) -> None:  # noqa: N802
-        if self.path == "/clients/status":
+        svc = self.server.service
+        url = urlparse(self.path)
+        if url.path == "/clients/status":
             try:
-                rows = [r.asDict() for r in self.server.service.status_page().collect()]
+                rows = [r.asDict() for r in svc.status_page().collect()]
             except RuntimeError:
                 rows = []
             self._send(200, {"clients": rows})
             return
+        if url.path in ("/clients", "/clients/"):
+            qs = parse_qs(url.query)
+
+            def one(key: str, default: str | None = None) -> str | None:
+                return qs.get(key, [default])[0]
+
+            try:
+                page = svc.list_clients(
+                    q=one("q"),
+                    is_active=_parse_bool(one("is_active")),
+                    limit=int(one("limit", "50")),
+                    offset=int(one("offset", "0")),
+                )
+            except ValueError as exc:
+                self._send(400, {"error": f"bad query: {exc}"})
+                return
+            self._send(200, page)
+            return
+        m = _ID_ROUTE.match(url.path)
+        if m:
+            client = svc.get_client(int(m.group(1)))
+            if client is None:
+                self._send(404, {"error": "Client not found"})
+            else:
+                self._send(200, client)
+            return
         self._send(404, {"error": "not found"})
+
+    def do_PATCH(self) -> None:  # noqa: N802
+        svc = self.server.service
+        m = _ID_ROUTE.match(self.path)
+        if not m:
+            self._send(404, {"error": "not found"})
+            return
+        try:
+            patch = self._body()
+        except json.JSONDecodeError as exc:
+            self._send(400, {"error": f"bad request: {exc}"})
+            return
+        result = svc.update_client(int(m.group(1)), patch)
+        if result.get("ok"):
+            self._send(200, result)
+        elif result.get("error") == "not found":
+            self._send(404, result)
+        else:  # validation / duplicate name
+            self._send(400, result)
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        svc = self.server.service
+        m = _ID_ROUTE.match(self.path)
+        if not m:
+            self._send(404, {"error": "not found"})
+            return
+        result = svc.delete_client(int(m.group(1)))
+        self._send(200 if result.get("ok") else 404, result)
 
     def do_POST(self) -> None:  # noqa: N802
         svc = self.server.service
@@ -79,30 +156,30 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send(400, result)
             return
-        m = _ID_ROUTE.match(self.path)
+        m = _ACTION_ROUTE.match(self.path)
         if m:
             pid, action = int(m.group(1)), m.group(2)
             if action == "stop":
                 svc.manager.stop(pid)
                 self._send(200, {"ok": True, "id": pid, "stopped": True})
                 return
+            if action == "test":
+                result = svc.test_connection(pid)
+                if result.get("error") == "not found":
+                    self._send(404, result)
+                else:
+                    self._send(200, result)
+                return
             cfg_df = svc._config_df()
             row = (
-                cfg_df.filter(cfg_df.id == pid).limit(1).collect() if cfg_df is not None else []
+                cfg_df.filter(cfg_df.id == pid).limit(1).collect()
+                if cfg_df is not None
+                else []
             )
             if not row:
                 self._send(404, {"error": f"no config for id {pid}"})
                 return
-            r = row[0]
-            config = PipelineConfig(
-                id=r["id"], name=r["client_name"], topic=r["topic_name"],
-                webhook_url=r["webhook_url"],
-                # older config tables predate the instance_url column
-                instance_url=(r["instance_url"] if "instance_url" in r.__fields__ else "") or "",
-                source_path=r["source_path"], checkpoint_root=r["checkpoint_root"],
-                flow_batch_size=r["flow_batch_size"], is_active=r["is_active"],
-                offsets_path=r["offsets_path"],
-            )
+            config = svc.row_to_config(row[0])
             try:
                 svc.manager.start(config)
                 self._send(200, {"ok": True, "id": pid, "started": True})

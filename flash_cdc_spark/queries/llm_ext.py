@@ -378,15 +378,23 @@ def q_train_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws") >= 8
     )
     # explode first, md5 in the NEXT select (generator + other exprs
-    # over its output don't mix in one projection)
+    # over its output don't mix in one projection). The gram build
+    # goes through a single-element-array transform (a let-binding):
+    # CollapseProject would otherwise inline ws = split(text) into the
+    # lambda body, re-running split once PER GRAM — O(len²) on long
+    # docs (same hazard shingles_col fixed; measured ~10% here even on
+    # the short-doc fixture).
+    def _grams8(toks):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 8),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)),
+        )
+
     grams = docs.select(
         "doc_id",
         "bucket",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - 8),
-                lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 8)),
-            )
+            F.element_at(F.transform(F.array(F.col("ws")), _grams8), 1)
         ).alias("gram"),
     )
     g = grams.select("doc_id", "bucket", F.md5("gram").alias("gh")).distinct()

@@ -115,7 +115,122 @@ def measure(docs: DataFrame) -> dict:
     )
     out["prefix_pairs"] = jaccard_verified_pairs(cand, sh, threshold=T).count()
     out["prefix_sec"] = round(time.perf_counter() - t0, 2)
+
+    # containment join (r5, VERDICT r4 #5): prefix on the smaller side
+    # vs the FULL posting index — candidate volume is bounded by the
+    # rare-shingle document frequencies, not n²; this measures that
+    t0 = time.perf_counter()
+    CT = 0.9
+    cpref = (
+        tok.join(F.broadcast(dfreq), "s")
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
+        .filter(F.col("r") <= F.col("sz") - F.ceil(F.lit(CT) * F.col("sz")) + 1)
+        .select("doc_id", "s")
+    )
+    ccand = (
+        cpref.alias("l")
+        .join(
+            tok.select("doc_id", "s").alias("rt"),
+            (F.col("l.s") == F.col("rt.s"))
+            & (F.col("l.doc_id") != F.col("rt.doc_id")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("rt.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("rt.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    out["contain_pairs"] = (
+        ccand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(inter / F.least(F.size("sh_a"), F.size("sh_b")) >= CT)
+        .count()
+    )
+    out["contain_sec"] = round(time.perf_counter() - t0, 2)
     return out
+
+
+def synth_embeddings(spark: SparkSession, sf_dir: str, reps: int) -> DataFrame:
+    """Replicate the embeddings table ``reps`` times: replica 0 is the
+    original; later replicas jitter each coordinate by a small
+    deterministic offset (hash-derived, ±0.05) so replicas are
+    near-duplicates — the worst case SemDeDup's within-cell compare
+    must absorb."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    jitter = (
+        F.pmod(
+            F.xxhash64(F.col("vec_id"), F.col("rep"), F.col("d")), F.lit(1000)
+        ).cast("double")
+        / 10000.0
+        - 0.05
+    )
+    return (
+        base.crossJoin(rep)
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+            "rep",
+            F.posexplode("embedding").alias("d", "x"),
+        )
+        .select(
+            "vec_id",
+            "d",
+            (F.col("x") + F.when(F.col("rep") == 0, F.lit(0.0)).otherwise(jitter))
+            .cast("double")
+            .alias("x"),
+        )
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "x"))).alias("dx"))
+        .select(
+            "vec_id",
+            F.transform("dx", lambda s: s["x"]).alias("v"),
+        )
+    )
+
+
+def measure_semdedup(vecs: DataFrame, k: int) -> dict:
+    """Within-cell pair count + wall time for SemDeDup's quadratic
+    stage at quantizer size k. The claim under test: k is the knob —
+    growing k with n keeps cell width ~n/k so pairs/vec stays flat;
+    a FIXED k lets within-cell pairs grow ~n²/k (the paper's k~√n
+    regime is the scale prescription)."""
+    from flash_cdc_spark.operators import ivf as IVF
+
+    vecs = vecs.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)),
+    ).localCheckpoint(eager=True)
+    n = vecs.count()
+    t0 = time.perf_counter()
+    centers = IVF.train_kmeans(vecs, k=k)  # no cache_key: probe trains fresh
+    assigned = vecs.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"].alias("cell"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("b_cell"),
+    )
+    pairs = assigned.join(
+        b, (F.col("cell") == F.col("b_cell")) & (F.col("b_id") < F.col("vec_id"))
+    ).count()
+    return {
+        "n_vecs": n,
+        "k": k,
+        "semdedup_pairs": pairs,
+        "semdedup_sec": round(time.perf_counter() - t0, 2),
+        "semdedup_pairs_per_vec": round(pairs / n, 3),
+    }
 
 
 def main() -> int:
@@ -129,7 +244,18 @@ def main() -> int:
         r["minhash_pairs_per_doc"] = round(r["minhash_pairs"] / r["n_docs"], 3)
         r["simhash64_pairs_per_doc"] = round(r["simhash64_pairs"] / r["n_docs"], 3)
         r["prefix_pairs_per_doc"] = round(r["prefix_pairs"] / r["n_docs"], 3)
-        print(json.dumps(r))
+        r["contain_pairs_per_doc"] = round(r["contain_pairs"] / r["n_docs"], 3)
+        print(json.dumps(r), flush=True)
+    # SemDeDup's within-cell stage: fixed k (the hazard) vs k grown
+    # with n (the prescription — cell width ~n/k stays constant)
+    for reps in (1, 2, 4, 8):
+        vecs = synth_embeddings(spark, sf_dir, reps)
+        for k, mode in ((16, "fixed_k"), (16 * reps, "scaled_k")):
+            r = measure_semdedup(vecs, k=k)
+            r["reps"], r["mode"] = reps, mode
+            print(json.dumps(r), flush=True)
+            if reps == 1:
+                break  # k identical at 1x; one row suffices
     spark.stop()
     return 0
 
