@@ -80,88 +80,99 @@ from flash_cdc_spark.queries import retrieval_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import udtf_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
-# r4 driver window (VERDICT r3, next-round item #1).
+# r5 driver window (VERDICT r4, next-round item #1).
 #
 # The round driver value-compares only the FIRST 50 registered queries,
 # so which 50 lead the registry is an explicit per-round decision, not
 # a side effect of module import order. This round's composition:
 #
-# * slots 1-30 — the 30 r3-new queries that registered past the window
-#   last round (COVERAGE.md ledger rows 91-120). They are the only
-#   registered queries with no driver correctness row yet; rotating
-#   them in converts their local-oracle evidence into driver evidence.
-# * slots 31-48 — 18 regression keepers spanning every still-evolving
-#   subsystem the r4 diff touches or that carries scale risk: the
-#   changefeed pipeline, Avro wire decode, dedup/LSH/SimHash64/
-#   clusters, IVF+LSH ANN (both under active perf work this round),
-#   multimodal decode (feature codec swapped this round), sketches,
-#   and the five streaming-executed drivers.
-# * slots 49-50 — batch canaries from the r4 rotation pool
-#   (q05/q13 per COVERAGE.md; q03/q10 served in r3).
+# * slots 1-32 — the 32 r4-new queries that registered past the window
+#   last round (COVERAGE.md ledger rows 71-73 and 124-152): the
+#   TPC-H completion six, the curation second wave (exact prefix
+#   Jaccard join, SemDeDup, containment, heavy hitters), retrieval
+#   (BM25/RRF/NDCG), graph (PageRank, triangles, 64-bit clusters),
+#   the two new streaming-executed sinks, the events second wave, and
+#   the UDTF. They are the only registered queries with no driver
+#   correctness row yet; rotating them in converts their local-oracle
+#   + snapshot evidence into driver evidence.
+# * slots 33-47 — 15 regression keepers spanning the r5 diff and the
+#   scale-risk surfaces: canonical-docs (re-keyed this round — its r4
+#   row was vacuous; this row proves non-vacuous driver green),
+#   contamination + simhash64 (the two r4 bench-regression watch
+#   items), changefeed + Avro decode, MinHash/clusters, IVF ANN,
+#   multimodal feature decode, admin pagination (service layer
+#   rewired this round), sketches, sessionize, and two
+#   streaming-executed drivers.
+# * slots 48-50 — batch canaries from the rotation pool
+#   (q01/q14/q18 this round; q05/q13 served in r4, q03/q10 in r3).
 #
 # Everything rotated out stays continuously checked by the local mimic
-# (tests/test_oracle.py) AND is now pinned against the committed
+# (tests/test_oracle.py) AND pinned against the committed
 # oracle-fingerprint snapshot (tests/test_oracle_snapshot.py), so a
 # regression in the rotated-out surface still fails pytest loudly.
 WINDOW: list[str] = [
-    # -- r3 past-window queries: first driver rows this round (30) --
-    "q_text_gopher_quality_rules",
-    "q_sim_ann_recall_report",
-    "q_sim_ann_ivf_pruned_topk",
-    "q_text_repetition_ratio",
-    "q_train_contamination_check",
-    "q_train_sequence_packing",
-    "q_events_funnel_conversion",
-    "q_events_cohort_retention",
-    "q_streaming_stream_stream_join",
-    "q_streaming_running_totals",
-    "q_changefeed_latest_snapshot",
-    "q_changefeed_scd2_history",
-    "q_events_cogroup_enrich",
-    "q_streaming_session_windows",
-    "q_events_markov_transitions",
-    "q_streaming_latest_state",
-    "q_streaming_dim_enrich",
-    "q_streaming_scd2_history",
-    "q_events_anomaly_zscore",
-    "q_multimodal_audio_decode",
-    "q_text_pii_redaction",
+    # -- r4 past-window queries: first driver rows this round (32) --
+    "q_dedup_clusters64",
+    "q_dedup_pagerank_centrality",
+    "q_dedup_minhash_calibration",
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q20_excess_shipments",
+    "q22_global_sales_opportunity",
+    "q_streaming_feed_outbox",
+    "q_events_top_paths",
+    "q_streaming_db_upsert",
+    "q_events_resample_locf",
+    "q_events_peak_concurrency",
+    "q_events_rolling_active_users",
+    "q_events_value_histogram",
+    "q_text_span_dedup",
+    "q_text_bigram_perplexity",
+    "q_embedding_covariance_topk",
+    "q_embedding_top_eigenvector",
+    "q_maintenance_compaction",
+    "q_quality_constraint_report",
+    "q_dedup_prefix_jaccard_join",
+    "q_dedup_semdedup",
+    "q_events_heavy_hitters",
+    "q_train_per_source_sample",
+    "q_retrieval_bm25_topk",
+    "q_retrieval_hybrid_rrf",
+    "q_graph_triangle_count",
+    "q_retrieval_ndcg_eval",
+    "q_udtf_chunk_digest",
+    "q_dedup_containment_pairs",
+    # -- regression keepers (15) --
     "q_dedup_canonical_docs",
-    "q_text_vocab_coverage",
-    "q_train_domain_mix_weights",
-    "q_embedding_dim_stats",
-    "q_text_unigram_surprisal",
-    "q_train_global_ids",
-    "q_text_zipf_slope",
-    "q_train_dataset_card",
-    "q_dedup_incremental_probe",
-    # -- regression keepers (18) --
+    "q_train_contamination_check",
+    "q_dedup_simhash64_pairs",
     "q_changefeed_flagship",
     "q_envelope_decode_avro",
     "q_dedup_exact_summary",
     "q_dedup_minhash_lsh",
-    "q_dedup_simhash64_pairs",
     "q_dedup_clusters",
     "q_sim_ann_ivf_topk",
-    "q_sim_ann_lsh_multiprobe",
-    "q_knn_bruteforce",
-    "q_text_tfidf_top_terms",
-    "q_multimodal_image_decode",
     "q_multimodal_decode_features",
-    "q_events_sessionize",
+    "q_admin_filter_paginate",
     "q_events_sketch_accuracy",
-    "q_streaming_rollup",
-    "q_streaming_dedup_watermark",
+    "q_events_sessionize",
+    "q_streaming_latest_state",
     "q_streaming_changefeed_e2e",
-    "q_events_asof_join",
-    # -- batch canaries (2; rotation pool in COVERAGE.md) --
-    "q05_local_supplier_volume",
-    "q13_customer_distribution",
+    # -- batch canaries (3; rotation pool in COVERAGE.md) --
+    "q01_pricing_summary",
+    "q14_promo_revenue",
+    "q18_large_orders",
 ]
 
 # This round's batch canaries (tail of WINDOW); exported for the
 # registry-contract test and COVERAGE.md's rotation history.
-CANARIES: list[str] = ["q05_local_supplier_volume", "q13_customer_distribution"]
+CANARIES: list[str] = [
+    "q01_pricing_summary",
+    "q14_promo_revenue",
+    "q18_large_orders",
+]
 
 
 def _apply_window(window: list[str]) -> None:
