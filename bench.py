@@ -94,6 +94,12 @@ HEADLINE = [
     "q_dedup_semdedup",
     "q_dedup_containment_pairs",
     "q_udtf_chunk_digest",
+    # --- added r5 ---
+    "q_text_bpe_merge_candidates",
+    "q_train_contamination_bloom",
+    "q_embedding_label_centroid_sim",
+    "q_events_zorder_extents",
+    "q_train_length_matched_sample",
 ]
 
 

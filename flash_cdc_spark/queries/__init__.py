@@ -72,12 +72,15 @@ from flash_cdc_spark.queries import multimodal_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import llm_ext2  # noqa: E402,F401
 from flash_cdc_spark.queries import neardup_ext  # noqa: E402,F401
 
-# r4 additions (past-window; r5 rotation candidates).
+# r4 additions (window slots 1-32 this round).
 from flash_cdc_spark.queries import llm_ext3  # noqa: E402,F401
 from flash_cdc_spark.queries import maintenance_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import curation_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import retrieval_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import udtf_ext  # noqa: E402,F401
+
+# r5 additions (past-window; r6 rotation candidates).
+from flash_cdc_spark.queries import llm_ext4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # r5 driver window (VERDICT r4, next-round item #1).
