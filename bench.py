@@ -100,6 +100,9 @@ HEADLINE = [
     "q_embedding_label_centroid_sim",
     "q_events_zorder_extents",
     "q_train_length_matched_sample",
+    "q_sim_ann_ivf_incremental",
+    "q_events_touch_attribution",
+    "q_dedup_cross_source_matrix",
 ]
 
 

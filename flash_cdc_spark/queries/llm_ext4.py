@@ -521,3 +521,240 @@ def q_streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NO trailing distinct: the oracle compare itself verifies the
     # streaming dedup emitted each fingerprint exactly once
     return spark.createDataFrame(rows, "fingerprint string")
+
+
+# ---------------------------------------------------------------------
+# Incremental IVF index maintenance
+# ---------------------------------------------------------------------
+
+
+def _ivf_base_cte() -> str:
+    # vecs = the BASE corpus only (vec_id % 10 != 7); the quantizer
+    # trains on its deterministic hash-sample, exactly as the Spark
+    # side's train_kmeans does for the same frame
+    return """
+    vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % 10 <> 7
+    )"""
+
+
+from flash_cdc_spark.operators.ivf import IVF_ITERS as _IVF_ITERS
+from flash_cdc_spark.operators.ivf import kmeans_cte as _kmeans_cte
+
+_CENT = f"cent{_IVF_ITERS}"  # final trained centroid CTE name
+
+
+@query(
+    "q_sim_ann_ivf_incremental",
+    oracle="WITH "
+    + _ivf_base_cte()
+    + ",\n    "
+    + _kmeans_cte()
+    + f""",
+    base_assign AS (SELECT vec_id, cell FROM best WHERE ark = 1),
+    dvecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % 10 = 7
+    ),
+    dcomp AS (SELECT vec_id, d, v[d + 1] AS x FROM dvecs CROSS JOIN dims),
+    dasg AS (
+        SELECT dcomp.vec_id, {_CENT}.cell,
+               round(sum((dcomp.x - {_CENT}.w) * (dcomp.x - {_CENT}.w)), 9)
+                   AS d2
+        FROM dcomp JOIN {_CENT} ON dcomp.d = {_CENT}.d
+        GROUP BY 1, 2
+    ),
+    dbest AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+                   AS ark
+        FROM dasg
+    ),
+    delta_assign AS (SELECT vec_id, cell FROM dbest WHERE ark = 1),
+    all_assign AS (
+        SELECT cell, 0 AS is_delta FROM base_assign
+        UNION ALL
+        SELECT cell, 1 AS is_delta FROM delta_assign
+    )
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
+           CAST(sum(is_delta) AS BIGINT)     AS n_delta
+    FROM all_assign GROUP BY cell
+    """,
+)
+def q_sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the nightly-ingest shape: a
+    delta batch of NEW vectors (here the vec_id%10==7 slice) is
+    assigned to the EXISTING trained quantizer without retraining, so
+    index growth costs one narrow pass over the delta only (the same
+    per-batch-scales-with-delta discipline as the incremental dedup
+    probe). Output: per cell, base-corpus occupancy and the delta
+    arrivals — the occupancy-drift report an index maintainer watches
+    to decide when retraining is due. Quantizer training is the
+    MLlib-style sampled Lloyd loop over the BASE corpus; both engines
+    train it identically (9-dp rounding; see `operators/ivf.py`)."""
+    from flash_cdc_spark.operators import ivf as IVF
+    from flash_cdc_spark.operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    all_vecs = e.select("vec_id", v.alias("v"))
+    base = all_vecs.filter(F.col("vec_id") % 10 != 7)
+    delta = all_vecs.filter(F.col("vec_id") % 10 == 7)
+    centers = IVF.train_kmeans(base, cache_key=f"{sf_dir}#ivf-base")
+    cell_of = F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
+    assigned = base.select(cell_of.alias("cell"), F.lit(0).alias("is_delta")).unionAll(
+        delta.select(cell_of.alias("cell"), F.lit(1).alias("is_delta"))
+    )
+    return assigned.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.sum(1 - F.col("is_delta")).cast("bigint").alias("n_base"),
+        F.sum("is_delta").cast("bigint").alias("n_delta"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Cross-source duplication matrix (governance view)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_cross_source_matrix",
+    oracle="""
+    WITH fp AS (
+        SELECT source,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(lower(text), ' '))),
+                   ' ')) AS k
+        FROM documents
+    ),
+    counts AS (SELECT k, source, count(*) AS c FROM fp GROUP BY k, source),
+    pairs AS (
+        SELECT source AS source_a, source AS source_b,
+               c * (c - 1) / 2 AS n
+        FROM counts WHERE c >= 2
+        UNION ALL
+        SELECT a.source AS source_a, b.source AS source_b, a.c * b.c AS n
+        FROM counts a JOIN counts b
+          ON a.k = b.k AND a.source < b.source
+    )
+    SELECT source_a, source_b, CAST(sum(n) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY source_a, source_b
+    HAVING sum(n) > 0
+    """,
+)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the governance view that tells
+    a curation team WHERE duplicates come from (same-source boilerplate
+    vs cross-source scraping overlap), driving per-source dedup policy.
+    Scale shape: pair counts are COMBINATORIAL, never materialized —
+    one groupBy(fingerprint, source), then per-cluster source-count
+    arithmetic (within-source C(c,2), cross-source c_a*c_b) on the
+    cluster-level relation, which is bounded by clusters × sources.
+    A mega-cluster contributes one row of big integers, not its pair
+    explosion."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+                " ",
+            )
+        ).alias("k"),
+    )
+    counts = fp.groupBy("k", "source").agg(F.count(F.lit(1)).alias("c"))
+    a = counts.select("k", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = counts.select("k", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.col("ca") * (F.col("ca") - 1) / 2,
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .alias("n"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("n").cast("bigint").alias("n_dup_pairs"))
+        .filter(F.col("n_dup_pairs") > 0)
+    )
+
+
+# ---------------------------------------------------------------------
+# Marketing-style touch attribution
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_events_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, user_id, event_type, ts,
+               first_value(CASE WHEN event_type = 'view' THEN event_id END
+                           IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_view_id,
+               last_value(CASE WHEN event_type = 'view' THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_view_id,
+               count(CASE WHEN event_type = 'view' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_prior_views
+        FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           first_view_id, last_view_id,
+           CAST(n_prior_views AS BIGINT) AS n_prior_views
+    FROM ordered
+    WHERE event_type = 'purchase' AND first_view_id IS NOT NULL
+    """,
+)
+def q_events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution — for every purchase, the
+    user's FIRST and LAST preceding view plus the prior-view count, in
+    ONE user-keyed window pass (first/last with ignorenulls over the
+    running frame — no self-join, no per-touch shuffle; the multi-touch
+    generalization just adds more conditional window aggregates to the
+    same pass). Same-timestamp ties break on event_id on both engines.
+    One shuffle on user_id; linear at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ordered = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first(view_id, ignorenulls=True).over(w).alias("first_view_id"),
+        F.last(view_id, ignorenulls=True).over(w).alias("last_view_id"),
+        F.count(view_id).over(w).alias("n_prior_views"),
+    )
+    return (
+        ordered.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "first_view_id",
+            "last_view_id",
+            F.col("n_prior_views").cast("bigint").alias("n_prior_views"),
+        )
+    )
