@@ -103,6 +103,8 @@ HEADLINE = [
     "q_sim_ann_ivf_incremental",
     "q_events_touch_attribution",
     "q_dedup_cross_source_matrix",
+    "q_curation_funnel_report",
+    "q_retrieval_mmr_topk",
 ]
 
 

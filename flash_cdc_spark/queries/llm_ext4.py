@@ -758,3 +758,322 @@ def q_events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_prior_views").cast("bigint").alias("n_prior_views"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# End-to-end curation funnel (pipeline composition showpiece)
+# ---------------------------------------------------------------------
+
+_FUNNEL_STOPWORDS = (
+    "the", "a", "an", "and", "of", "to", "in", "be", "have", "that",
+)  # same public Gopher probe set as q_text_gopher_quality_rules
+
+
+@query(
+    "q_curation_funnel_report",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, n_chars, string_split(text, ' ') AS ws,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(lower(text), ' '))),
+                   ' ')) AS fp
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source, fp, n_chars,
+               len(ws) AS n_words,
+               CAST(len(ws) BETWEEN 10 AND 100000
+                    AND list_aggregate(list_transform(ws, w -> length(w)),
+                                       'sum') / CAST(len(ws) AS DOUBLE)
+                        BETWEEN 2 AND 10
+                    AND len(list_filter(ws,
+                        w -> list_contains({list(_FUNNEL_STOPWORDS)}, w)))
+                        >= 2 AS INT) AS pass_gopher
+        FROM toks
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                   AS n_docs,
+           CAST(sum(pass_gopher) AS BIGINT)           AS n_pass_quality,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                            AS n_canonical,
+           CAST(sum(CASE WHEN rk = 1 AND pass_gopher = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(sum(CASE WHEN rk = 1 AND pass_gopher = 1
+                         THEN n_words ELSE 0 END) AS BIGINT)
+                                                      AS final_words
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composed pipeline report every
+    dataset card starts from: per source, document counts surviving
+    each stage (raw → Gopher quality rules → canonical-dedup keeper →
+    both) plus the final token volume. Composes the SAME rules the
+    standalone queries check in isolation (`q_text_gopher_quality_rules`
+    thresholds, `q_dedup_canonical_docs` keep-longest-tie-smallest on
+    the word-set fingerprint), demonstrating that the operators
+    pipeline without re-reading the corpus: ONE scan computes tokens +
+    fingerprint + quality flags, one fingerprint shuffle ranks cluster
+    keepers, one groupBy(source) folds the funnel. Linear at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    toks = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ws.alias("ws"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    mwl = F.aggregate(
+        "ws", F.lit(0).cast("bigint"), lambda s, w: s + F.length(w)
+    ) / F.size("ws").cast("double")
+    stop_hits = F.size(
+        F.filter("ws", lambda w: w.isin(*_FUNNEL_STOPWORDS))
+    )
+    m = toks.select(
+        "doc_id",
+        "source",
+        "fp",
+        "n_chars",
+        F.size("ws").alias("n_words"),
+        (
+            F.size("ws").between(10, 100000)
+            & mwl.between(2, 10)
+            & (stop_hits >= 2)
+        )
+        .cast("int")
+        .alias("pass_gopher"),
+    )
+    ranked = m.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+        ),
+    )
+    keeper = (F.col("rk") == 1).cast("int")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pass_gopher").cast("bigint").alias("n_pass_quality"),
+        F.sum(keeper).cast("bigint").alias("n_canonical"),
+        F.sum(keeper * F.col("pass_gopher")).cast("bigint").alias("n_final"),
+        F.sum(keeper * F.col("pass_gopher") * F.col("n_words"))
+        .cast("bigint")
+        .alias("final_words"),
+    )
+
+
+# ---------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 8  # relevance-ranked candidate pool per query
+
+
+@query(
+    "q_retrieval_mmr_topk",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                   AS nrm
+        FROM embeddings
+    ),
+    probes AS (SELECT * FROM vecs WHERE vec_id < 5),
+    scored AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS doc, c.v, c.nrm,
+               round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+                   AS qcos
+        FROM probes p JOIN vecs c ON c.vec_id <> p.vec_id
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY qcos DESC, doc) AS rk
+            FROM scored
+        ) WHERE rk <= {_MMR_POOL}
+    ),
+    pairsim AS (
+        SELECT a.query_id, a.doc AS doc_a, b.doc AS doc_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                   AS dcos
+        FROM cand a JOIN cand b ON a.query_id = b.query_id
+    ),
+    s1 AS (
+        SELECT query_id, doc, qcos AS score FROM cand WHERE rk = 1
+    ),
+    m2 AS (
+        SELECT c.query_id, c.doc,
+               round({_MMR_LAMBDA} * c.qcos
+                     - {1 - _MMR_LAMBDA:.1f} * ps.dcos, 6) AS score
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND c.doc <> s1.doc
+        JOIN pairsim ps ON ps.query_id = c.query_id
+          AND ps.doc_a = c.doc AND ps.doc_b = s1.doc
+    ),
+    s2 AS (
+        SELECT query_id, doc, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc) AS rk
+            FROM m2
+        ) WHERE rk = 1
+    ),
+    m3 AS (
+        SELECT c.query_id, c.doc,
+               round({_MMR_LAMBDA} * c.qcos
+                     - {1 - _MMR_LAMBDA:.1f} * GREATEST(p1.dcos, p2.dcos),
+                     6) AS score
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id
+        JOIN s2 ON s2.query_id = c.query_id
+        JOIN pairsim p1 ON p1.query_id = c.query_id
+          AND p1.doc_a = c.doc AND p1.doc_b = s1.doc
+        JOIN pairsim p2 ON p2.query_id = c.query_id
+          AND p2.doc_a = c.doc AND p2.doc_b = s2.doc
+        WHERE c.doc <> s1.doc AND c.doc <> s2.doc
+    ),
+    s3 AS (
+        SELECT query_id, doc, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc) AS rk
+            FROM m3
+        ) WHERE rk = 1
+    )
+    SELECT query_id, 1 AS position, doc AS doc_id, score FROM s1
+    UNION ALL
+    SELECT query_id, 2, doc, score FROM s2
+    UNION ALL
+    SELECT query_id, 3, doc, score FROM s3
+    """,
+)
+def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Maximal Marginal Relevance) diversified top-3 — the
+    retrieval re-ranker that trades relevance against redundancy:
+    position i maximizes λ·cos(q,d) − (1−λ)·max_{{s∈selected}} cos(d,s),
+    so near-duplicate hits can't crowd the result list (the RAG-context
+    diversifier; Carbonell & Goldstein 1998). Iterative by definition —
+    here the k=3 selection is UNROLLED into three relational argmax
+    stages over a bounded candidate pool (top-8 by relevance per
+    query), so the quadratic part (pool×pool pair cosines) is 64 rows
+    per query, never corpus-sized. All cosines and scores round at 6 dp
+    with doc-id tiebreaks, making every argmax cross-engine exact.
+    Scale: candidate pools come from the ANN index (broadcast probes);
+    everything after is per-query constant work."""
+    from flash_cdc_spark.operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    probes = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        vecs.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc"),
+            "v",
+            "nrm",
+            F.round(
+                SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("qcos"),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "doc")
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .localCheckpoint(eager=True)  # tiny (queries × pool); reused 5×
+    )
+    a = cand.select(
+        "query_id", F.col("doc").alias("doc_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cand.select(
+        "query_id", F.col("doc").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairsim = a.join(b, "query_id").select(
+        "query_id",
+        "doc_a",
+        "doc_b",
+        F.round(
+            SIM.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("dcos"),
+    )
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)
+    s1 = cand.filter(F.col("rk") == 1).select(
+        "query_id", "doc", F.col("qcos").alias("score")
+    )
+    s1d = s1.select("query_id", F.col("doc").alias("s1_doc"))
+    m2 = (
+        cand.join(s1d, "query_id")
+        .filter(F.col("doc") != F.col("s1_doc"))
+        .join(
+            pairsim.withColumnRenamed("doc_a", "doc").withColumnRenamed(
+                "doc_b", "s1_doc"
+            ),
+            ["query_id", "doc", "s1_doc"],
+        )
+        .select(
+            "query_id",
+            "doc",
+            F.round(lam * F.col("qcos") - mu * F.col("dcos"), 6).alias("score"),
+        )
+    )
+    w_score = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc")
+    s2 = (
+        m2.withColumn("rk2", F.row_number().over(w_score))
+        .filter(F.col("rk2") == 1)
+        .select("query_id", "doc", "score")
+    )
+    s2d = s2.select("query_id", F.col("doc").alias("s2_doc"))
+    p1 = pairsim.select(
+        "query_id", F.col("doc_a").alias("doc"),
+        F.col("doc_b").alias("s1_doc"), F.col("dcos").alias("d1"),
+    )
+    p2 = pairsim.select(
+        "query_id", F.col("doc_a").alias("doc"),
+        F.col("doc_b").alias("s2_doc"), F.col("dcos").alias("d2"),
+    )
+    m3 = (
+        cand.join(s1d, "query_id")
+        .join(s2d, "query_id")
+        .filter((F.col("doc") != F.col("s1_doc")) & (F.col("doc") != F.col("s2_doc")))
+        .join(p1, ["query_id", "doc", "s1_doc"])
+        .join(p2, ["query_id", "doc", "s2_doc"])
+        .select(
+            "query_id",
+            "doc",
+            F.round(
+                lam * F.col("qcos") - mu * F.greatest("d1", "d2"), 6
+            ).alias("score"),
+        )
+    )
+    s3 = (
+        m3.withColumn("rk3", F.row_number().over(w_score))
+        .filter(F.col("rk3") == 1)
+        .select("query_id", "doc", "score")
+    )
+    return (
+        s1.select("query_id", F.lit(1).alias("position"), F.col("doc").alias("doc_id"), "score")
+        .unionAll(s2.select("query_id", F.lit(2), "doc", "score"))
+        .unionAll(s3.select("query_id", F.lit(3), "doc", "score"))
+    )

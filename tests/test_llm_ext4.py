@@ -120,3 +120,62 @@ def test_ivf_incremental_totals(spark, sf_dir):
     ).count()
     assert sum(r["n_delta"] for r in out) == n_delta
     assert sum(r["n_base"] for r in out) == n - n_delta
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR's selected set must be no MORE self-similar than the plain
+    relevance top-3 (that is the whole point of the re-ranker), and
+    position 1 must equal the plain top-1."""
+    from flash_cdc_spark.operators import similarity as SIM
+    from flash_cdc_spark.queries.llm_ext4 import q_retrieval_mmr_topk
+    from flash_cdc_spark.tables import load_table
+
+    mmr = q_retrieval_mmr_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], {})[r["position"]] = r["doc_id"]
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    probes = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    from pyspark.sql import Window
+
+    scored = vecs.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc"),
+        F.round(
+            SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "doc")
+    plain = {}
+    for r in (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    ):
+        plain.setdefault(r["query_id"], {})[r["rk"]] = r["doc"]
+
+    # pairwise cosine between two docs
+    vv = {r["vec_id"]: (r["v"], r["nrm"]) for r in vecs.filter(F.col("vec_id") < 2100).collect()}
+
+    def cos(a, b):
+        va, na = vv[a]
+        vb, nb = vv[b]
+        return sum(x * y for x, y in zip(va, vb)) / (na * nb)
+
+    def mean_pair_sim(docs):
+        ds = list(docs.values())
+        ps = [cos(ds[i], ds[j]) for i in range(3) for j in range(i + 1, 3)]
+        return sum(ps) / len(ps)
+
+    for q in by_q:
+        assert by_q[q][1] == plain[q][1]  # relevance anchor identical
+        assert mean_pair_sim(by_q[q]) <= mean_pair_sim(plain[q]) + 1e-9
