@@ -105,6 +105,7 @@ HEADLINE = [
     "q_dedup_cross_source_matrix",
     "q_curation_funnel_report",
     "q_retrieval_mmr_topk",
+    "q_streaming_dlq_delivery",
 ]
 
 

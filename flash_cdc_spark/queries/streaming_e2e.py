@@ -150,3 +150,108 @@ def q_streaming_changefeed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "record_id string, topic string, instance_url string"
     )
+
+
+class _RejectingHandler(http.server.BaseHTTPRequestHandler):
+    """Webhook endpoint with a poison rule: payloads carrying
+    ``"poison": true`` get a permanent 400; everything else records
+    and 200s — the endpoint shape the DLQ sink exists for."""
+
+    def do_POST(self):  # noqa: N802
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length).decode("utf-8")
+        doc = json.loads(body)
+        if doc.get("poison"):
+            self.send_response(400)
+            self.end_headers()
+            self.wfile.write(b'{"error":"permanent"}')
+            return
+        with self.server.lock:
+            self.server.requests.append(doc)
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@query(
+    "q_streaming_dlq_delivery",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 13 THEN 'dlq' ELSE 'delivered' END
+               AS disposition
+    FROM documents
+    """,
+)
+def q_streaming_dlq_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-executed dead-letter delivery: a real Structured
+    Streaming job posts one payload per document to a live HTTP
+    endpoint that PERMANENTLY rejects the poison slice (doc_id%97==13
+    → 400), through the DLQ webhook sink
+    (`streaming/webhook.py:webhook_batch_writer_with_dlq`). Poison
+    records land in the dead-letter parquet and the batch COMMITS —
+    the reference's all-or-nothing commit would replay the same batch
+    forever on one bad record. Output: each document's disposition,
+    reconstructed from what the endpoint accepted plus what the DLQ
+    table recorded; the oracle states the poison rule relationally.
+    Transient failures (5xx/429) still fail the batch — at-least-once
+    is unchanged for everything recoverable (pytest covers that arm)."""
+    import os
+
+    from flash_cdc_spark.streaming import await_or_fail
+    from flash_cdc_spark.streaming.webhook import (
+        RetryPolicy,
+        webhook_batch_writer_with_dlq,
+    )
+    from flash_cdc_spark.tables import load_table
+
+    payloads = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id"), (F.col("doc_id") % 97 == 13).alias("poison")
+            )
+        ).alias("payload_json"),
+    )
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RejectingHandler)
+    server.requests, server.lock = [], threading.Lock()
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    workdir = tempfile.mkdtemp(prefix="flash_dlq_")
+    try:
+        src = f"{workdir}/src"
+        payloads.write.parquet(src)
+        stream = spark.readStream.schema(payloads.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                webhook_batch_writer_with_dlq(
+                    f"http://127.0.0.1:{server.server_address[1]}/hook",
+                    dlq_path=f"{workdir}/dlq",
+                    policy=RetryPolicy(
+                        timeout_s=30.0, max_attempts=2,
+                        backoff_initial_s=0.05, backoff_cap_s=0.2,
+                        jitter_max_s=0.0,
+                    ),
+                )
+            )
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q)
+        with server.lock:
+            delivered = {int(r["doc_id"]) for r in server.requests}
+        dlq_ids = set()
+        if os.path.isdir(f"{workdir}/dlq"):
+            dlq_ids = {
+                int(json.loads(r["payload_json"])["doc_id"])
+                for r in spark.read.parquet(f"{workdir}/dlq").collect()
+            }
+    finally:
+        server.shutdown()
+        shutil.rmtree(workdir, ignore_errors=True)
+    rows = [(d, "delivered") for d in sorted(delivered)] + [
+        (d, "dlq") for d in sorted(dlq_ids)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, disposition string")

@@ -34,7 +34,15 @@ from pyspark.sql import DataFrame
 
 from flash_cdc_spark.session import scoped_conf
 
-__all__ = ["RetryPolicy", "post_with_retry", "http_transport", "webhook_batch_writer", "WebhookDeliveryError"]
+__all__ = [
+    "RetryPolicy",
+    "post_with_retry",
+    "post_classified",
+    "http_transport",
+    "webhook_batch_writer",
+    "webhook_batch_writer_with_dlq",
+    "WebhookDeliveryError",
+]
 
 Transport = Callable[[str, str], int]  # (url, json_body) -> http status
 
@@ -94,6 +102,87 @@ def post_with_retry(
             sleep(min(delay, policy.backoff_cap_s) + random.uniform(0, policy.jitter_max_s))
             delay *= policy.backoff_factor
     return False
+
+
+def post_classified(
+    transport: Transport,
+    url: str,
+    body: str,
+    policy: RetryPolicy = RetryPolicy(),
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """K1 variant for the DLQ path: returns the FINAL status code.
+    2xx → delivered. 4xx other than 429 returns immediately — a
+    permanent rejection that retries cannot fix (malformed payload,
+    revoked endpoint). Transient failures (5xx, 429, network errors)
+    retry with the same backoff as :func:`post_with_retry` and raise
+    :class:`WebhookDeliveryError` when exhausted, so the batch replays
+    and at-least-once is preserved for everything transient."""
+    delay = policy.backoff_initial_s
+    status = -1
+    for attempt in range(1, policy.max_attempts + 1):
+        try:
+            status = transport(url, body)
+        except Exception:
+            status = -1
+        if 200 <= status < 300:
+            return status
+        if 400 <= status < 500 and status != 429:
+            return status  # permanent — no retry, caller dead-letters
+        if attempt < policy.max_attempts:
+            sleep(min(delay, policy.backoff_cap_s) + random.uniform(0, policy.jitter_max_s))
+            delay *= policy.backoff_factor
+    raise WebhookDeliveryError(
+        f"transient webhook failure after {policy.max_attempts} attempts "
+        f"(last status {status})"
+    )
+
+
+def webhook_batch_writer_with_dlq(
+    url: str,
+    dlq_path: str,
+    transport_factory: Callable[[], Transport] = http_transport,
+    policy: RetryPolicy = RetryPolicy(),
+    payload_col: str = "payload_json",
+):
+    """Poison-message isolation (beyond the reference — its K3
+    all-or-nothing commit means ONE permanently-rejected record wedges
+    the pipeline forever, replaying the same failing batch): records
+    the endpoint rejects with a non-retryable 4xx are routed to a
+    dead-letter parquet table and the batch COMMITS; transient
+    failures (5xx/429/network) still fail the batch after retries, so
+    at-least-once delivery is unchanged for everything recoverable.
+
+    Delivery runs executor-side in Arrow-batched ``mapInPandas`` (the
+    dead-letter relation is its output — usually empty); the DLQ write
+    lands in ``{dlq_path}/batch_id={id}`` with overwrite, so a batch
+    replay rewrites the same dead letters instead of duplicating them
+    (same idempotence device as the offsets mirror), and the DLQ table
+    reads back partitioned by batch_id."""
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        def deliver(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            transport = transport_factory()
+            for pdf in batches:
+                dead_body: list[str] = []
+                dead_status: list[int] = []
+                for body in pdf[payload_col]:
+                    status = post_classified(transport, url, body, policy)
+                    if not (200 <= status < 300):
+                        dead_body.append(body)
+                        dead_status.append(status)
+                yield pd.DataFrame(
+                    {payload_col: dead_body, "status": dead_status}
+                )
+
+        dead = batch_df.select(payload_col).mapInPandas(
+            deliver, schema=f"`{payload_col}` string, status int"
+        )
+        dead.write.mode("overwrite").parquet(f"{dlq_path}/batch_id={batch_id}")
+
+    return _batch_fn
 
 
 def webhook_batch_writer(

@@ -462,3 +462,117 @@ def test_pipeline_from_flashfeed_latest_mode_skips_existing(spark, tmp_path, web
     # latest resolves the cursor at start(): max seq = 2 → every
     # pre-existing line is skipped, nothing delivered
     assert _delivered_ids(webhook_server) == []
+
+
+def test_post_classified_permanent_vs_transient():
+    """DLQ classification (r5): non-retryable 4xx returns immediately
+    (no retries burned), 429/5xx retry then raise, 2xx returns."""
+    from flash_cdc_spark.streaming.webhook import (
+        RetryPolicy,
+        WebhookDeliveryError,
+        post_classified,
+    )
+
+    policy = RetryPolicy(max_attempts=3, backoff_initial_s=0.0, jitter_max_s=0.0)
+    calls = []
+
+    def transport_of(statuses):
+        it = iter(statuses)
+
+        def t(url, body):
+            calls.append(1)
+            return next(it)
+
+        return t
+
+    # permanent 400: one attempt, status returned
+    calls.clear()
+    assert post_classified(transport_of([400]), "u", "b", policy, sleep=lambda s: None) == 400
+    assert len(calls) == 1
+    # 429 is transient: retries, then succeeds
+    calls.clear()
+    assert post_classified(transport_of([429, 200]), "u", "b", policy, sleep=lambda s: None) == 200
+    assert len(calls) == 2
+    # persistent 500: exhausts retries and raises (batch must replay)
+    calls.clear()
+    with pytest.raises(WebhookDeliveryError):
+        post_classified(transport_of([500, 500, 500]), "u", "b", policy, sleep=lambda s: None)
+    assert len(calls) == 3
+
+
+def test_dlq_sink_isolates_poison_and_commits(spark, tmp_path):
+    """E2E: a poison payload (endpoint 400s it) lands in the DLQ
+    parquet while good payloads deliver and the batch COMMITS (the
+    checkpoint advances — a second identical run delivers nothing
+    new); a replay of the same batch overwrites, not duplicates, its
+    DLQ rows."""
+    import json as _json
+
+    from flash_cdc_spark.streaming import await_or_fail
+    from flash_cdc_spark.streaming.webhook import (
+        RetryPolicy,
+        webhook_batch_writer_with_dlq,
+    )
+
+    # endpoint: 400 for bodies carrying "poison": true
+    import http.server
+    import threading
+
+    class _Rej(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            doc = _json.loads(body)
+            if doc.get("poison"):
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(b"{}")
+                return
+            with self.server.lock:
+                self.server.requests.append(doc)
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Rej)
+    srv.requests, srv.lock = [], threading.Lock()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rows = [(i, _json.dumps({"doc_id": i, "poison": i == 2})) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, payload_json string")
+        src = str(tmp_path / "src")
+        df.write.parquet(src)
+        url = f"http://127.0.0.1:{srv.server_address[1]}/h"
+        dlq = str(tmp_path / "dlq")
+        policy = RetryPolicy(max_attempts=2, backoff_initial_s=0.01,
+                             backoff_cap_s=0.05, jitter_max_s=0.0)
+
+        def run():
+            stream = spark.readStream.schema(df.schema).parquet(src)
+            q = (
+                stream.writeStream.foreachBatch(
+                    webhook_batch_writer_with_dlq(url, dlq_path=dlq, policy=policy)
+                )
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_or_fail(q)
+
+        run()
+        with srv.lock:
+            delivered = {r["doc_id"] for r in srv.requests}
+        assert delivered == {0, 1, 3, 4}
+        dead = spark.read.parquet(dlq).collect()
+        assert len(dead) == 1 and dead[0]["status"] == 400
+        assert _json.loads(dead[0]["payload_json"])["doc_id"] == 2
+
+        # checkpoint advanced: rerun delivers nothing new
+        run()
+        with srv.lock:
+            assert len(srv.requests) == 4
+    finally:
+        srv.shutdown()
