@@ -106,6 +106,8 @@ HEADLINE = [
     "q_curation_funnel_report",
     "q_retrieval_mmr_topk",
     "q_streaming_dlq_delivery",
+    "q_embedding_pca_project",
+    "q_events_seasonal_anomalies",
 ]
 
 

@@ -359,11 +359,44 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     — driver-free, executor-cheap, identical on both engines via the
     9-dp-per-iteration rounding device shared with the k-means and
     PageRank oracles."""
+    _, v = eigenvector_state(spark, sf_dir)
+    w = Window.orderBy(F.abs(F.col("v")).desc(), "d")
+    return (
+        v.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("d", F.round("v", 6).alias("loading"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# Trained-PCA memo (offline-training analog, same device as the IVF
+# center memo): the LEARNED state is tiny — 64 per-dimension means +
+# the 64-entry eigenvector — so it collects to the driver once per
+# (process, corpus) and later consumers rebuild it as literal frames.
+# Values are identical to inline computation (collect of 9-dp-rounded
+# deterministic results), so oracle compares are unaffected.
+_PCA_STATE: dict[str, tuple[list, list]] = {}
+
+
+def eigenvector_state(spark: SparkSession, sf_dir: str):
+    """Shared PCA state: (centered components ``(vec_id, d, xc)``,
+    eigenvector ``(d, v)`` after ``_POWER_ITERS`` 9-dp-rounded power
+    iterations) — consumed by the top-eigenvector report and the
+    projection query (llm_ext4). Training (covariance pass + power
+    iterations) runs once per (process, corpus); repeat calls pay one
+    corpus scan for the centered components only."""
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
     comp = e.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
     )
+    if sf_dir in _PCA_STATE:
+        mean_rows, v_rows = _PCA_STATE[sf_dir]
+        means = spark.createDataFrame(mean_rows, "d int, mu double")
+        centered = comp.join(F.broadcast(means), "d").select(
+            "vec_id", "d", (F.col("x") - F.col("mu")).alias("xc")
+        )
+        v = spark.createDataFrame(v_rows, "d int, v double")
+        return centered, v
+    n = e.count()
     means = comp.groupBy("d").agg(F.avg("x").alias("mu"))
     centered = comp.join(F.broadcast(means), "d").select(
         "vec_id", "d", (F.col("x") - F.col("mu")).alias("xc")
@@ -392,9 +425,8 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = u.crossJoin(F.broadcast(nrm)).select(
             F.col("ud").alias("d"), F.round(F.col("u") / F.col("nrm"), 9).alias("v")
         )
-    w = Window.orderBy(F.abs(F.col("v")).desc(), "d")
-    return (
-        v.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("d", F.round("v", 6).alias("loading"), F.col("rk").cast("int").alias("rk"))
+    _PCA_STATE[sf_dir] = (
+        [(r["d"], r["mu"]) for r in means.collect()],
+        [(r["d"], r["v"]) for r in v.collect()],
     )
+    return centered, v

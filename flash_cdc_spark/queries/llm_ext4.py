@@ -1077,3 +1077,139 @@ def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(s2.select("query_id", F.lit(2), "doc", "score"))
         .unionAll(s3.select("query_id", F.lit(3), "doc", "score"))
     )
+
+
+# ---------------------------------------------------------------------
+# PCA projection (applies the learned transform)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_pca_project",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, CAST(i AS INT) AS d,
+               CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i)
+    ),
+    means AS (SELECT d, avg(x) AS mu FROM comp GROUP BY d),
+    centered AS (
+        SELECT c.vec_id, c.d, c.x - m.mu AS xc
+        FROM comp c JOIN means m ON m.d = c.d
+    ),
+    upper_cov AS (
+        SELECT a.d AS d1, b.d AS d2,
+               round(sum(a.xc * b.xc)
+                     / (SELECT count(*) FROM embeddings), 9) AS cov
+        FROM centered a JOIN centered b
+          ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    ),
+    cov AS (
+        SELECT d1, d2, cov FROM upper_cov
+        UNION ALL
+        SELECT d2, d1, cov FROM upper_cov WHERE d1 < d2
+    ),
+    """
+    + __import__(
+        "flash_cdc_spark.queries.llm_ext3", fromlist=["x"]
+    )._duck_power_iteration_cte(
+        __import__("flash_cdc_spark.queries.llm_ext3", fromlist=["x"])._POWER_ITERS
+    )
+    + f"""
+    SELECT c.vec_id,
+           round(sum(c.xc * v.v), 6) AS pc1
+    FROM centered c
+    JOIN v{__import__("flash_cdc_spark.queries.llm_ext3", fromlist=["x"])._POWER_ITERS} v
+      ON v.d = c.d
+    WHERE c.vec_id < 10
+    GROUP BY c.vec_id
+    """,
+)
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection — APPLYING the learned transform, the step after
+    `q_embedding_top_eigenvector` learns it: the first 10 vectors'
+    coordinates along the principal component (centered dot
+    eigenvector), i.e. the dimensionality-reduction output a
+    whitening/compression pipeline materializes for every vector.
+    Shape: the expensive parts (covariance pass, 6 matvec iterations)
+    are dimension²-sized and shared with the eigenvector query
+    (`eigenvector_state`); the projection itself is one broadcast join
+    of the 64-row eigenvector against centered components + a
+    groupBy(vec_id) — linear in the corpus, one pass."""
+    from flash_cdc_spark.queries.llm_ext3 import eigenvector_state
+
+    centered, v = eigenvector_state(spark, sf_dir)
+    return (
+        centered.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(v), "d")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("xc") * F.col("v")), 6).alias("pc1"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Seasonal anomaly baseline
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_events_seasonal_anomalies",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id, event_type, value, hour(ts) AS hod
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, hod,
+               avg(value) AS mu, stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM keyed GROUP BY event_type, hod
+    )
+    SELECT k.event_id, k.event_type,
+           CAST(k.hod AS INT) AS hod,
+           round(k.value, 2) AS value,
+           round((k.value - s.mu) / s.sigma, 4) AS seasonal_z
+    FROM keyed k
+    JOIN stats s USING (event_type, hod)
+    WHERE s.n >= 5 AND s.sigma > 0
+      AND abs((k.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def q_events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection — the time-of-week baseline that
+    plain global z-scores (`q_events_anomaly_zscore`) miss: each event
+    compares against the mean/stddev of ITS OWN (event_type, day-of-
+    week) cell — here (event_type, hour-of-day), so a value that is
+    normal at the daily peak but wild at 3am flags correctly (the
+    day-of-week axis joins the key once the corpus spans weeks — the
+    shipped fixture covers days, and a key finer than the data is the
+    vacuous-query trap `q_dedup_canonical_docs` taught in r4). Shape:
+    one partial-aggregatable groupBy over the seasonal key (cells =
+    types × 24, broadcast scale) joined back broadcast — the corpus is
+    touched once, no window, no shuffle of the facts. Thin cells
+    (n < 5) are excluded rather than trusted."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.hour("ts").alias("hod"),
+    )
+    stats = keyed.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        keyed.join(F.broadcast(stats), ["event_type", "hod"])
+        .filter((F.col("n") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hod").cast("int").alias("hod"),
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("seasonal_z"),
+        )
+    )

@@ -131,3 +131,49 @@ def test_new_tpch_plans_broadcast_dims_and_push_filters(spark, sf_dir):
     assert "LeftAnti" in p22
     p20 = _plan(QUERIES["q20_excess_shipments"](spark, sf_dir))
     assert "LeftSemi" in p20
+
+
+def test_r5_plans_broadcast_and_avoid_nested_loop(spark, sf_dir):
+    """r5 additions keep their scale shapes: the Bloom probe joins the
+    bounded bit table broadcast; the seasonal baseline joins the
+    cell-stats broadcast; MMR has no NestedLoop anywhere (every stage
+    is an equi-join on query_id/doc keys); the BPE aggregate's
+    exchange carries the tiny pair relation, not the corpus."""
+    from flash_cdc_spark.queries.llm_ext4 import (
+        q_events_seasonal_anomalies,
+        q_retrieval_mmr_topk,
+        q_text_bpe_merge_candidates,
+        q_train_contamination_bloom,
+    )
+
+    bloom = _plan(q_train_contamination_bloom(spark, sf_dir))
+    assert "BroadcastHashJoin" in bloom or "BroadcastExchange" in bloom
+
+    seasonal = _plan(q_events_seasonal_anomalies(spark, sf_dir))
+    assert "BroadcastHashJoin" in seasonal
+
+    mmr = _plan(q_retrieval_mmr_topk(spark, sf_dir))
+    # the probe fan-out (vec_id != query_id vs a broadcast 5-row probe
+    # set) is the one legitimate non-equi join; every selection argmax
+    # stage must be a hash/merge join on equi keys
+    assert mmr.count("BroadcastNestedLoopJoin") <= 1, mmr
+    assert mmr.count("SortMergeJoin") + mmr.count("BroadcastHashJoin") >= 3
+
+    bpe = _plan(q_text_bpe_merge_candidates(spark, sf_dir))
+    assert "TakeOrderedAndProject" in bpe
+
+
+def test_zorder_layout_single_shuffle(spark, sf_dir):
+    """zorder_layout costs exactly one exchange (the range partitioner)
+    — no extra shuffles sneak in around the Morton expression."""
+    from flash_cdc_spark.operators.layout import zorder_layout
+    from flash_cdc_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor("value").cast("long").alias("v")
+    )
+    plan = _plan(zorder_layout(ev, ["user_id", "v"], bits=10, n_files=8))
+    # "Exchange (n)" is the tree node; the detail section repeats the
+    # name as "(n) Exchange", which must not double-count
+    assert plan.count("Exchange (") == 1, plan
