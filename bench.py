@@ -108,6 +108,8 @@ HEADLINE = [
     "q_streaming_dlq_delivery",
     "q_embedding_pca_project",
     "q_events_seasonal_anomalies",
+    "q_quality_logreg_score",
+    "q_train_dsir_weights",
 ]
 
 

@@ -81,6 +81,7 @@ from flash_cdc_spark.queries import udtf_ext  # noqa: E402,F401
 
 # r5 additions (past-window; r6 rotation candidates).
 from flash_cdc_spark.queries import llm_ext4  # noqa: E402,F401
+from flash_cdc_spark.queries import quality_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # r5 driver window (VERDICT r4, next-round item #1).

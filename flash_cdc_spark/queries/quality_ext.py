@@ -1,0 +1,397 @@
+"""Model-based curation: a relationally-trained logistic-regression
+quality classifier and DSIR hashed-n-gram importance weights
+(registered past the r5 driver window — r6 rotation candidates;
+continuously checked by the local oracle mimic and the committed
+fingerprint snapshot).
+
+Published-technique provenance: classifier-based quality filtering is
+the GPT-3/CCNet device (Brown et al. 2020 §A; Wenzek et al. 2020) —
+score every document with a model trained to separate a high-quality
+reference from the raw crawl, keep the high scorers; DSIR is
+"Data Selection for Language Models via Importance Resampling"
+(Xie et al., NeurIPS 2023) — per-document importance weights from
+hashed-n-gram frequency ratios between a target distribution and the
+raw pool. The reference (an event-streaming CDC relay,
+`/root/reference`) has no analytics surface — north-star scope.
+
+Determinism device (shared with the PageRank / k-means / power-
+iteration oracles in this repo): every iterative quantity rounds to
+9 dp per step on BOTH engines, so float summation-order drift can
+never reach the 6-dp output rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+# ---------------------------------------------------------------------
+# Logistic-regression quality classifier (train + apply, fully
+# relational)
+# ---------------------------------------------------------------------
+
+_LOGREG_ITERS = 4
+_LOGREG_LR = 1.0
+# The tiny English stopword probe set shared with the quality profile
+# (llm.py) — the classifier's strongest signal for the en/other label.
+_LR_STOPWORDS = ("the", "a", "of", "and")
+
+
+def _duck_logreg_cte(iters: int, lr: float) -> str:
+    """Unrolled batch-gradient-descent CTEs over ``feats(doc_id, f, z)``
+    and ``labels(doc_id, y)``. Per iteration: margin -> sigmoid ->
+    gradient -> weight update, each rounded to 9 dp."""
+    parts = [
+        "w0 AS (SELECT CAST(unnest(range(4)) AS INT) AS f, 0.0 AS w)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"m{t} AS (SELECT x.doc_id, round(sum(x.z * w.w), 9) AS m "
+            f"FROM feats x JOIN w{t - 1} w ON w.f = x.f GROUP BY x.doc_id)"
+        )
+        parts.append(
+            f"p{t} AS (SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 9) AS p "
+            f"FROM m{t})"
+        )
+        parts.append(
+            f"g{t} AS (SELECT x.f, round(avg(x.z * (l.y - p.p)), 9) AS g "
+            f"FROM feats x JOIN p{t} p ON p.doc_id = x.doc_id "
+            f"JOIN labels l ON l.doc_id = x.doc_id GROUP BY x.f)"
+        )
+        parts.append(
+            f"w{t} AS (SELECT w.f, round(w.w + {lr} * g.g, 9) AS w "
+            f"FROM w{t - 1} w JOIN g{t} g ON g.f = w.f)"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_quality_logreg_score",
+    oracle="""
+    WITH scalars AS (
+        SELECT doc_id, lang,
+               CAST(lang = 'en' AS INT) AS y,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the','a','of','and')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
+               len(replace(text, ' ', ''))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+               round(ln(1 + len(string_split(text, ' '))), 9) AS x3
+        FROM documents WHERE len(text) > 0
+    ),
+    stats AS (
+        SELECT round(avg(x1), 9) AS mu1, round(stddev_samp(x1), 9) AS s1,
+               round(avg(x2), 9) AS mu2, round(stddev_samp(x2), 9) AS s2,
+               round(avg(x3), 9) AS mu3, round(stddev_samp(x3), 9) AS s3
+        FROM scalars
+    ),
+    feats AS (
+        SELECT doc_id, CAST(0 AS INT) AS f, 1.0 AS z FROM scalars
+        UNION ALL
+        SELECT doc_id, 1, round((x1 - mu1) / s1, 9) FROM scalars, stats
+        UNION ALL
+        SELECT doc_id, 2, round((x2 - mu2) / s2, 9) FROM scalars, stats
+        UNION ALL
+        SELECT doc_id, 3, round((x3 - mu3) / s3, 9) FROM scalars, stats
+    ),
+    labels AS (SELECT doc_id, y FROM scalars),
+    """
+    + _duck_logreg_cte(_LOGREG_ITERS, _LOGREG_LR)
+    + f"""
+    , final_m AS (
+        SELECT x.doc_id, round(sum(x.z * w.w), 9) AS m
+        FROM feats x JOIN w{_LOGREG_ITERS} w ON w.f = x.f
+        GROUP BY x.doc_id
+    ),
+    scored AS (
+        SELECT s.lang, s.y,
+               round(1.0 / (1.0 + exp(-f.m)), 9) AS p
+        FROM final_m f JOIN scalars s ON s.doc_id = f.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p), 6) AS avg_score,
+           CAST(sum(CAST(p >= 0.5 AS INT)) AS BIGINT) AS n_pass
+    FROM scored GROUP BY lang
+    """,
+)
+def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering, trained AND applied inside
+    the engine — the GPT-3/CCNet curation step: a logistic regression
+    separating the high-quality reference class (here: the ``en``
+    slice stands in for the reference corpus) from the rest, scored
+    over every document; downstream pipelines keep `p >= threshold`.
+    Training is {_LOGREG_ITERS} unrolled batch-GD steps executed
+    RELATIONALLY: features are a tall ``(doc_id, f, z)`` relation, the
+    weight vector is a 4-row broadcast frame, margin = one broadcast
+    join + groupBy(doc_id), gradient = one groupBy(f) — so each step is
+    two linear passes over the feature relation and NO driver collect.
+    Shape at 100 TB: the corpus is scanned once to build the per-doc
+    scalar features (narrow projection); the per-iteration work runs
+    over the 4-rows-per-doc feature relation (linear, partial-agg
+    friendly both groupings); the model state (4 weights) never leaves
+    broadcast scale. Output: per-language score profile (one tiny
+    groupBy at the end). Standardized features + 9-dp-per-step rounding
+    make both engines bit-identical (same device as PageRank /
+    power iteration)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ws = F.split("text", " ")
+    n_tok = F.size(ws).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _LR_STOPWORDS])
+    scalars = d.select(
+        "doc_id",
+        "lang",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (
+            F.size(F.filter(ws, lambda t: F.array_contains(stop_arr, t)))
+            / n_tok
+        ).alias("x1"),
+        (F.length(F.translate("text", " ", "")) / n_tok).alias("x2"),
+        F.round(F.log(F.lit(1) + F.size(ws)), 9).alias("x3"),
+    ).localCheckpoint(eager=False)
+    stats = scalars.agg(
+        *[
+            e
+            for i in (1, 2, 3)
+            for e in (
+                F.round(F.avg(f"x{i}"), 9).alias(f"mu{i}"),
+                F.round(F.stddev_samp(f"x{i}"), 9).alias(f"s{i}"),
+            )
+        ]
+    )
+    melted = scalars.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "y",
+        F.explode(
+            F.array(
+                *(
+                    [F.struct(F.lit(0).alias("f"), F.lit(1.0).alias("z"))]
+                    + [
+                        F.struct(
+                            F.lit(i).alias("f"),
+                            F.round(
+                                (F.col(f"x{i}") - F.col(f"mu{i}"))
+                                / F.col(f"s{i}"),
+                                9,
+                            ).alias("z"),
+                        )
+                        for i in (1, 2, 3)
+                    ]
+                )
+            )
+        ).alias("fz"),
+    )
+    feats = melted.select(
+        "doc_id", "y", F.col("fz.f").alias("f"), F.col("fz.z").alias("z")
+    ).localCheckpoint(eager=False)
+    w = spark.createDataFrame([(i, 0.0) for i in range(4)], "f int, w double")
+    for _ in range(_LOGREG_ITERS):
+        m = (
+            feats.join(F.broadcast(w), "f")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("z") * F.col("w")), 9).alias("m"))
+        )
+        p = m.select(
+            "doc_id",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 9).alias(
+                "p"
+            ),
+        )
+        g = (
+            feats.join(p, "doc_id")
+            .groupBy("f")
+            .agg(
+                F.round(
+                    F.avg(F.col("z") * (F.col("y") - F.col("p"))), 9
+                ).alias("g")
+            )
+        )
+        w = (
+            w.join(g, "f")
+            .select(
+                "f",
+                F.round(
+                    F.col("w") + F.lit(_LOGREG_LR) * F.col("g"), 9
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    final_m = (
+        feats.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("z") * F.col("w")), 9).alias("m"))
+    )
+    scored = final_m.join(
+        scalars.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "lang",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 9).alias("p"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("p"), 6).alias("avg_score"),
+        F.sum((F.col("p") >= 0.5).cast("int")).cast("bigint").alias("n_pass"),
+    )
+
+
+# ---------------------------------------------------------------------
+# DSIR hashed-n-gram importance weights
+# ---------------------------------------------------------------------
+
+_DSIR_BUCKETS = 8192
+
+
+@query(
+    "q_train_dsir_weights",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+        FROM documents WHERE len(text) > 0
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(ws[CAST(i AS INT)] || ' ' ||
+                                       ws[CAST(i + 1 AS INT)]), 1, 8)
+                    AS BIGINT) % {_DSIR_BUCKETS} AS b
+        FROM docs, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    bucket_stats AS (
+        SELECT b,
+               count(*) AS n_raw,
+               sum(CAST(lang = 'en' AS INT)) AS n_tgt
+        FROM grams GROUP BY b
+    ),
+    totals AS (
+        SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt
+        FROM bucket_stats
+    ),
+    lam AS (
+        SELECT b,
+               round(ln((n_tgt + 1.0) / (tot_tgt + {_DSIR_BUCKETS}))
+                     - ln((n_raw + 1.0) / (tot_raw + {_DSIR_BUCKETS})),
+                     9) AS lam
+        FROM bucket_stats, totals
+    ),
+    doc_w AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               round(sum(l.lam), 6) AS log_w
+        FROM grams g JOIN lam l ON l.b = g.b
+        WHERE g.lang <> 'en'
+        GROUP BY g.doc_id
+    ),
+    top AS (
+        SELECT d.doc_id, dd.source, dd.lang, d.n_grams, d.log_w
+        FROM doc_w d JOIN docs dd ON dd.doc_id = d.doc_id
+        ORDER BY d.log_w DESC, d.doc_id LIMIT 15
+    )
+    SELECT doc_id, source, lang, n_grams, log_w,
+           CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS INT)
+               AS rk
+    FROM top
+    """,
+)
+def q_train_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): rank the raw pool by
+    how target-like it is, via hashed-bigram frequency log-ratios —
+    the importance-resampling alternative to a trained classifier for
+    targeted data selection. Target distribution = the ``en`` slice;
+    raw = the whole corpus; each non-target document's log importance
+    weight is the sum of its bigrams' ``ln(p_target/p_raw)`` over
+    {_DSIR_BUCKETS} hash buckets with add-one smoothing. Shape at
+    100 TB: ONE pass over the gram relation computes both frequency
+    tables (conditional aggregation — no second scan), the λ table is
+    at most {_DSIR_BUCKETS} rows (broadcast scale, independent of
+    corpus size), and the per-doc weight is one broadcast join + one
+    groupBy(doc_id) — linear end to end, shuffle keyed only on the
+    bounded bucket id and doc_id. Top-15 via TakeOrdered-first ranking
+    (global sort only over 15 rows). 6-dp-rounded weights with doc_id
+    tie-break make the ranking cross-engine exact."""
+    from flash_cdc_spark.session import ensure_min_parallelism
+
+    d = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    docs = d.select(
+        "doc_id", "source", "lang", F.split("text", " ").alias("ws")
+    )
+    bigram = lambda ws: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+        ),
+    )
+    # Single-element-array let binding (the r5 contamination-check
+    # device): stops CollapseProject inlining split() into the per-gram
+    # lambda, which would re-split the text once per gram.
+    grams = (
+        docs.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.element_at(F.transform(F.array(F.col("ws")), bigram), 1)
+            ).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bucket_stats = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum((F.col("lang") == "en").cast("int")).alias("n_tgt"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_tgt").alias("tot_tgt")
+    )
+    lam = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("n_tgt") + 1.0)
+                / (F.col("tot_tgt") + _DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("n_raw") + 1.0)
+                / (F.col("tot_raw") + _DSIR_BUCKETS)
+            ),
+            9,
+        ).alias("lam"),
+    )
+    doc_w = (
+        grams.filter(F.col("lang") != "en")
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(F.sum("lam"), 6).alias("log_w"),
+        )
+    )
+    top = (
+        doc_w.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .orderBy(F.col("log_w").desc(), "doc_id")
+        .limit(15)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("log_w").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_grams",
+        "log_w",
+        F.row_number().over(w).cast("int").alias("rk"),
+    )

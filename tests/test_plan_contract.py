@@ -163,6 +163,29 @@ def test_r5_plans_broadcast_and_avoid_nested_loop(spark, sf_dir):
     assert "TakeOrderedAndProject" in bpe
 
 
+def test_model_curation_plans_stay_broadcast(spark, sf_dir):
+    """The model-based curation pair keeps model state broadcast-sized:
+    logreg's weight joins and DSIR's λ-table join are broadcast hash
+    joins; the only nested-loop joins are single-row stat/total
+    cross-joins; DSIR's top-15 is TakeOrdered, never a global sort."""
+    from flash_cdc_spark.queries.quality_ext import (
+        q_quality_logreg_score,
+        q_train_dsir_weights,
+    )
+
+    # the detail section repeats node names as "(n) <Name>", which
+    # must not double-count — match the tree form "<Name> (" only
+    lr = _plan(q_quality_logreg_score(spark, sf_dir))
+    assert "BroadcastHashJoin" in lr
+    # one stats cross-join (single-row) is the only permitted BNLJ
+    assert lr.count("BroadcastNestedLoopJoin (") <= 1, lr
+
+    dsir = _plan(q_train_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in dsir
+    assert dsir.count("BroadcastNestedLoopJoin (") <= 1, dsir
+    assert "TakeOrderedAndProject" in dsir
+
+
 def test_zorder_layout_single_shuffle(spark, sf_dir):
     """zorder_layout costs exactly one exchange (the range partitioner)
     — no extra shuffles sneak in around the Morton expression."""
