@@ -63,16 +63,25 @@ _ORACLE = f"""
 
 
 class _CaptureHandler(http.server.BaseHTTPRequestHandler):
-    """Minimal webhook endpoint: record every POSTed payload, 200 OK."""
+    """Minimal webhook endpoint: record every POSTed payload, 200 OK.
+    HTTP/1.1 + Content-Length so the pooled keep-alive transport can
+    reuse connections (HTTP/1.0 would force one TCP connect per post)."""
+
+    protocol_version = "HTTP/1.1"
+    disable_nagle_algorithm = True
+
+    def _reply(self, code: int, body: bytes = b"{}") -> None:
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self):  # noqa: N802
         length = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(length).decode("utf-8")
         with self.server.lock:
             self.server.requests.append(json.loads(body))
-        self.send_response(200)
-        self.end_headers()
-        self.wfile.write(b"{}")
+        self._reply(200)
 
     def log_message(self, *args):  # silence
         pass
@@ -152,7 +161,7 @@ def q_streaming_changefeed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-class _RejectingHandler(http.server.BaseHTTPRequestHandler):
+class _RejectingHandler(_CaptureHandler):
     """Webhook endpoint with a poison rule: payloads carrying
     ``"poison": true`` get a permanent 400; everything else records
     and 200s — the endpoint shape the DLQ sink exists for."""
@@ -162,18 +171,11 @@ class _RejectingHandler(http.server.BaseHTTPRequestHandler):
         body = self.rfile.read(length).decode("utf-8")
         doc = json.loads(body)
         if doc.get("poison"):
-            self.send_response(400)
-            self.end_headers()
-            self.wfile.write(b'{"error":"permanent"}')
+            self._reply(400, b'{"error":"permanent"}')
             return
         with self.server.lock:
             self.server.requests.append(doc)
-        self.send_response(200)
-        self.end_headers()
-        self.wfile.write(b"{}")
-
-    def log_message(self, *args):  # silence
-        pass
+        self._reply(200)
 
 
 @query(

@@ -39,6 +39,7 @@ __all__ = [
     "post_with_retry",
     "post_classified",
     "http_transport",
+    "pooled_http_transport",
     "webhook_batch_writer",
     "webhook_batch_writer_with_dlq",
     "WebhookDeliveryError",
@@ -77,6 +78,74 @@ def http_transport(timeout_s: float = 15.0) -> Transport:
                 return resp.status
         except urllib.error.HTTPError as exc:  # non-2xx still yields a code
             return exc.code
+
+    return _post
+
+
+def pooled_http_transport(timeout_s: float = 15.0) -> Transport:
+    """Keep-alive transport: one persistent HTTP/1.1 connection per
+    (transport, scheme, host) reused across posts. At webhook delivery
+    rates the TCP connect + teardown per record dominates wall-clock
+    (measured r5: the sf0.1 DLQ run spent most of its 19 s opening
+    50k one-shot connections); connection reuse is also the production
+    delivery shape — the reference's aiohttp session pools the same
+    way. A stale pooled connection (server closed keep-alive) gets ONE
+    transparent reconnect before the error propagates to the retry
+    policy; endpoints that close per-request degrade gracefully to
+    reconnect-per-post."""
+    import http.client
+    import socket
+    from urllib.parse import urlsplit
+
+    conns: dict[tuple[str, str], "http.client.HTTPConnection"] = {}
+
+    def _post_once(url: str, body: bytes) -> int:
+        parts = urlsplit(url)
+        key = (parts.scheme, parts.netloc)
+        conn = conns.get(key)
+        if conn is None:
+            cls = (
+                http.client.HTTPSConnection
+                if parts.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            conn = cls(parts.netloc, timeout=timeout_s)
+            conn.connect()
+            # Disable Nagle: headers and body go out in separate
+            # writes, and Nagle + the server's delayed ACK otherwise
+            # stall every keep-alive request ~40 ms (measured r5:
+            # 0.044 s/post pooled-without-NODELAY vs 0.0004 s with)
+            conn.sock.setsockopt(
+                socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+            )
+            conns[key] = conn
+        path = parts.path or "/"
+        if parts.query:
+            path = f"{path}?{parts.query}"
+        try:
+            conn.request(
+                "POST", path, body=body,
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            resp.read()  # drain so the connection can be reused
+            if resp.will_close:
+                conn.close()
+                conns.pop(key, None)
+            return resp.status
+        except Exception:
+            conn.close()
+            conns.pop(key, None)
+            raise
+
+    def _post(url: str, body: str) -> int:
+        data = body.encode("utf-8")
+        try:
+            return _post_once(url, data)
+        except Exception:
+            # one transparent retry for a stale keep-alive connection;
+            # a second failure is a real transport error for the policy
+            return _post_once(url, data)
 
     return _post
 
@@ -141,7 +210,7 @@ def post_classified(
 def webhook_batch_writer_with_dlq(
     url: str,
     dlq_path: str,
-    transport_factory: Callable[[], Transport] = http_transport,
+    transport_factory: Callable[[], Transport] = pooled_http_transport,
     policy: RetryPolicy = RetryPolicy(),
     payload_col: str = "payload_json",
 ):
@@ -187,7 +256,7 @@ def webhook_batch_writer_with_dlq(
 
 def webhook_batch_writer(
     url: str,
-    transport_factory: Callable[[], Transport] = http_transport,
+    transport_factory: Callable[[], Transport] = pooled_http_transport,
     policy: RetryPolicy = RetryPolicy(),
     payload_col: str = "payload_json",
 ):
@@ -219,7 +288,7 @@ def webhook_batch_writer_with_offsets(
     offsets_path: str,
     pipeline_id: int,
     topic: str,
-    transport_factory: Callable[[], Transport] = http_transport,
+    transport_factory: Callable[[], Transport] = pooled_http_transport,
     policy: RetryPolicy = RetryPolicy(),
     payload_col: str = "payload_json",
     deliver_col: str = "deliver",

@@ -28,6 +28,8 @@ FAST_POLICY = RetryPolicy(
 
 class _CaptureHandler(http.server.BaseHTTPRequestHandler):
     server_version = "capture"
+    # HTTP/1.1 keep-alive — exercises the pooled transport's reuse path
+    protocol_version = "HTTP/1.1"
 
     def do_POST(self):  # noqa: N802
         length = int(self.headers.get("Content-Length", 0))
@@ -37,9 +39,11 @@ class _CaptureHandler(http.server.BaseHTTPRequestHandler):
             fail = self.server.fail_remaining > 0
             if fail:
                 self.server.fail_remaining -= 1
+        payload = b"{}"
         self.send_response(500 if fail else 200)
+        self.send_header("Content-Length", str(len(payload)))
         self.end_headers()
-        self.wfile.write(b"{}")
+        self.wfile.write(payload)
 
     def log_message(self, *args):  # silence
         pass
