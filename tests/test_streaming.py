@@ -230,6 +230,68 @@ def test_post_with_retry_backoff_and_success():
     assert sleeps == [1.0, 2.0]  # 1s then x2
 
 
+def test_pooled_transport_reuses_connection_and_survives_close():
+    """r5: the keep-alive transport must (a) reuse one TCP connection
+    across posts against an HTTP/1.1 endpoint, and (b) transparently
+    reconnect when the server drops the pooled connection, without
+    surfacing an error to the retry policy."""
+    from flash_cdc_spark.streaming.webhook import pooled_http_transport
+
+    connections = set()
+
+    class _Counting(_CaptureHandler):
+        def setup(self):
+            connections.add(self.client_address)
+            super().setup()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Counting)
+    srv.requests, srv.fail_remaining, srv.lock = [], 0, threading.Lock()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    url = f"http://127.0.0.1:{port}/hook"
+    t = pooled_http_transport(timeout_s=5.0)
+    try:
+        for i in range(20):
+            assert t(url, json.dumps({"i": i})) == 200
+        with srv.lock:
+            assert len(srv.requests) == 20
+        assert len(connections) == 1  # one TCP connection for all 20
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # an endpoint that closes after every response (HTTP/1.0-style):
+    # the pool must degrade gracefully to reconnect-per-post, every
+    # post still delivered exactly once
+    class _OneShot(_Counting):
+        protocol_version = "HTTP/1.0"
+
+    connections.clear()
+    srv2 = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _OneShot)
+    srv2.requests, srv2.fail_remaining, srv2.lock = [], 0, threading.Lock()
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    url2 = f"http://127.0.0.1:{srv2.server_address[1]}/hook"
+    try:
+        for i in range(5):
+            assert t(url2, json.dumps({"i": i})) == 200
+        with srv2.lock:
+            assert len(srv2.requests) == 5
+        assert len(connections) == 5  # one connection per post
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+
+    # endpoint fully down: the transport error must reach the retry
+    # policy as a failed attempt, not hang or succeed
+    from flash_cdc_spark.streaming.webhook import RetryPolicy, post_with_retry
+
+    assert not post_with_retry(
+        t, url2, "{}",
+        RetryPolicy(max_attempts=2, backoff_initial_s=0.0, jitter_max_s=0.0),
+        sleep=lambda s: None,
+    )
+
+
 def test_offset_mirror_advances_even_when_all_dropped(spark, tmp_path, webhook_server):
     """K2: the queryable offset mirror records every batch's max cursor,
     including batches where nothing was delivered (since-drop / flag
