@@ -110,6 +110,8 @@ HEADLINE = [
     "q_events_seasonal_anomalies",
     "q_quality_logreg_score",
     "q_train_dsir_weights",
+    "q_train_temperature_mixture",
+    "q_train_token_budget_selection",
 ]
 
 

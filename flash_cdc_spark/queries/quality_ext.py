@@ -22,7 +22,7 @@ never reach the 6-dp output rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.queries import query
@@ -127,7 +127,7 @@ def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     separating the high-quality reference class (here: the ``en``
     slice stands in for the reference corpus) from the rest, scored
     over every document; downstream pipelines keep `p >= threshold`.
-    Training is {_LOGREG_ITERS} unrolled batch-GD steps executed
+    Training is 4 unrolled batch-GD steps executed
     RELATIONALLY: features are a tall ``(doc_id, f, z)`` relation, the
     weight vector is a 4-row broadcast frame, margin = one broadcast
     join + groupBy(doc_id), gradient = one groupBy(f) — so each step is
@@ -324,10 +324,10 @@ def q_train_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     targeted data selection. Target distribution = the ``en`` slice;
     raw = the whole corpus; each non-target document's log importance
     weight is the sum of its bigrams' ``ln(p_target/p_raw)`` over
-    {_DSIR_BUCKETS} hash buckets with add-one smoothing. Shape at
+    8192 hash buckets with add-one smoothing. Shape at
     100 TB: ONE pass over the gram relation computes both frequency
     tables (conditional aggregation — no second scan), the λ table is
-    at most {_DSIR_BUCKETS} rows (broadcast scale, independent of
+    at most 8192 rows (broadcast scale, independent of
     corpus size), and the per-doc weight is one broadcast join + one
     groupBy(doc_id) — linear end to end, shuffle keyed only on the
     bounded bucket id and doc_id. Top-15 via TakeOrdered-first ranking
@@ -425,4 +425,156 @@ def q_train_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         "log_w",
         F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Temperature-scaled mixture weights
+# ---------------------------------------------------------------------
+
+_MIX_TAU = 0.7
+
+
+@query(
+    "q_train_temperature_mixture",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT *,
+               n_tokens / CAST((SELECT sum(n_tokens) FROM per_source)
+                               AS DOUBLE) AS raw_share
+        FROM per_source
+    ),
+    powered AS (
+        SELECT *, round(pow(raw_share, {_MIX_TAU}), 9) AS pw FROM shares
+    )
+    SELECT source, n_docs, n_tokens,
+           round(raw_share, 6) AS raw_share,
+           round(pw / (SELECT sum(pw) FROM powered), 6) AS temp_share,
+           round((pw / (SELECT sum(pw) FROM powered))
+                 / raw_share, 6) AS upsample_factor
+    FROM powered
+    """,
+)
+def q_train_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/multilingual-LM
+    sampling rule, Xue et al. 2021 §3.1): sampling share ∝
+    raw_share^τ with τ=0.7, which boosts low-resource sources
+    smoothly instead of the capped uniform target
+    (`q_train_domain_mix_weights` is the LLaMA/Pile-style alternative).
+    Shape at 100 TB: ONE partial-aggregatable groupBy(source) reduces
+    the corpus to #sources rows; the power/normalize math runs over
+    that tiny relation via single-row broadcast totals — the corpus is
+    touched exactly once for the token count."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("tot_tokens"))
+    shares = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("tot_tokens").cast("double")).alias(
+            "raw_share"
+        ),
+    )
+    powered = shares.withColumn(
+        "pw", F.round(F.pow("raw_share", F.lit(_MIX_TAU)), 9)
+    )
+    ptot = powered.agg(F.sum("pw").alias("tot_pw"))
+    return powered.crossJoin(F.broadcast(ptot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(F.col("pw") / F.col("tot_pw"), 6).alias("temp_share"),
+        F.round(
+            (F.col("pw") / F.col("tot_pw")) / F.col("raw_share"), 6
+        ).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Budget-capped per-source selection
+# ---------------------------------------------------------------------
+
+_BUDGET_TOKENS = 2000
+
+
+@query(
+    "q_train_token_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('the','a','of','and')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                     6) AS quality
+        FROM documents WHERE len(text) > 0
+    ),
+    ranked AS (
+        SELECT *,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+           round(min(quality), 6) AS cutoff_quality
+    FROM ranked
+    WHERE cum_tokens <= {_BUDGET_TOKENS}
+    GROUP BY source
+    """,
+)
+def q_train_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped curation: each source contributes its
+    highest-quality documents until a fixed per-source token budget
+    (2000 here) is exhausted — the greedy knapsack every
+    mixture recipe ends with once per-domain budgets are set (the
+    quality signal here is the 6-dp-rounded stopword ratio with
+    doc_id tie-break, making the greedy order cross-engine exact).
+    Shape at 100 TB: the running token sum is a window PARTITIONED BY
+    source — every partition sorts only its own source's docs, no
+    global sort, no single-partition window; one corpus scan, one
+    source-keyed shuffle. Sources with more docs than budget cut off
+    early; the output is #sources rows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ws = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _LR_STOPWORDS])
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.filter(ws, lambda t: F.array_contains(stop_arr, t)))
+            / F.size(ws).cast("double"),
+            6,
+        ).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_selected"),
+            F.round(F.min("quality"), 6).alias("cutoff_quality"),
+        )
     )

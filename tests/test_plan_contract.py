@@ -186,6 +186,26 @@ def test_model_curation_plans_stay_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in dsir
 
 
+def test_mixture_and_budget_plans(spark, sf_dir):
+    """Temperature mixing reduces the corpus with ONE groupBy(source)
+    (partial-agg) and does all share math over single-row broadcast
+    totals; the budget selection's running sum is a window PARTITIONED
+    BY source — never the single-partition global window."""
+    from flash_cdc_spark.queries.quality_ext import (
+        q_train_temperature_mixture,
+        q_train_token_budget_selection,
+    )
+
+    mix = _plan(q_train_temperature_mixture(spark, sf_dir))
+    assert "partial_count" in mix or "partial_sum" in mix  # map-side agg
+    # only single-row total cross-joins may be nested-loop
+    assert mix.count("BroadcastNestedLoopJoin (") <= 2, mix
+
+    bud = _plan(q_train_token_budget_selection(spark, sf_dir))
+    # the running sum must be partitioned by source, not global
+    assert "windowspecdefinition(source" in bud, bud
+
+
 def test_zorder_layout_single_shuffle(spark, sf_dir):
     """zorder_layout costs exactly one exchange (the range partitioner)
     — no extra shuffles sneak in around the Morton expression."""

@@ -47,7 +47,9 @@ def synth_corpus(spark: SparkSession, sf_dir: str, reps: int) -> DataFrame:
     original; each later replica keeps even-doc_id texts byte-identical
     (exact duplicates — maximal bucket collisions) and salts odd ones
     with a replica token (near-dup tail)."""
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
     rep = spark.range(reps).select(F.col("id").alias("rep"))
     return base.crossJoin(rep).select(
         (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
@@ -56,6 +58,8 @@ def synth_corpus(spark: SparkSession, sf_dir: str, reps: int) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("rep"), F.col("rep"), F.lit(" "), F.col("text")))
         .alias("text"),
+        "lang",
+        "source",
     )
 
 
@@ -246,6 +250,34 @@ def main() -> int:
         r["prefix_pairs_per_doc"] = round(r["prefix_pairs"] / r["n_docs"], 3)
         r["contain_pairs_per_doc"] = round(r["contain_pairs"] / r["n_docs"], 3)
         print(json.dumps(r), flush=True)
+    # model-based curation (r5): logreg classifier (train 4 GD steps +
+    # score all) and DSIR weights — both end-to-end through the real
+    # query code against a written corpus; the claim is linear
+    # wall-clock (model state is bounded: 4 weights / 8192 λ buckets)
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.queries.quality_ext import (
+        q_quality_logreg_score,
+        q_train_dsir_weights,
+    )
+
+    for reps in (1, 2, 4, 8):
+        docs = synth_corpus(spark, sf_dir, reps)
+        d = tempfile.mkdtemp(prefix=f"modelcur_{reps}x_")
+        try:
+            docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            r = {"reps": reps, "n_docs": docs.count()}
+            t0 = time.perf_counter()
+            q_quality_logreg_score(spark, d).count()
+            r["logreg_train_score_sec"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            q_train_dsir_weights(spark, d).count()
+            r["dsir_sec"] = round(time.perf_counter() - t0, 2)
+            print(json.dumps(r), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     # SemDeDup's within-cell stage: fixed k (the hazard) vs k grown
     # with n (the prescription — cell width ~n/k stays constant)
     for reps in (1, 2, 4, 8):
