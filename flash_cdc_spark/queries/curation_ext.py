@@ -237,11 +237,16 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "shingles3",
     )
+    # the exploded posting relation feeds THREE consumers (the df
+    # aggregate, the prefix build, and the join's full-index side) —
+    # checkpoint it once so the explode isn't re-evaluated per consumer
+    # (neutral at sf0.1 where the explode is cheap; at corpus scale the
+    # shingle explode is the widest intermediate and 3× it is real)
     tok = docs.select(
         "doc_id",
         F.size("shingles").alias("sz"),
         F.explode("shingles").alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
     wdf = tok.join(F.broadcast(dfreq), "s")
     pref = (
