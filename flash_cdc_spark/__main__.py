@@ -22,27 +22,27 @@ import sys
 
 def _configs_from_items(items: list[dict]):
     """Stored-config page items (``AdminService.list_clients``) →
-    runtime ``PipelineConfig``s — the dict twin of
-    ``AdminService.row_to_config`` (stored column names differ from
-    the runtime field names: client_name/topic_name)."""
-    from flash_cdc_spark.streaming.pipelines import PipelineConfig
+    runtime ``PipelineConfig``s, through the SAME mapping the admin
+    start/restart/PATCH routes use (``AdminService.row_to_config``) so
+    the CLI can never start a pipeline with different config than the
+    API would."""
+    from pyspark.sql import Row
 
-    return [
-        PipelineConfig(
-            id=it["id"],
-            name=it["client_name"],
-            topic=it["topic_name"],
-            webhook_url=it["webhook_url"],
-            instance_url=it.get("instance_url") or "",
-            source_path=it["source_path"],
-            checkpoint_root=it["checkpoint_root"],
-            flow_batch_size=it["flow_batch_size"],
-            is_active=it["is_active"],
-            offsets_path=it.get("offsets_path"),
-            source_format=it.get("source_format") or "parquet",
-        )
-        for it in items
-    ]
+    from flash_cdc_spark.admin_service import AdminService
+
+    return [AdminService.row_to_config(Row(**it)) for it in items]
+
+
+def _all_client_items(service) -> list[dict]:
+    """Every stored config row — pages through ``list_clients`` (its
+    page size is clamped server-side, so one huge-limit call silently
+    truncates at the clamp; autostart must see ALL rows)."""
+    items: list[dict] = []
+    while True:
+        page = service.list_clients(limit=200, offset=len(items))
+        items.extend(page["items"])
+        if len(items) >= page["total"] or not page["items"]:
+            return items
 
 
 def _cmd_serve(args: argparse.Namespace) -> int:
@@ -55,8 +55,9 @@ def _cmd_serve(args: argparse.Namespace) -> int:
     manager = PipelineManager(spark)
     service = AdminService(spark, manager, args.config_path)
     if args.autostart:
-        rows = service.list_clients(limit=1_000_000)["items"]
-        started = manager.autostart(_configs_from_items(rows))
+        started = manager.autostart(
+            _configs_from_items(_all_client_items(service))
+        )
         print(f"autostarted pipelines: {started}", flush=True)
     server = AdminHttpServer(service, host=args.host, port=args.port)
     with server as url:

@@ -286,6 +286,34 @@ def q_embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POWER_ITERS = 6
 
+# Shared covariance CTE prefix (comp → means → centered → cov) — the
+# single source of truth for BOTH PCA oracles (top-eigenvector here,
+# projection in llm_ext4); editing the covariance definition in one
+# place keeps the two snapshots from silently diverging.
+_COV_CTE = """comp AS (
+        SELECT vec_id, CAST(i AS INT) AS d,
+               CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i)
+    ),
+    means AS (SELECT d, avg(x) AS mu FROM comp GROUP BY d),
+    centered AS (
+        SELECT c.vec_id, c.d, c.x - m.mu AS xc
+        FROM comp c JOIN means m ON m.d = c.d
+    ),
+    upper_cov AS (
+        SELECT a.d AS d1, b.d AS d2,
+               round(sum(a.xc * b.xc)
+                     / (SELECT count(*) FROM embeddings), 9) AS cov
+        FROM centered a JOIN centered b
+          ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    ),
+    cov AS (
+        SELECT d1, d2, cov FROM upper_cov
+        UNION ALL
+        SELECT d2, d1, cov FROM upper_cov WHERE d1 < d2
+    )"""
+
 
 def _duck_power_iteration_cte(iters: int) -> str:
     """Unrolled power-iteration CTEs over a ``cov(d1, d2, cov)`` matrix
@@ -313,31 +341,9 @@ def _duck_power_iteration_cte(iters: int) -> str:
 
 @query(
     "q_embedding_top_eigenvector",
-    oracle="""
-    WITH comp AS (
-        SELECT vec_id, CAST(i AS INT) AS d,
-               CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
-        FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i)
-    ),
-    means AS (SELECT d, avg(x) AS mu FROM comp GROUP BY d),
-    centered AS (
-        SELECT c.vec_id, c.d, c.x - m.mu AS xc
-        FROM comp c JOIN means m ON m.d = c.d
-    ),
-    upper_cov AS (
-        SELECT a.d AS d1, b.d AS d2,
-               round(sum(a.xc * b.xc)
-                     / (SELECT count(*) FROM embeddings), 9) AS cov
-        FROM centered a JOIN centered b
-          ON a.vec_id = b.vec_id AND a.d <= b.d
-        GROUP BY a.d, b.d
-    ),
-    cov AS (
-        SELECT d1, d2, cov FROM upper_cov
-        UNION ALL
-        SELECT d2, d1, cov FROM upper_cov WHERE d1 < d2
-    ),
-    """
+    oracle="WITH "
+    + _COV_CTE
+    + ",\n    "
     + _duck_power_iteration_cte(_POWER_ITERS)
     + f"""
     , ranked AS (
@@ -397,7 +403,14 @@ def eigenvector_state(spark: SparkSession, sf_dir: str):
         v = spark.createDataFrame(v_rows, "d int, v double")
         return centered, v
     n = e.count()
-    means = comp.groupBy("d").agg(F.avg("x").alias("mu"))
+    # collect the 64 means FIRST and center against the literal frame
+    # — the collect IS the aggregation pass, and stashing the rows now
+    # avoids a third full corpus scan at memo-save time
+    mean_rows = [
+        (r["d"], r["mu"])
+        for r in comp.groupBy("d").agg(F.avg("x").alias("mu")).collect()
+    ]
+    means = spark.createDataFrame(mean_rows, "d int, mu double")
     centered = comp.join(F.broadcast(means), "d").select(
         "vec_id", "d", (F.col("x") - F.col("mu")).alias("xc")
     )
@@ -425,8 +438,5 @@ def eigenvector_state(spark: SparkSession, sf_dir: str):
         v = u.crossJoin(F.broadcast(nrm)).select(
             F.col("ud").alias("d"), F.round(F.col("u") / F.col("nrm"), 9).alias("v")
         )
-    _PCA_STATE[sf_dir] = (
-        [(r["d"], r["mu"]) for r in means.collect()],
-        [(r["d"], r["v"]) for r in v.collect()],
-    )
+    _PCA_STATE[sf_dir] = (mean_rows, [(r["d"], r["v"]) for r in v.collect()])
     return centered, v

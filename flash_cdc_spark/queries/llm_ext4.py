@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flash_cdc_spark.queries import query
+from flash_cdc_spark.queries import llm_ext3, query
 from flash_cdc_spark.tables import load_table
 
 # ---------------------------------------------------------------------
@@ -1086,41 +1086,18 @@ def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_pca_project",
-    oracle="""
-    WITH comp AS (
-        SELECT vec_id, CAST(i AS INT) AS d,
-               CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
-        FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i)
-    ),
-    means AS (SELECT d, avg(x) AS mu FROM comp GROUP BY d),
-    centered AS (
-        SELECT c.vec_id, c.d, c.x - m.mu AS xc
-        FROM comp c JOIN means m ON m.d = c.d
-    ),
-    upper_cov AS (
-        SELECT a.d AS d1, b.d AS d2,
-               round(sum(a.xc * b.xc)
-                     / (SELECT count(*) FROM embeddings), 9) AS cov
-        FROM centered a JOIN centered b
-          ON a.vec_id = b.vec_id AND a.d <= b.d
-        GROUP BY a.d, b.d
-    ),
-    cov AS (
-        SELECT d1, d2, cov FROM upper_cov
-        UNION ALL
-        SELECT d2, d1, cov FROM upper_cov WHERE d1 < d2
-    ),
-    """
-    + __import__(
-        "flash_cdc_spark.queries.llm_ext3", fromlist=["x"]
-    )._duck_power_iteration_cte(
-        __import__("flash_cdc_spark.queries.llm_ext3", fromlist=["x"])._POWER_ITERS
-    )
+    # shares the covariance CTE and power-iteration unroll with the
+    # top-eigenvector oracle (llm_ext3) — one source of truth, so the
+    # two PCA snapshots can never silently diverge
+    oracle="WITH "
+    + llm_ext3._COV_CTE
+    + ",\n    "
+    + llm_ext3._duck_power_iteration_cte(llm_ext3._POWER_ITERS)
     + f"""
     SELECT c.vec_id,
            round(sum(c.xc * v.v), 6) AS pc1
     FROM centered c
-    JOIN v{__import__("flash_cdc_spark.queries.llm_ext3", fromlist=["x"])._POWER_ITERS} v
+    JOIN v{llm_ext3._POWER_ITERS} v
       ON v.d = c.d
     WHERE c.vec_id < 10
     GROUP BY c.vec_id

@@ -415,8 +415,6 @@ def q_train_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_w").desc(), "doc_id")
         .limit(15)
     )
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("log_w").desc(), "doc_id")
     return top.select(
         "doc_id",

@@ -92,14 +92,21 @@ def pooled_http_transport(timeout_s: float = 15.0) -> Transport:
     way. A stale pooled connection (server closed keep-alive) gets ONE
     transparent reconnect before the error propagates to the retry
     policy; endpoints that close per-request degrade gracefully to
-    reconnect-per-post."""
+    reconnect-per-post. Redirects (301/302/303/307/308 with Location)
+    are followed up to 3 hops by RE-POSTING the payload — stricter
+    than urllib's legacy 302→GET rewrite, which would have "delivered"
+    a webhook as a body-less GET."""
     import http.client
     import socket
-    from urllib.parse import urlsplit
+    from urllib.parse import urljoin, urlsplit
 
     conns: dict[tuple[str, str], "http.client.HTTPConnection"] = {}
+    _REDIRECTS = frozenset((301, 302, 303, 307, 308))
 
-    def _post_once(url: str, body: bytes) -> int:
+    def _post_once(url: str, body: bytes) -> tuple[int, str | None]:
+        """One POST on the pooled connection → (status, location).
+        Raises on transport error; ``was_pooled`` is captured by the
+        caller before invoking (a reused connection may be stale)."""
         parts = urlsplit(url)
         key = (parts.scheme, parts.netloc)
         conn = conns.get(key)
@@ -132,7 +139,7 @@ def pooled_http_transport(timeout_s: float = 15.0) -> Transport:
             if resp.will_close:
                 conn.close()
                 conns.pop(key, None)
-            return resp.status
+            return resp.status, resp.getheader("Location")
         except Exception:
             conn.close()
             conns.pop(key, None)
@@ -140,12 +147,27 @@ def pooled_http_transport(timeout_s: float = 15.0) -> Transport:
 
     def _post(url: str, body: str) -> int:
         data = body.encode("utf-8")
-        try:
-            return _post_once(url, data)
-        except Exception:
-            # one transparent retry for a stale keep-alive connection;
-            # a second failure is a real transport error for the policy
-            return _post_once(url, data)
+        status, location = None, None
+        for _hop in range(4):  # original + up to 3 redirect hops
+            was_pooled = (
+                urlsplit(url).scheme,
+                urlsplit(url).netloc,
+            ) in conns
+            try:
+                status, location = _post_once(url, data)
+            except Exception:
+                if not was_pooled:
+                    # fresh connection failed — a real transport error
+                    # for the retry policy, not keep-alive staleness
+                    raise
+                # one transparent retry for the stale pooled connection
+                # (now evicted); a second failure propagates
+                status, location = _post_once(url, data)
+            if status in _REDIRECTS and location:
+                url = urljoin(url, location)
+                continue
+            return status
+        return status  # redirect loop: surface the last 3xx
 
     return _post
 

@@ -156,7 +156,7 @@ def test_r5_plans_broadcast_and_avoid_nested_loop(spark, sf_dir):
     # the probe fan-out (vec_id != query_id vs a broadcast 5-row probe
     # set) is the one legitimate non-equi join; every selection argmax
     # stage must be a hash/merge join on equi keys
-    assert mmr.count("BroadcastNestedLoopJoin") <= 1, mmr
+    assert mmr.count("BroadcastNestedLoopJoin (") <= 1, mmr
     assert mmr.count("SortMergeJoin") + mmr.count("BroadcastHashJoin") >= 3
 
     bpe = _plan(q_text_bpe_merge_candidates(spark, sf_dir))

@@ -292,6 +292,58 @@ def test_pooled_transport_reuses_connection_and_survives_close():
     )
 
 
+def test_pooled_transport_follows_redirects_with_repost():
+    """r5: a redirecting endpoint (307/308, or legacy 301/302) must
+    receive the PAYLOAD at the target — the transport re-POSTs to the
+    Location (urllib's legacy behavior rewrote 302→GET, which would
+    have 'delivered' a webhook with no body). A redirect loop surfaces
+    the 3xx instead of spinning."""
+    from flash_cdc_spark.streaming.webhook import pooled_http_transport
+
+    class _Redirecting(_CaptureHandler):
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length).decode("utf-8")
+            if self.path == "/old":
+                payload = b"{}"
+                self.send_response(307)
+                self.send_header("Location", "/new")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            if self.path == "/loop":
+                payload = b"{}"
+                self.send_response(302)
+                self.send_header("Location", "/loop")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            with self.server.lock:
+                self.server.requests.append(json.loads(body))
+            payload = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Redirecting)
+    srv.requests, srv.fail_remaining, srv.lock = [], 0, threading.Lock()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    t = pooled_http_transport(timeout_s=5.0)
+    try:
+        assert t(f"{base}/old", json.dumps({"k": 1})) == 200
+        with srv.lock:
+            assert srv.requests == [{"k": 1}]  # body arrived at /new
+        # redirect loop: bounded hops, last 3xx surfaces to the policy
+        assert t(f"{base}/loop", "{}") == 302
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_offset_mirror_advances_even_when_all_dropped(spark, tmp_path, webhook_server):
     """K2: the queryable offset mirror records every batch's max cursor,
     including batches where nothing was delivered (since-drop / flag

@@ -267,7 +267,14 @@ def main() -> int:
         d = tempfile.mkdtemp(prefix=f"modelcur_{reps}x_")
         try:
             docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
-            r = {"reps": reps, "n_docs": docs.count()}
+            # count the written parquet — docs.count() would re-run the
+            # synth crossJoin and inflate the probe's own wall-clock
+            r = {
+                "reps": reps,
+                "n_docs": spark.read.parquet(
+                    f"{d}/documents.parquet"
+                ).count(),
+            }
             t0 = time.perf_counter()
             q_quality_logreg_score(spark, d).count()
             r["logreg_train_score_sec"] = round(time.perf_counter() - t0, 2)
