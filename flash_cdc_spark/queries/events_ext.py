@@ -1291,3 +1291,119 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_events_ts_profile_similarity",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id, hour(ts) AS hod, round(avg(value), 9) AS v
+        FROM events GROUP BY user_id, hour(ts)
+    ),
+    users AS (SELECT DISTINCT user_id FROM cells),
+    grid AS (
+        SELECT u.user_id, CAST(h AS INT) AS hod,
+               coalesce(c.v, 0.0) AS v
+        FROM users u
+        CROSS JOIN (SELECT unnest(range(24)) AS h)
+        LEFT JOIN cells c
+          ON c.user_id = u.user_id AND c.hod = CAST(h AS INT)
+    ),
+    stats AS (
+        SELECT user_id, round(avg(v), 9) AS mu,
+               round(stddev_samp(v), 9) AS sigma
+        FROM grid GROUP BY user_id
+    ),
+    z AS (
+        SELECT g.user_id, g.hod,
+               round((g.v - s.mu) / s.sigma, 9) AS z
+        FROM grid g JOIN stats s ON s.user_id = g.user_id
+        WHERE s.sigma > 0
+    ),
+    probes AS (
+        SELECT DISTINCT user_id FROM z ORDER BY user_id LIMIT 3
+    ),
+    dist AS (
+        SELECT p.user_id AS probe_user, c.user_id AS candidate_user,
+               round(sum((pz.z - c.z) * (pz.z - c.z)), 6) AS sq_dist
+        FROM probes p
+        JOIN z pz ON pz.user_id = p.user_id
+        JOIN z c ON c.hod = pz.hod AND c.user_id <> p.user_id
+        GROUP BY p.user_id, c.user_id
+    )
+    SELECT probe_user, candidate_user, sq_dist,
+           CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_user
+            ORDER BY sq_dist, candidate_user) AS rk
+        FROM dist
+    ) WHERE rk <= 5
+    """,
+)
+def q_events_ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over user activity profiles (the
+    distributed top-k ts-similarity shape of the EDBT'19/'20 and
+    REPOSE/ICDE'21 line of work, re-expressed relationally): each user
+    is a z-normalized 24-hour mean-value profile, and for 3 probe
+    users the 5 nearest neighbors by squared Euclidean distance come
+    back. Shape at 100 TB: the profile build is ONE
+    groupBy(user_id, hour) over the facts (linear, partial-agg); the
+    dense 24-cell grid and z-normalization are per-user arithmetic;
+    the probe side is 3×24 rows — BROADCAST — so the distance join
+    touches each candidate cell a constant number of times (no n²
+    user-pair blowup; k·n by construction, the same probe-broadcast
+    device as the ANN queries), and the per-probe rank window
+    partitions on probe_user (3 partitions, n rows each — no global
+    sort). Flat cells (σ=0) are excluded rather than divided by zero.
+    9-dp profile / 6-dp distance rounding + candidate tie-break make
+    the ranking cross-engine exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("user_id", F.hour("ts").alias("hod"), "value")
+        .groupBy("user_id", "hod")
+        .agg(F.round(F.avg("value"), 9).alias("v"))
+    )
+    users = cells.select("user_id").distinct()
+    hods = spark.range(24).select(F.col("id").cast("int").alias("hod"))
+    grid = (
+        users.crossJoin(F.broadcast(hods))
+        .join(cells, ["user_id", "hod"], "left")
+        .select("user_id", "hod", F.coalesce("v", F.lit(0.0)).alias("v"))
+    )
+    stats = grid.groupBy("user_id").agg(
+        F.round(F.avg("v"), 9).alias("mu"),
+        F.round(F.stddev_samp("v"), 9).alias("sigma"),
+    )
+    z = (
+        grid.join(stats, "user_id")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "user_id",
+            "hod",
+            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 9).alias("z"),
+        )
+        .localCheckpoint(eager=False)  # feeds probe AND candidate sides
+    )
+    probe_ids = z.select("user_id").distinct().orderBy("user_id").limit(3)
+    probe_cells = z.join(probe_ids, "user_id").select(
+        F.col("user_id").alias("probe_user"),
+        "hod",
+        F.col("z").alias("pz"),
+    )
+    dist = (
+        z.join(F.broadcast(probe_cells), "hod")
+        .filter(F.col("user_id") != F.col("probe_user"))
+        .groupBy("probe_user", F.col("user_id").alias("candidate_user"))
+        .agg(
+            F.round(
+                F.sum((F.col("pz") - F.col("z")) * (F.col("pz") - F.col("z"))),
+                6,
+            ).alias("sq_dist")
+        )
+    )
+    w = Window.partitionBy("probe_user").orderBy("sq_dist", "candidate_user")
+    return (
+        dist.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+    )

@@ -206,6 +206,20 @@ def test_mixture_and_budget_plans(spark, sf_dir):
     assert "windowspecdefinition(source" in bud, bud
 
 
+def test_ts_similarity_plan_broadcasts_probes(spark, sf_dir):
+    """The ts-similarity search joins the 3×24 probe cells BROADCAST
+    (k·n cost, never an n² user-pair product) and ranks per probe —
+    the window partitions on probe_user, not a global order."""
+    from flash_cdc_spark.queries.events_ext import (
+        q_events_ts_profile_similarity,
+    )
+
+    plan = _plan(q_events_ts_profile_similarity(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(probe_user" in plan, plan
+
+
 def test_zorder_layout_single_shuffle(spark, sf_dir):
     """zorder_layout costs exactly one exchange (the range partitioner)
     — no extra shuffles sneak in around the Morton expression."""
