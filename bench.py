@@ -113,6 +113,7 @@ HEADLINE = [
     "q_train_temperature_mixture",
     "q_train_token_budget_selection",
     "q_events_ts_profile_similarity",
+    "q_quality_logreg_calibration",
 ]
 
 

@@ -140,6 +140,18 @@ def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy at the end). Standardized features + 9-dp-per-step rounding
     make both engines bit-identical (same device as PageRank /
     power iteration)."""
+    scored = _logreg_scored(spark, sf_dir)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("p"), 6).alias("avg_score"),
+        F.sum((F.col("p") >= 0.5).cast("int")).cast("bigint").alias("n_pass"),
+    )
+
+
+def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (or reuse the memoized weights of) the quality classifier
+    and score every document: ``(doc_id, lang, y, p)``. Shared by the
+    per-language profile and the calibration curve."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     ws = F.split("text", " ")
     n_tok = F.size(ws).cast("double")
@@ -241,16 +253,13 @@ def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("z") * F.col("w")), 9).alias("m"))
     )
-    scored = final_m.join(
-        scalars.select("doc_id", "lang"), "doc_id"
+    return final_m.join(
+        scalars.select("doc_id", "lang", "y"), "doc_id"
     ).select(
+        "doc_id",
         "lang",
+        "y",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 9).alias("p"),
-    )
-    return scored.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.round(F.avg("p"), 6).alias("avg_score"),
-        F.sum((F.col("p") >= 0.5).cast("int")).cast("bigint").alias("n_pass"),
     )
 
 
@@ -574,5 +583,84 @@ def q_train_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).cast("bigint").alias("n_selected"),
             F.sum("n_tokens").cast("bigint").alias("tokens_selected"),
             F.round(F.min("quality"), 6).alias("cutoff_quality"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Classifier calibration (reliability curve)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_quality_logreg_calibration",
+    oracle="""
+    WITH scalars AS (
+        SELECT doc_id, lang,
+               CAST(lang = 'en' AS INT) AS y,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the','a','of','and')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
+               len(replace(text, ' ', ''))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+               round(ln(1 + len(string_split(text, ' '))), 9) AS x3
+        FROM documents WHERE len(text) > 0
+    ),
+    stats AS (
+        SELECT round(avg(x1), 9) AS mu1, round(stddev_samp(x1), 9) AS s1,
+               round(avg(x2), 9) AS mu2, round(stddev_samp(x2), 9) AS s2,
+               round(avg(x3), 9) AS mu3, round(stddev_samp(x3), 9) AS s3
+        FROM scalars
+    ),
+    feats AS (
+        SELECT doc_id, CAST(0 AS INT) AS f, 1.0 AS z FROM scalars
+        UNION ALL
+        SELECT doc_id, 1, round((x1 - mu1) / s1, 9) FROM scalars, stats
+        UNION ALL
+        SELECT doc_id, 2, round((x2 - mu2) / s2, 9) FROM scalars, stats
+        UNION ALL
+        SELECT doc_id, 3, round((x3 - mu3) / s3, 9) FROM scalars, stats
+    ),
+    labels AS (SELECT doc_id, y FROM scalars),
+    """
+    + _duck_logreg_cte(_LOGREG_ITERS, _LOGREG_LR)
+    + f"""
+    , final_m AS (
+        SELECT x.doc_id, round(sum(x.z * w.w), 9) AS m
+        FROM feats x JOIN w{_LOGREG_ITERS} w ON w.f = x.f
+        GROUP BY x.doc_id
+    ),
+    scored AS (
+        SELECT s.y, round(1.0 / (1.0 + exp(-f.m)), 9) AS p
+        FROM final_m f JOIN scalars s ON s.doc_id = f.doc_id
+    )
+    SELECT CAST(least(floor(p * 20), 19) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p), 6) AS mean_score,
+           round(avg(CAST(y AS DOUBLE)), 6) AS label_rate
+    FROM scored GROUP BY 1
+    """,
+)
+def q_quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) curve for the trained quality
+    classifier — the eval every score-thresholded curation step needs
+    before picking the threshold: per score bin (20 equal-width bins),
+    the mean predicted probability vs the actual positive-label rate.
+    A well-calibrated model tracks the diagonal; systematic gaps say
+    the threshold must be chosen on label_rate, not raw score. Rides
+    the SAME trained weights as `q_quality_logreg_score` (memoized per
+    corpus — this query pays only the feature scan + scoring pass when
+    the classifier has already trained in-process). Shape at 100 TB:
+    scoring is linear; the bin key is bounded at 20 values so the
+    final aggregate is map-side combined into at most 20 rows."""
+    scored = _logreg_scored(spark, sf_dir)
+    bin_col = F.least(F.floor(F.col("p") * 20), F.lit(19)).cast("int")
+    return (
+        scored.select(bin_col.alias("bin"), "p", "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("p"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("label_rate"),
         )
     )
