@@ -56,7 +56,13 @@ def _config_from_json(body: dict) -> PipelineConfig:
 def _parse_bool(raw: str | None) -> bool | None:
     if raw is None:
         return None
-    return raw.lower() in ("1", "true", "yes")
+    low = raw.lower()
+    if low in ("1", "true", "yes"):
+        return True
+    if low in ("0", "false", "no"):
+        return False
+    # unrecognized values are a client error, not silently False
+    raise ValueError(f"not a boolean: {raw!r}")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -91,11 +97,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return qs.get(key, [default])[0]
 
             try:
+                offset = int(one("offset", "0"))
+                if offset < 0:
+                    raise ValueError("offset must be >= 0")
                 page = svc.list_clients(
                     q=one("q"),
                     is_active=_parse_bool(one("is_active")),
                     limit=int(one("limit", "50")),
-                    offset=int(one("offset", "0")),
+                    offset=offset,
                 )
             except ValueError as exc:
                 self._send(400, {"error": f"bad query: {exc}"})

@@ -233,6 +233,9 @@ class AdminService:
         merged row is active, stop otherwise; recycle failures are
         reported but do not fail the request (reference returns 200
         and logs)."""
+        if not isinstance(patch, dict):
+            return {"ok": False, "error": "validation",
+                    "violations": ["body must be a JSON object"]}
         df = self._config_df()
         row = point_lookup(df, "id", client_id) if df is not None else None
         if row is None:
@@ -246,7 +249,17 @@ class AdminService:
             ).count()
             if clash:
                 return {"ok": False, "error": "duplicate client_name"}
-        merged_df = self.spark.createDataFrame([tuple(merged.values())], df.schema)
+        try:
+            # type-mismatched patch values (e.g. flow_batch_size:
+            # "seven") fail createDataFrame's schema coercion — a
+            # client error, not a handler crash (reference: 422)
+            merged_df = self.spark.createDataFrame(
+                [tuple(merged.values())], df.schema
+            )
+            merged_df.first()  # force coercion errors here
+        except Exception as exc:
+            return {"ok": False, "error": "validation",
+                    "violations": [f"patch value type: {exc}"]}
         validated = validate_configs(merged_df).first()
         if not validated["is_valid"]:
             return {

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "let_bound",
     "tokens_col",
     "shingles_col",
     "minhash_signature",
@@ -77,6 +78,20 @@ def _affine_params(k: int) -> list[tuple[int, int]]:
 MINHASH_PARAMS = _affine_params(32)  # enough for any k <= 32
 
 
+def let_bound(value: Column, fn) -> Column:
+    """Let-binding for higher-order-function lambdas: evaluate
+    ``value`` ONCE per row and pass it to ``fn`` as a bound variable.
+
+    Why: HOFs run interpreted (outside whole-stage codegen), and an
+    outer expression captured in a lambda body is RE-EVALUATED on every
+    lambda invocation — e.g. ``split(text)`` captured inside a per-gram
+    ``transform`` made shingling O(len²) splits per document. Wrapping
+    the expression in a single-element array and transforming it turns
+    the capture into a bound array variable that CollapseProject cannot
+    inline back."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def tokens_col(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(c, " ")
@@ -107,7 +122,7 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
         )
         return F.array_distinct(F.transform(idx, parts))
 
-    return F.element_at(F.transform(F.array(tokens), build), 1)
+    return let_bound(tokens, build)
 
 
 def shingle_values(shingles: Column) -> Column:

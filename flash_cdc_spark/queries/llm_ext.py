@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flash_cdc_spark.operators.dedup import let_bound
 from flash_cdc_spark.operators import ivf as IVF
 from flash_cdc_spark.operators import similarity as SIM
 from flash_cdc_spark.queries import query
@@ -394,7 +395,7 @@ def q_train_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "bucket",
         F.explode(
-            F.element_at(F.transform(F.array(F.col("ws")), _grams8), 1)
+            let_bound(F.col("ws"), _grams8)
         ).alias("gram"),
     )
     g = grams.select("doc_id", "bucket", F.md5("gram").alias("gh")).distinct()

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flash_cdc_spark.operators.dedup import let_bound
 from flash_cdc_spark.queries import llm_ext3, query
 from flash_cdc_spark.tables import load_table
 
@@ -264,7 +265,7 @@ def q_train_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "bucket",
         F.explode(
-            F.element_at(F.transform(F.array(F.col("ws")), _grams8), 1)
+            let_bound(F.col("ws"), _grams8)
         ).alias("gram"),
     ).distinct()
     with_pos = grams.select(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flash_cdc_spark.operators.dedup import let_bound
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
@@ -41,6 +42,40 @@ _LOGREG_STATE: dict[str, list] = {}
 # The tiny English stopword probe set shared with the quality profile
 # (llm.py) — the classifier's strongest signal for the en/other label.
 _LR_STOPWORDS = ("the", "a", "of", "and")
+
+
+# Shared feature-pipeline CTE prefix (scalars -> stats -> feats ->
+# labels) — single source of truth for BOTH logreg oracles (the
+# per-language profile and the calibration curve), the same device as
+# llm_ext3._COV_CTE for the PCA pair: the two snapshots can only move
+# together.
+_LOGREG_FEATS_CTE = """scalars AS (
+        SELECT doc_id, lang,
+               CAST(lang = 'en' AS INT) AS y,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the','a','of','and')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
+               len(replace(text, ' ', ''))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+               round(ln(1 + len(string_split(text, ' '))), 9) AS x3
+        FROM documents WHERE len(text) > 0
+    ),
+    stats AS (
+        SELECT round(avg(x1), 9) AS mu1, round(stddev_samp(x1), 9) AS s1,
+               round(avg(x2), 9) AS mu2, round(stddev_samp(x2), 9) AS s2,
+               round(avg(x3), 9) AS mu3, round(stddev_samp(x3), 9) AS s3
+        FROM scalars
+    ),
+    feats AS (
+        SELECT doc_id, CAST(0 AS INT) AS f, 1.0 AS z FROM scalars
+        UNION ALL
+        SELECT doc_id, 1, round((x1 - mu1) / s1, 9) FROM scalars, stats
+        UNION ALL
+        SELECT doc_id, 2, round((x2 - mu2) / s2, 9) FROM scalars, stats
+        UNION ALL
+        SELECT doc_id, 3, round((x3 - mu3) / s3, 9) FROM scalars, stats
+    ),
+    labels AS (SELECT doc_id, y FROM scalars)"""
 
 
 def _duck_logreg_cte(iters: int, lr: float) -> str:
@@ -73,35 +108,10 @@ def _duck_logreg_cte(iters: int, lr: float) -> str:
 
 @query(
     "q_quality_logreg_score",
-    oracle="""
-    WITH scalars AS (
-        SELECT doc_id, lang,
-               CAST(lang = 'en' AS INT) AS y,
-               len(list_filter(string_split(text, ' '),
-                               t -> t IN ('the','a','of','and')))
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
-               len(replace(text, ' ', ''))
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
-               round(ln(1 + len(string_split(text, ' '))), 9) AS x3
-        FROM documents WHERE len(text) > 0
-    ),
-    stats AS (
-        SELECT round(avg(x1), 9) AS mu1, round(stddev_samp(x1), 9) AS s1,
-               round(avg(x2), 9) AS mu2, round(stddev_samp(x2), 9) AS s2,
-               round(avg(x3), 9) AS mu3, round(stddev_samp(x3), 9) AS s3
-        FROM scalars
-    ),
-    feats AS (
-        SELECT doc_id, CAST(0 AS INT) AS f, 1.0 AS z FROM scalars
-        UNION ALL
-        SELECT doc_id, 1, round((x1 - mu1) / s1, 9) FROM scalars, stats
-        UNION ALL
-        SELECT doc_id, 2, round((x2 - mu2) / s2, 9) FROM scalars, stats
-        UNION ALL
-        SELECT doc_id, 3, round((x3 - mu3) / s3, 9) FROM scalars, stats
-    ),
-    labels AS (SELECT doc_id, y FROM scalars),
-    """
+    oracle="WITH "
+    + _LOGREG_FEATS_CTE
+    + ",\n    "
+    + """"""
     + _duck_logreg_cte(_LOGREG_ITERS, _LOGREG_LR)
     + f"""
     , final_m AS (
@@ -365,7 +375,7 @@ def q_train_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.explode(
-                F.element_at(F.transform(F.array(F.col("ws")), bigram), 1)
+                let_bound(F.col("ws"), bigram)
             ).alias("gram"),
         )
         .select(
@@ -594,35 +604,10 @@ def q_train_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "q_quality_logreg_calibration",
-    oracle="""
-    WITH scalars AS (
-        SELECT doc_id, lang,
-               CAST(lang = 'en' AS INT) AS y,
-               len(list_filter(string_split(text, ' '),
-                               t -> t IN ('the','a','of','and')))
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
-               len(replace(text, ' ', ''))
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
-               round(ln(1 + len(string_split(text, ' '))), 9) AS x3
-        FROM documents WHERE len(text) > 0
-    ),
-    stats AS (
-        SELECT round(avg(x1), 9) AS mu1, round(stddev_samp(x1), 9) AS s1,
-               round(avg(x2), 9) AS mu2, round(stddev_samp(x2), 9) AS s2,
-               round(avg(x3), 9) AS mu3, round(stddev_samp(x3), 9) AS s3
-        FROM scalars
-    ),
-    feats AS (
-        SELECT doc_id, CAST(0 AS INT) AS f, 1.0 AS z FROM scalars
-        UNION ALL
-        SELECT doc_id, 1, round((x1 - mu1) / s1, 9) FROM scalars, stats
-        UNION ALL
-        SELECT doc_id, 2, round((x2 - mu2) / s2, 9) FROM scalars, stats
-        UNION ALL
-        SELECT doc_id, 3, round((x3 - mu3) / s3, 9) FROM scalars, stats
-    ),
-    labels AS (SELECT doc_id, y FROM scalars),
-    """
+    oracle="WITH "
+    + _LOGREG_FEATS_CTE
+    + ",\n    "
+    + """"""
     + _duck_logreg_cte(_LOGREG_ITERS, _LOGREG_LR)
     + f"""
     , final_m AS (

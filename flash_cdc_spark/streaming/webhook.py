@@ -229,6 +229,17 @@ def post_classified(
     )
 
 
+def _make_transport(transport_factory, policy: "RetryPolicy") -> Transport:
+    """Build the transport, plumbing ``policy.timeout_s`` into the two
+    stock factories (they take a ``timeout_s`` argument; a custom
+    zero-arg factory — the test seam — is called as-is). Without this
+    the policy's timeout was silently ignored and the stock default
+    (15 s) applied regardless."""
+    if transport_factory in (http_transport, pooled_http_transport):
+        return transport_factory(policy.timeout_s)
+    return transport_factory()
+
+
 def webhook_batch_writer_with_dlq(
     url: str,
     dlq_path: str,
@@ -255,7 +266,7 @@ def webhook_batch_writer_with_dlq(
         import pandas as pd
 
         def deliver(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            transport = transport_factory()
+            transport = _make_transport(transport_factory, policy)
             for pdf in batches:
                 dead_body: list[str] = []
                 dead_status: list[int] = []
@@ -291,7 +302,7 @@ def webhook_batch_writer(
     """
 
     def _deliver_partition(rows: Iterator) -> None:
-        transport = transport_factory()
+        transport = _make_transport(transport_factory, policy)
         for row in rows:
             body = row[payload_col]
             if not post_with_retry(transport, url, body, policy):
@@ -327,7 +338,7 @@ def webhook_batch_writer_with_offsets(
     the authoritative cursor remains Spark's checkpoint (R6)."""
 
     def _deliver_partition(rows: Iterator) -> None:
-        transport = transport_factory()
+        transport = _make_transport(transport_factory, policy)
         for row in rows:
             if not row[deliver_col]:
                 continue

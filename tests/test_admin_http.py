@@ -146,6 +146,17 @@ def test_admin_http_crud_routes_end_to_end(spark, tmp_path, capture):
         code, res = _call(f"{url}/clients/2", "PATCH", {"topic_name": "/nope"})
         assert code == 400 and "topic_pattern" in res["violations"]
         assert _call(f"{url}/clients/99", "PATCH", {"is_active": False})[0] == 404
+        # r5 review fixes: type-mismatched value and non-dict body are
+        # 400s (not dropped connections); bad bool / negative offset
+        # on list are 400s (not coerced/crashed)
+        code, res = _call(
+            f"{url}/clients/2", "PATCH", {"flow_batch_size": "seven"}
+        )
+        assert code == 400 and res["error"] == "validation"
+        code, res = _call(f"{url}/clients/2", "PATCH", [1, 2])
+        assert code == 400 and res["error"] == "validation"
+        assert _call(f"{url}/clients/?is_active=banana")[0] == 400
+        assert _call(f"{url}/clients/?offset=-1")[0] == 400
 
         # PATCH that activates: merged config starts and delivers
         code, res = _call(

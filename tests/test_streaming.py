@@ -292,6 +292,39 @@ def test_pooled_transport_reuses_connection_and_survives_close():
     )
 
 
+def test_make_transport_plumbs_policy_timeout():
+    """r5 review fix: the stock factories receive the POLICY's
+    timeout_s (previously the RetryPolicy timeout was silently ignored
+    and the stock 15 s default always applied); a custom zero-arg
+    factory — the test seam — is called as-is."""
+    from flash_cdc_spark.streaming.webhook import (
+        RetryPolicy,
+        _make_transport,
+        http_transport,
+        pooled_http_transport,
+    )
+
+    import types
+
+    def _floats(fn, depth=0):
+        out = set()
+        for c in fn.__closure__ or ():
+            v = c.cell_contents
+            if isinstance(v, float):
+                out.add(v)
+            elif isinstance(v, types.FunctionType) and depth < 2:
+                out |= _floats(v, depth + 1)
+        return out
+
+    policy = RetryPolicy(timeout_s=7.5)
+    for factory in (http_transport, pooled_http_transport):
+        t = _make_transport(factory, policy)
+        assert 7.5 in _floats(t), factory.__name__
+
+    sentinel = object()
+    assert _make_transport(lambda: sentinel, policy) is sentinel
+
+
 def test_pooled_transport_follows_redirects_with_repost():
     """r5: a redirecting endpoint (307/308, or legacy 301/302) must
     receive the PAYLOAD at the target — the transport re-POSTs to the
