@@ -62,10 +62,16 @@ def _cmd_serve(args: argparse.Namespace) -> int:
     server = AdminHttpServer(service, host=args.host, port=args.port)
     with server as url:
         print(f"admin API listening on {url}", flush=True)
-        try:
-            import threading
+        import signal
+        import threading
 
-            threading.Event().wait()  # serve until interrupted
+        stop = threading.Event()
+        # SIGTERM (systemd/k8s stop) must drain like Ctrl-C: set the
+        # event so the finally block stops every pipeline supervisor
+        # and checkpoints commit cleanly before the JVM dies
+        signal.signal(signal.SIGTERM, lambda *_: stop.set())
+        try:
+            stop.wait()  # serve until SIGTERM or KeyboardInterrupt
         except KeyboardInterrupt:
             pass
         finally:

@@ -92,9 +92,14 @@ def test_cli_serve_subprocess_smoke(tmp_path):
         with urllib.request.urlopen(f"{url}/clients/", timeout=30) as resp:
             page = json.loads(resp.read())
         assert page == {"items": [], "total": 0, "limit": 50, "offset": 0}
+        # SIGTERM (the systemd/k8s stop signal) must drain cleanly:
+        # supervisors stopped, exit code 0 — not a killed process
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
     finally:
-        proc.send_signal(signal.SIGINT)
-        try:
-            proc.wait(timeout=30)
-        except subprocess.TimeoutExpired:
-            proc.kill()
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGINT)
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
