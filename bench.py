@@ -114,6 +114,7 @@ HEADLINE = [
     "q_train_token_budget_selection",
     "q_events_ts_profile_similarity",
     "q_quality_logreg_calibration",
+    "q_multimodal_image_resize",
 ]
 
 

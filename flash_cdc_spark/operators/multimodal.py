@@ -44,6 +44,8 @@ __all__ = [
     "synth_pgm_udf",
     "parse_pgm",
     "decode_pgm_features",
+    "resize_pgm",
+    "resize_pgm_features",
     "synth_wav_udf",
     "parse_wav",
     "decode_wav_features",
@@ -234,6 +236,55 @@ def decode_pgm_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_decode, schema=out_schema)
+
+
+def resize_pgm(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a binary PGM: decode, sample source
+    pixel ``(x·W//out_w, y·H//out_h)`` for every output coordinate,
+    re-emit a VALID P5 file. The resize every image-preprocessing
+    pipeline runs before feature extraction; a PIL/torchvision
+    interpolating resizer drops into the same slot."""
+    w, h, maxval, raster = parse_pgm(blob)
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    small = arr[np.ix_(ys, xs)]
+    return f"P5\n{out_w} {out_h}\n{maxval}\n".encode() + small.tobytes()
+
+
+def resize_pgm_features(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    out_w: int = 8,
+    out_h: int = 6,
+) -> DataFrame:
+    """Resize each PGM executor-side (``mapInPandas``), then RE-PARSE
+    the resized binary and emit its statistics — the round-trip proves
+    the emitted file is a valid image, not just that the math ran."""
+    out_schema = (
+        f"{id_col} bigint, width int, height int, "
+        "mean_px double, min_px int, max_px int, px_sum bigint"
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                resized = resize_pgm(bytes(blob), out_w, out_h)
+                w, h, _maxval, raster = parse_pgm(resized)  # round-trip
+                arr = np.frombuffer(raster, dtype=np.uint8)
+                rows.append(
+                    (int(did), w, h, float(arr.mean()), int(arr.min()),
+                     int(arr.max()), int(arr.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "mean_px", "min_px",
+                         "max_px", "px_sum"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_resize, schema=out_schema)
 
 
 def sample_frames(

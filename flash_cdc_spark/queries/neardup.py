@@ -560,6 +560,55 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_multimodal_image_resize",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id,
+               (7 * d.doc_id + 13 * ((x.x * {MM.PGM_WIDTH}) // 8)
+                             + 29 * ((y.y * {MM.PGM_HEIGHT}) // 6)) % 256 AS p
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(8)) AS x) x
+        CROSS JOIN (SELECT unnest(range(6)) AS y) y
+    )
+    SELECT doc_id,
+           8 AS width,
+           6 AS height,
+           round(avg(p), 6)           AS mean_px,
+           CAST(min(p) AS INT)        AS min_px,
+           CAST(max(p) AS INT)        AS max_px,
+           CAST(sum(p) AS BIGINT)     AS px_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-checked end-to-end: each document's
+    synthesized PGM is nearest-neighbor downsampled 16×12 → 8×6 inside
+    ``mapInPandas`` (`operators/multimodal.py:resize_pgm`), the resized
+    bytes are RE-PARSED as a PGM (round-trip proves a valid image came
+    out), and the resized raster's statistics are emitted. The oracle
+    recomputes them from the closed-form source-pixel formula at the
+    nearest-neighbor coordinates ``(x·W//8, y·H//6)`` — an off-by-one
+    in the index map, a transposed axis, or a corrupt re-emitted
+    header all mismatch. This is the preprocess-resize step of every
+    image pipeline; an interpolating PIL/torchvision resizer drops
+    into the same executor-side slot. Blobs never touch the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = d.select("doc_id").withColumn(
+        "media", MM.synth_pgm_udf()(F.col("doc_id"))
+    )
+    feats = MM.resize_pgm_features(imgs, "media", out_w=8, out_h=6)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+        "px_sum",
+    )
+
+
 _PGM_HEADER_LEN = len(f"P5\n{MM.PGM_WIDTH} {MM.PGM_HEIGHT}\n255\n")
 
 @query(
