@@ -127,3 +127,33 @@ def test_pipeline_matches_python_oracle(spark, events, use_cutoff):
         (r["record_id"], r["record_pos"], r["commit_ms"]) for r in out.collect()
     )
     assert got == python_oracle(events, cutoff)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    out_w=st.integers(min_value=1, max_value=40),
+    out_h=st.integers(min_value=1, max_value=40),
+    did=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_resize_pgm_property(w, h, out_w, out_h, did):
+    """resize_pgm over ANY (source, target) geometry — including
+    upsampling and degenerate 1-pixel axes: the output re-parses as a
+    valid PGM of exactly the target size, and every output pixel
+    equals the source pixel at the nearest-neighbor coordinates."""
+    from flash_cdc_spark.operators.multimodal import parse_pgm, resize_pgm
+
+    src_px = bytes(
+        (7 * did + 13 * x + 29 * y) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    blob = f"P5\n{w} {h}\n255\n".encode() + src_px
+    resized = resize_pgm(blob, out_w, out_h)
+    rw, rh, maxval, raster = parse_pgm(resized)
+    assert (rw, rh, maxval) == (out_w, out_h, 255)
+    for y in range(out_h):
+        for x in range(out_w):
+            sx, sy = (x * w) // out_w, (y * h) // out_h
+            assert raster[y * out_w + x] == src_px[sy * w + sx], (x, y)
