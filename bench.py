@@ -148,18 +148,21 @@ def main() -> None:
         spread[name] = round(100.0 * (trimmed[-1] - trimmed[0]) / med, 1)
 
     total = round(sum(timings.values()), 3)
-    # Key order is deliberate (r5, VERDICT r4 #9): the round driver
-    # archives only the TAIL of this line, so the long per-query dicts
-    # come first and the headline summary (metric/value/unit/iters/sf)
-    # comes LAST — a truncated capture still preserves the headline.
+    # Key order is deliberate (r6, VERDICT r5 #4): the round driver
+    # archives only the TAIL of this line, so the sacrificial
+    # spread_pct dict goes FIRST, the per-query medians second, and
+    # the headline summary (metric/value/unit/iters/sf) LAST — a
+    # truncated capture drops spread numbers, never the medians or
+    # the headline (r5's medians were unrecoverable because `queries`
+    # printed first).
     # One-time memo writes (signature index, IVF layout) are absorbed
     # by each query's uncounted warmup run, so timed rows are
     # steady-state.
     print(
         json.dumps(
             {
-                "queries": timings,
                 "spread_pct": spread,
+                "queries": timings,
                 "metric": "headline_query_suite_seconds",
                 "value": total,
                 "unit": "sec",

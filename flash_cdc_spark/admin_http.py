@@ -123,7 +123,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_PATCH(self) -> None:  # noqa: N802
         svc = self.server.service
-        m = _ID_ROUTE.match(self.path)
+        # match the PATH component only — a query string must not 404
+        # an otherwise-valid route (do_GET already strips it)
+        m = _ID_ROUTE.match(urlparse(self.path).path)
         if not m:
             self._send(404, {"error": "not found"})
             return
@@ -142,7 +144,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self) -> None:  # noqa: N802
         svc = self.server.service
-        m = _ID_ROUTE.match(self.path)
+        m = _ID_ROUTE.match(urlparse(self.path).path)
         if not m:
             self._send(404, {"error": "not found"})
             return
@@ -151,7 +153,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         svc = self.server.service
-        if self.path in ("/clients", "/clients/"):
+        path = urlparse(self.path).path
+        if path in ("/clients", "/clients/"):
             try:
                 config = _config_from_json(self._body())
             except (TypeError, json.JSONDecodeError) as exc:
@@ -165,7 +168,7 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send(400, result)
             return
-        m = _ACTION_ROUTE.match(self.path)
+        m = _ACTION_ROUTE.match(path)
         if m:
             pid, action = int(m.group(1)), m.group(2)
             if action == "stop":

@@ -84,98 +84,104 @@ from flash_cdc_spark.queries import llm_ext4  # noqa: E402,F401
 from flash_cdc_spark.queries import quality_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
-# r5 driver window (VERDICT r4, next-round item #1).
+# r6 driver window (VERDICT r5, next-round item #3).
 #
 # The round driver value-compares only the FIRST 50 registered queries,
 # so which 50 lead the registry is an explicit per-round decision, not
 # a side effect of module import order. This round's composition:
 #
-# * slots 1-32 — the 32 r4-new queries that registered past the window
-#   last round (COVERAGE.md ledger rows 71-73 and 124-152): the
-#   TPC-H completion six, the curation second wave (exact prefix
-#   Jaccard join, SemDeDup, containment, heavy hitters), retrieval
-#   (BM25/RRF/NDCG), graph (PageRank, triangles, 64-bit clusters),
-#   the two new streaming-executed sinks, the events second wave, and
-#   the UDTF. They are the only registered queries with no driver
-#   correctness row yet; rotating them in converts their local-oracle
-#   + snapshot evidence into driver evidence.
-# * slots 33-47 — 15 regression keepers spanning the r5 diff and the
-#   scale-risk surfaces: canonical-docs (re-keyed this round — its r4
-#   row was vacuous; this row proves non-vacuous driver green),
-#   contamination + simhash64 (the two r4 bench-regression watch
-#   items), changefeed + Avro decode, MinHash/clusters, IVF ANN,
-#   multimodal feature decode, admin pagination (service layer
-#   rewired this round), sketches, sessionize, and two
-#   streaming-executed drivers.
-# * slots 48-50 — batch canaries from the rotation pool
-#   (q01/q14/q18 this round; q05/q13 served in r4, q03/q10 in r3).
+# * slots 1-21 — the 21 r5-new queries that registered past the window
+#   last round (COVERAGE.md ledger rows 84 and 154-173): the trained
+#   quality classifier pair + calibration, DSIR, Bloom contamination,
+#   BPE merges, length-matched sampling, label-centroid matrix,
+#   Z-order extents, the two streaming-executed paths (DLQ delivery,
+#   near-dup ingest gate), incremental IVF, cross-source dup matrix,
+#   touch attribution, curation funnel, MMR, PCA projection, seasonal
+#   anomalies, temperature mixture, token-budget selection, ts-profile
+#   similarity, and the real image resize. They are the only
+#   oracle-backed queries with no driver row yet; rotating them in
+#   makes every registered oracle-backed query driver-green at least
+#   once (the milestone r5 missed by one row).
+# * slot 22 — q12: r5's only red row (oracle HUGEINT/float64 typing,
+#   fixed this round with CAST(... AS BIGINT)); kept in-window so the
+#   fix shows green in CORRECTNESS_r06.json.
+# * slots 23-48 — 26 regression keepers spanning the r5/r6 diff and
+#   the scale-risk surfaces: the pooled-transport delivery paths
+#   (changefeed e2e), the memoized trained states (IVF ANN), the
+#   canonical-docs re-key, contamination + simhash64 (bench watch
+#   items), changefeed + Avro decode, the dedup family, streaming
+#   sinks, admin pagination, sketches/sessionize, retrieval, span
+#   dedup, eigenvector, UDTF, and 64-bit clusters.
+# * slots 49-50 — batch canaries from the rotation pool
+#   (q03/q10 due back — served r3; q01/q14/q18 served r5,
+#   q05/q13 in r4).
 #
 # Everything rotated out stays continuously checked by the local mimic
 # (tests/test_oracle.py) AND pinned against the committed
 # oracle-fingerprint snapshot (tests/test_oracle_snapshot.py), so a
 # regression in the rotated-out surface still fails pytest loudly.
 WINDOW: list[str] = [
-    # -- r4 past-window queries: first driver rows this round (32) --
-    "q_dedup_clusters64",
-    "q_dedup_pagerank_centrality",
-    "q_dedup_minhash_calibration",
-    "q02_min_cost_supplier",
-    "q09_product_type_profit",
+    # -- r5 past-window queries: first driver rows this round (21) --
+    "q_quality_logreg_score",
+    "q_quality_logreg_calibration",
+    "q_train_dsir_weights",
+    "q_train_contamination_bloom",
+    "q_text_bpe_merge_candidates",
+    "q_train_length_matched_sample",
+    "q_embedding_label_centroid_sim",
+    "q_events_zorder_extents",
+    "q_streaming_neardup_dedup",
+    "q_streaming_dlq_delivery",
+    "q_sim_ann_ivf_incremental",
+    "q_dedup_cross_source_matrix",
+    "q_events_touch_attribution",
+    "q_curation_funnel_report",
+    "q_retrieval_mmr_topk",
+    "q_embedding_pca_project",
+    "q_events_seasonal_anomalies",
+    "q_train_temperature_mixture",
+    "q_train_token_budget_selection",
+    "q_events_ts_profile_similarity",
+    "q_multimodal_image_resize",
+    # -- r5's red row, oracle fixed this round (1) --
     "q12_late_shipment_priority",
-    "q15_top_supplier",
-    "q20_excess_shipments",
-    "q22_global_sales_opportunity",
-    "q_streaming_feed_outbox",
-    "q_events_top_paths",
-    "q_streaming_db_upsert",
-    "q_events_resample_locf",
-    "q_events_peak_concurrency",
-    "q_events_rolling_active_users",
-    "q_events_value_histogram",
-    "q_text_span_dedup",
-    "q_text_bigram_perplexity",
-    "q_embedding_covariance_topk",
-    "q_embedding_top_eigenvector",
-    "q_maintenance_compaction",
-    "q_quality_constraint_report",
-    "q_dedup_prefix_jaccard_join",
-    "q_dedup_semdedup",
-    "q_events_heavy_hitters",
-    "q_train_per_source_sample",
-    "q_retrieval_bm25_topk",
-    "q_retrieval_hybrid_rrf",
-    "q_graph_triangle_count",
-    "q_retrieval_ndcg_eval",
-    "q_udtf_chunk_digest",
-    "q_dedup_containment_pairs",
-    # -- regression keepers (15) --
+    # -- regression keepers (26) --
+    "q_streaming_changefeed_e2e",
+    "q_changefeed_flagship",
+    "q_envelope_decode_avro",
     "q_dedup_canonical_docs",
     "q_train_contamination_check",
     "q_dedup_simhash64_pairs",
-    "q_changefeed_flagship",
-    "q_envelope_decode_avro",
-    "q_dedup_exact_summary",
-    "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
     "q_sim_ann_ivf_topk",
-    "q_multimodal_decode_features",
-    "q_admin_filter_paginate",
-    "q_events_sketch_accuracy",
-    "q_events_sessionize",
+    "q_dedup_clusters",
+    "q_dedup_clusters64",
+    "q_dedup_minhash_lsh",
+    "q_dedup_exact_summary",
+    "q_dedup_prefix_jaccard_join",
+    "q_dedup_containment_pairs",
+    "q_dedup_semdedup",
     "q_streaming_latest_state",
-    "q_streaming_changefeed_e2e",
-    # -- batch canaries (3; rotation pool in COVERAGE.md) --
-    "q01_pricing_summary",
-    "q14_promo_revenue",
-    "q18_large_orders",
+    "q_streaming_db_upsert",
+    "q_streaming_feed_outbox",
+    "q_admin_filter_paginate",
+    "q_multimodal_decode_features",
+    "q_events_sessionize",
+    "q_events_sketch_accuracy",
+    "q_events_heavy_hitters",
+    "q_retrieval_bm25_topk",
+    "q_text_span_dedup",
+    "q_embedding_top_eigenvector",
+    "q_udtf_chunk_digest",
+    # -- batch canaries (2; rotation pool in COVERAGE.md) --
+    "q03_shipping_priority",
+    "q10_returned_items",
 ]
 
 # This round's batch canaries (tail of WINDOW); exported for the
 # registry-contract test and COVERAGE.md's rotation history.
 CANARIES: list[str] = [
-    "q01_pricing_summary",
-    "q14_promo_revenue",
-    "q18_large_orders",
+    "q03_shipping_priority",
+    "q10_returned_items",
 ]
 
 

@@ -1140,7 +1140,8 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
         SELECT event_type, hod,
-               avg(value) AS mu, stddev_samp(value) AS sigma,
+               round(avg(value), 9) AS mu,
+               round(stddev_samp(value), 9) AS sigma,
                count(*) AS n
         FROM keyed GROUP BY event_type, hod
     )
@@ -1174,9 +1175,12 @@ def q_events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.hour("ts").alias("hod"),
     )
+    # mu/sigma rounded to 9 dp BEFORE the z threshold — the repo-wide
+    # stability device (ADVICE r5): cross-engine summation-order drift
+    # must not flip borderline |z| > 2.5 rows in or out of the result.
     stats = keyed.groupBy("event_type", "hod").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sigma"),
+        F.round(F.avg("value"), 9).alias("mu"),
+        F.round(F.stddev_samp("value"), 9).alias("sigma"),
         F.count(F.lit(1)).alias("n"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")

@@ -205,10 +205,14 @@ def post_classified(
     """K1 variant for the DLQ path: returns the FINAL status code.
     2xx → delivered. 4xx other than 429 returns immediately — a
     permanent rejection that retries cannot fix (malformed payload,
-    revoked endpoint). Transient failures (5xx, 429, network errors)
-    retry with the same backoff as :func:`post_with_retry` and raise
-    :class:`WebhookDeliveryError` when exhausted, so the batch replays
-    and at-least-once is preserved for everything transient."""
+    revoked endpoint). A FINAL 3xx is also permanent (ADVICE r5): the
+    transport already followed up to 3 redirect hops, so a surviving
+    3xx is a redirect loop or chain that retrying replays verbatim —
+    exactly the wedge the DLQ exists to avoid. Transient failures
+    (5xx, 429, network errors) retry with the same backoff as
+    :func:`post_with_retry` and raise :class:`WebhookDeliveryError`
+    when exhausted, so the batch replays and at-least-once is
+    preserved for everything transient."""
     delay = policy.backoff_initial_s
     status = -1
     for attempt in range(1, policy.max_attempts + 1):
@@ -218,7 +222,7 @@ def post_classified(
             status = -1
         if 200 <= status < 300:
             return status
-        if 400 <= status < 500 and status != 429:
+        if 300 <= status < 500 and status != 429:
             return status  # permanent — no retry, caller dead-letters
         if attempt < policy.max_attempts:
             sleep(min(delay, policy.backoff_cap_s) + random.uniform(0, policy.jitter_max_s))

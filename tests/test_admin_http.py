@@ -140,6 +140,16 @@ def test_admin_http_crud_routes_end_to_end(spark, tmp_path, capture):
         assert code == 200 and res["ok"]
         assert _call(f"{url}/clients/99/test", "POST")[0] == 404
 
+        # a query string must not 404 an otherwise-valid route in ANY
+        # method — PATCH/DELETE/POST match the path component like GET
+        # does (ADVICE r5: raw self.path matching made ?x=1 a 404)
+        code, client = _call(f"{url}/clients/2?x=1")
+        assert code == 200 and client["id"] == 2
+        code, res = _call(f"{url}/clients/2?x=1", "PATCH", {"flow_batch_size": 9})
+        assert code == 200 and res["ok"]
+        code, res = _call(f"{url}/clients/1/test?x=1", "POST")
+        assert code == 200 and res["ok"]
+
         # PATCH rejections: duplicate name, bad topic on the MERGED row
         code, res = _call(f"{url}/clients/2", "PATCH", {"client_name": "client-3"})
         assert code == 400 and res["error"] == "duplicate client_name"
@@ -179,7 +189,8 @@ def test_admin_http_crud_routes_end_to_end(spark, tmp_path, capture):
         assert code == 200 and res.get("stopped")
 
         # DELETE: stop-first, row gone, list shrinks; repeat → 404
-        code, res = _call(f"{url}/clients/2", "DELETE")
+        # (query string ignored, like the other methods)
+        code, res = _call(f"{url}/clients/2?x=1", "DELETE")
         assert code == 200 and res["deleted"]
         assert _call(f"{url}/clients/2")[0] == 404
         assert _call(f"{url}/clients/")[1]["total"] == 2

@@ -49,6 +49,103 @@ def test_all_oracles_are_valid_duckdb_sql(sf_dir):
             pytest.fail(f"oracle for {name} is invalid: {exc}")
 
 
+@pytest.fixture(scope="module")
+def duck_result_types(sf_dir):
+    """DuckDB binder-level result type per oracle column (DESCRIBE —
+    no execution)."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out = {}
+    for name, sql in ORACLE.items():
+        rows = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+        out[name] = {r[0].lower(): r[1].upper() for r in rows}
+    con.close()
+    return out
+
+
+def test_no_oracle_returns_hugeint(duck_result_types):
+    """The q12 class (VERDICT r5 'What's wrong' #1): DuckDB HUGEINT —
+    the binder type of a bare ``sum()`` over integers — round-trips to
+    pandas float64, so the driver's TYPE-SENSITIVE value hash fails on
+    618.0-vs-618 even when every value is identical. The local mimic
+    deliberately tolerates int/float cross-typing, so this class is
+    invisible to it; this binder-level check is the one that sees it.
+    Fix pattern: ``CAST(sum(...) AS BIGINT)``. Applies to ALL oracles,
+    including the streaming-executed ones."""
+    offenders = [
+        (name, col, typ)
+        for name, cols in duck_result_types.items()
+        for col, typ in cols.items()
+        if "HUGEINT" in typ
+    ]
+    assert not offenders, offenders
+
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_SPARK_INT = {"byte", "short", "integer", "long"}
+
+
+def _duck_class(t: str) -> str:
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in _DUCK_INT:
+        return "int"
+    if "HUGEINT" in t:
+        return "hugeint"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    return "other"
+
+
+def _spark_class(dt) -> str:
+    n = dt.typeName()
+    if n in _SPARK_INT:
+        return "int"
+    if n in ("float", "double"):
+        return "float"
+    if n.startswith("decimal"):
+        return "decimal"
+    if n == "boolean":
+        return "bool"
+    return "other"
+
+
+_TYPE_AUDITED = sorted(
+    n for n in ORACLE if not n.startswith("q_streaming_")
+)
+
+
+@pytest.mark.parametrize("name", _TYPE_AUDITED)
+def test_oracle_numeric_classes_match_spark(name, spark, sf_dir, duck_result_types):
+    """Strict numeric-class agreement between each Spark result schema
+    (analyzed, not executed) and its oracle's DuckDB binder types:
+    int↔int, float↔float, decimal↔decimal, bool↔bool. The driver's
+    pandas-side hash is type-sensitive, so ANY cross-class pairing is a
+    latent gate failure even when values agree (r5's q12). Calibrated
+    against the full registry: all 173 oracles satisfy strict equality,
+    so no tolerance is needed. Streaming-executed queries are covered
+    by the HUGEINT ban above (building their DataFrame runs a real
+    streaming job; their Spark-side typing is pinned by snapshots)."""
+    schema = QUERIES[name](spark, sf_dir).schema
+    duck_cols = duck_result_types[name]
+    for f in schema.fields:
+        col = f.name.lower()
+        assert col in duck_cols, f"{name}: oracle lacks column {col}"
+        sc, dc = _spark_class(f.dataType), _duck_class(duck_cols[col])
+        if "other" in (sc, dc) and sc == dc:
+            continue
+        assert sc == dc, (
+            f"{name}.{col}: spark {f.dataType.simpleString()} ({sc}) vs "
+            f"duckdb {duck_cols[col]} ({dc}) — driver hash is type-sensitive"
+        )
+
+
 def test_entry_module_contract():
     import __spark_entry__ as e
 

@@ -649,6 +649,13 @@ def test_post_classified_permanent_vs_transient():
     with pytest.raises(WebhookDeliveryError):
         post_classified(transport_of([500, 500, 500]), "u", "b", policy, sleep=lambda s: None)
     assert len(calls) == 3
+    # final 3xx is PERMANENT (ADVICE r5): the transport already
+    # exhausted its redirect hops, so a surviving 3xx is a redirect
+    # loop — retrying replays it forever, which is the wedge the DLQ
+    # exists to avoid. One attempt, status returned, caller dead-letters.
+    calls.clear()
+    assert post_classified(transport_of([301]), "u", "b", policy, sleep=lambda s: None) == 301
+    assert len(calls) == 1
 
 
 def test_dlq_sink_isolates_poison_and_commits(spark, tmp_path):
