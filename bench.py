@@ -115,6 +115,10 @@ HEADLINE = [
     "q_events_ts_profile_similarity",
     "q_quality_logreg_calibration",
     "q_multimodal_image_resize",
+    # --- added r6 ---
+    "q_multimodal_dhash_neardup",
+    "q_text_bpe_tokenize",
+    "q_dedup_url_canonical",
 ]
 
 

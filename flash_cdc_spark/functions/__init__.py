@@ -9,5 +9,6 @@ from flash_cdc_spark.functions.normalize import (
     normalize_commit_ms,
     truthy_flag,
 )
+from flash_cdc_spark.functions.urls import canonicalize_url
 
-__all__ = ["normalize_commit_ms", "truthy_flag", "mask_secret"]
+__all__ = ["normalize_commit_ms", "truthy_flag", "mask_secret", "canonicalize_url"]

@@ -46,6 +46,10 @@ __all__ = [
     "decode_pgm_features",
     "resize_pgm",
     "resize_pgm_features",
+    "synth_pgm_grouped_udf",
+    "dhash_pgm",
+    "dhash_features",
+    "DHASH_GROUPS",
     "synth_wav_udf",
     "parse_wav",
     "decode_wav_features",
@@ -285,6 +289,102 @@ def resize_pgm_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_resize, schema=out_schema)
+
+
+# --- Perceptual hash (dHash) over the REAL decode path (r6) -----------
+# Difference hash: resize to a (w+1)×h grid, bit (x, y) = grid[y][x] >
+# grid[y][x+1]. Gradient-based, so it is INVARIANT to global brightness
+# shift — the perceptual property that makes it a near-dup key where a
+# byte hash is not. 64 bits carried as two 32-bit halves (sim_hi /
+# sim_lo) so the output plugs directly into the SimHash64 Hamming
+# banding machinery (operators/dedup.py:simhash64_candidate_pairs).
+
+DHASH_GROUPS = 25
+
+
+def synth_pgm_grouped_udf(
+    width: int = PGM_WIDTH, height: int = PGM_HEIGHT, groups: int = DHASH_GROUPS
+):
+    """Arrow-batched synthesizer for the perceptual-dedup fixture: docs
+    in the same group (``doc_id % groups``) share one quadratic pixel
+    PATTERN and differ only by a global brightness offset (< 15, no
+    wraparound: base < 241, so base + offset ≤ 254) — which dHash must
+    erase — while every third same-group variant also carries a one-
+    pixel blemish at (3, 4) (a source coordinate the 9×8 nearest-
+    neighbor resize samples), which flips ≤ 2 dHash bits — a NEAR
+    match the Hamming banding must still find. The quadratic base
+    interacts multiplicatively with the group id, so different groups
+    get genuinely different gradients (a linear formula like the plain
+    synth's has constant gradient and a degenerate, corpus-wide-equal
+    dHash). Closed-form, so a relational oracle can recompute every
+    bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_id: pd.Series) -> pd.Series:
+        def mk(did: int) -> bytes:
+            did = int(did)
+            g, variant = did % groups, did // groups
+            off = variant % 15
+            blemish = variant % 3 == 2
+            px = bytearray(
+                ((g + 2) * (x * x + 3 * y * y) + (7 * g + 1) * x * y) % 241 + off
+                for y in range(height)
+                for x in range(width)
+            )
+            if blemish:
+                px[4 * width + 3] = 255
+            return f"P5\n{width} {height}\n255\n".encode() + bytes(px)
+
+        return doc_id.map(mk)
+
+    return _synth
+
+
+def dhash_pgm(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> tuple[int, int]:
+    """64-bit dHash of a binary PGM from the REAL decode path: parse,
+    nearest-neighbor resize to (hash_w+1)×hash_h, compare horizontal
+    neighbors. Bit b = y·hash_w + x (LSB order) is set iff
+    grid[y][x] > grid[y][x+1]. Returns ``(hi, lo)`` 32-bit halves —
+    each < 2³², exactly representable in every engine (same convention
+    as simhash64_signatures and for the same signed-overflow reason).
+    A PIL grayscale-convert + resize drops into the same slot for
+    compressed formats."""
+    resized = resize_pgm(blob, hash_w + 1, hash_h)
+    w, h, _maxval, raster = parse_pgm(resized)
+    grid = np.frombuffer(raster, dtype=np.uint8).reshape(h, w).astype(np.int32)
+    bits = grid[:, :-1] > grid[:, 1:]  # hash_h × hash_w
+    hi = lo = 0
+    for b, bit in enumerate(bits.flatten()):
+        if bit:
+            if b < 32:
+                lo |= 1 << b
+            else:
+                hi |= 1 << (b - 32)
+    return hi, lo
+
+
+def dhash_features(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-image 64-bit dHash via ``mapInPandas`` (Arrow-batched,
+    executor-side — blobs never touch the driver). Output columns are
+    named ``sim_hi`` / ``sim_lo`` so the frame feeds
+    :func:`flash_cdc_spark.operators.dedup.simhash64_candidate_pairs`
+    unchanged: multimodal near-dup reuses the text-dedup Hamming
+    banding (pigeonhole over four 16-bit bands) rather than growing a
+    parallel implementation."""
+    out_schema = f"{id_col} bigint, sim_hi bigint, sim_lo bigint"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                hi, lo = dhash_pgm(bytes(blob))
+                rows.append((int(did), hi, lo))
+            yield pd.DataFrame(rows, columns=[id_col, "sim_hi", "sim_lo"])
+
+    return df.select(id_col, binary_col).mapInPandas(_hash, schema=out_schema)
 
 
 def sample_frames(

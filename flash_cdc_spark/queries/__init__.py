@@ -79,9 +79,12 @@ from flash_cdc_spark.queries import curation_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import retrieval_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import udtf_ext  # noqa: E402,F401
 
-# r5 additions (past-window; r6 rotation candidates).
+# r5 additions (window slots 1-21 this round).
 from flash_cdc_spark.queries import llm_ext4  # noqa: E402,F401
 from flash_cdc_spark.queries import quality_ext  # noqa: E402,F401
+
+# r6 additions (past-window; r7 rotation candidates).
+from flash_cdc_spark.queries import tokenize_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # r6 driver window (VERDICT r5, next-round item #3).

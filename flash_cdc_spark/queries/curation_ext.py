@@ -535,3 +535,120 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------
+# URL canonicalization dedup (r6, VERDICT r5 #5c)
+# ---------------------------------------------------------------------
+
+_URL_VARIANTS_SQL = """
+        SELECT doc_id,
+               CASE (doc_id // 100) % 5
+                 WHEN 0 THEN 'https://example.com/p/' || (doc_id % 100)
+                             || '?id=' || (doc_id % 100) || '&q=1'
+                 WHEN 1 THEN 'HTTPS://EXAMPLE.COM/p/' || (doc_id % 100)
+                             || '?q=1&id=' || (doc_id % 100)
+                 WHEN 2 THEN 'https://www.example.com:443/p/' || (doc_id % 100)
+                             || '?id=' || (doc_id % 100) || '&q=1'
+                 WHEN 3 THEN 'https://example.com/p/' || (doc_id % 100)
+                             || '/?id=' || (doc_id % 100)
+                             || '&q=1&utm_source=feed'
+                 ELSE 'https://example.com/p/' || (doc_id % 100)
+                      || '?id=' || (doc_id % 100) || '&q=1#frag'
+               END AS url
+        FROM documents
+"""
+
+
+@query(
+    "q_dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS ({_URL_VARIANTS_SQL}),
+    split AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(url, '#.*$', ''),
+                              '\\?.*$', '') AS base,
+               regexp_extract(regexp_replace(url, '#.*$', ''),
+                              '\\?(.*)$', 1) AS qs
+        FROM raw
+    ),
+    comp AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(base,
+                     '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+               regexp_replace(lower(regexp_extract(base,
+                     '^[^/]*://([^/]*)', 1)), '^www\\.', '') AS host0,
+               regexp_replace(regexp_extract(base,
+                     '^[^/]*://[^/]*(/.*)?$', 1), '/+$', '') AS path,
+               array_to_string(list_sort(list_filter(
+                   string_split(qs, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_')
+                        AND NOT starts_with(p, 'gclid=')
+                        AND NOT starts_with(p, 'fbclid=')
+                        AND NOT starts_with(p, 'ref='))), '&') AS qkeep
+        FROM split
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               scheme || '://'
+               || CASE WHEN scheme = 'http'
+                       THEN regexp_replace(host0, ':80$', '')
+                       WHEN scheme = 'https'
+                       THEN regexp_replace(host0, ':443$', '')
+                       ELSE host0 END
+               || path
+               || CASE WHEN qkeep = '' THEN '' ELSE '?' || qkeep END
+                   AS canonical_url
+        FROM comp
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT)            AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT)         AS exemplar_doc
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (VERDICT r5 #5c): the refetch-removal
+    pass web curation runs BEFORE any content hash. Five messy spellings
+    of each resource are synthesized per doc_id (scheme/host case,
+    ``www.`` + explicit default port, tracking param + trailing slash,
+    fragment — the real variation CommonCrawl URL lists carry), then
+    canonicalized by `functions/urls.py:canonicalize_url` — pure
+    regexp/array builtins, one codegen span — and exact-dup'd with ONE
+    partial-aggregatable groupBy(canonical_url). The oracle implements
+    the same canonicalization independently in SQL, so a missed
+    tracking prefix, an unsorted param list, a case-folded PATH (only
+    the authority is case-insensitive), or an unstripped port all
+    mismatch. At 100 TB: canonicalization is a narrow projection; the
+    dedup is the exact-hash groupBy path — linear, one shuffle on the
+    canonical key."""
+    from flash_cdc_spark.functions.urls import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 100).cast("string")
+    v = F.expr("(doc_id div 100) % 5")
+    raw = d.select(
+        "doc_id",
+        F.when(v == 0, F.concat(F.lit("https://example.com/p/"), k,
+                                F.lit("?id="), k, F.lit("&q=1")))
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE.COM/p/"), k,
+                               F.lit("?q=1&id="), k))
+        .when(v == 2, F.concat(F.lit("https://www.example.com:443/p/"), k,
+                               F.lit("?id="), k, F.lit("&q=1")))
+        .when(v == 3, F.concat(F.lit("https://example.com/p/"), k,
+                               F.lit("/?id="), k,
+                               F.lit("&q=1&utm_source=feed")))
+        .otherwise(F.concat(F.lit("https://example.com/p/"), k,
+                            F.lit("?id="), k, F.lit("&q=1#frag")))
+        .alias("url"),
+    )
+    return (
+        raw.select("doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+            F.min("doc_id").cast("bigint").alias("exemplar_doc"),
+        )
+    )

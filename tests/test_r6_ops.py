@@ -1,0 +1,186 @@
+"""r6 operator units: perceptual dHash, BPE merge application, URL
+canonicalization."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.functions.urls import canonicalize_url
+from flash_cdc_spark.operators import tokenize as TOK
+from flash_cdc_spark.operators.multimodal import dhash_pgm, parse_pgm
+
+
+def _pgm(width: int, height: int, px: list[int]) -> bytes:
+    assert len(px) == width * height
+    return f"P5\n{width} {height}\n255\n".encode() + bytes(px)
+
+
+def _quad_image(g: int, off: int, width: int = 16, height: int = 12) -> bytes:
+    px = [
+        ((g + 2) * (x * x + 3 * y * y) + (7 * g + 1) * x * y) % 241 + off
+        for y in range(height)
+        for x in range(width)
+    ]
+    return _pgm(width, height, px)
+
+
+def test_dhash_brightness_invariance():
+    """The perceptual property: a global brightness shift leaves every
+    horizontal gradient sign unchanged, so the dHash is identical."""
+    for g in (0, 3, 17):
+        base = dhash_pgm(_quad_image(g, 0))
+        for off in (1, 7, 14):
+            assert dhash_pgm(_quad_image(g, off)) == base
+
+
+def test_dhash_groups_differ():
+    """Different quadratic groups have genuinely different gradients —
+    the fixture is non-degenerate (a linear pattern would hash every
+    image identically)."""
+    hashes = {dhash_pgm(_quad_image(g, 0)) for g in range(10)}
+    assert len(hashes) == 10
+
+
+def _hamming(a: tuple[int, int], b: tuple[int, int]) -> int:
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def test_dhash_blemish_is_near_not_exact():
+    """A one-pixel blemish at a resize-sampled coordinate flips at most
+    the two comparisons adjacent to its grid cell — never more (so the
+    Hamming-3 banding always finds the pair), and for SOME groups at
+    least one (so the fixture exercises near matches, not just exact
+    ones; whether a given group's bits flip depends on whether its
+    clean gradient signs already agree with the blemished ones)."""
+    dists = []
+    for g in range(25):
+        clean = _quad_image(g, 2)
+        w, h, _m, raster = parse_pgm(clean)
+        px = bytearray(raster)
+        px[4 * w + 3] = 255  # source (3,4): sampled by the 9x8 resize
+        blemished = _pgm(w, h, list(px))
+        dists.append(_hamming(dhash_pgm(clean), dhash_pgm(blemished)))
+    assert max(dists) <= 2
+    assert max(dists) >= 1
+
+
+def test_dhash_halves_fit_32_bits():
+    hi, lo = dhash_pgm(_quad_image(9, 11))
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    g=st.integers(0, 24),
+    off=st.integers(0, 14),
+    seed=st.integers(0, 2**16),
+)
+def test_dhash_property_shift_invariant(g, off, seed):
+    """Any image (not just the fixture's) keeps its dHash under a
+    uniform brightness shift that doesn't clip."""
+    import random
+
+    rnd = random.Random(seed)
+    px = [rnd.randrange(0, 241) for _ in range(16 * 12)]
+    a = dhash_pgm(_pgm(16, 12, px))
+    b = dhash_pgm(_pgm(16, 12, [p + off for p in px]))
+    assert a == b
+
+
+# --- BPE apply --------------------------------------------------------
+
+
+def _segment(spark, word: str, merges: list[str]) -> str:
+    df = spark.createDataFrame([(word,)], "w string")
+    return df.select(TOK.bpe_segment(F.col("w"), merges).alias("s")).collect()[0]["s"]
+
+
+def test_bpe_greedy_left_to_right(spark):
+    """SQL replace's non-overlapping left-to-right scan IS greedy BPE:
+    'aaa' + merge 'aa' merges the LEFT pair."""
+    assert _segment(spark, "aaa", ["aa"]) == "|aa|a|"
+
+
+def test_bpe_rank_order_applies_first_merge_first(spark):
+    # 'bc' ranks above 'ab': after |a|bc|, 'ab' can no longer match
+    assert _segment(spark, "abc", ["bc", "ab"]) == "|a|bc|"
+    # reversed ranks: 'ab' consumes b first
+    assert _segment(spark, "abc", ["ab", "bc"]) == "|ab|c|"
+
+
+def test_bpe_no_false_match_across_symbol_boundary(spark):
+    """After 'xa' merges, the multi-char symbol's trailing 'a' must not
+    pair with the following 'b' — the wrapping delimiters prevent it."""
+    assert _segment(spark, "xab", ["xa", "ab"]) == "|xa|b|"
+
+
+def test_bpe_token_counts_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa bb"), (2, "x")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TOK.bpe_token_counts(docs, ["aa"]).collect()
+    }
+    # 'aaa'→[aa,a]=2, 'bb'→[b,b]=2 ; ws=2, bpe=4, chars=5
+    assert out[1]["ws_tokens"] == 2 and out[1]["bpe_tokens"] == 4
+    assert out[1]["chars_per_token"] == 1.25
+    assert out[2]["ws_tokens"] == 1 and out[2]["bpe_tokens"] == 1
+
+
+def test_bpe_learn_memoizes(spark, sf_dir):
+    from flash_cdc_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = TOK.learn_first_merges(d, k=5, cache_key=sf_dir)
+    assert len(a) == 5 and all(len(m) == 2 for m in a)
+    assert TOK.learn_first_merges(d, k=5, cache_key=sf_dir) is a  # memo hit
+
+
+# --- URL canonicalization --------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        # scheme+host case-fold; PATH case preserved
+        ("HTTPS://EXAMPLE.COM/Path/A", "https://example.com/Path/A"),
+        # www + default port stripped
+        ("https://www.example.com:443/p", "https://example.com/p"),
+        ("http://www.example.com:80/p", "http://example.com/p"),
+        # non-default port kept; 443 is NOT default for http
+        ("https://example.com:8443/p", "https://example.com:8443/p"),
+        ("http://example.com:443/p", "http://example.com:443/p"),
+        # fragment + trailing slash
+        ("https://example.com/p/#frag", "https://example.com/p"),
+        # tracking params dropped, survivors sorted, empty query drops '?'
+        (
+            "https://example.com/p?utm_source=x&b=2&a=1&fbclid=z",
+            "https://example.com/p?a=1&b=2",
+        ),
+        ("https://example.com/p?utm_campaign=x&gclid=1&ref=h", "https://example.com/p"),
+        # root path collapses with the trailing-slash rule
+        ("https://example.com/?q=1", "https://example.com?q=1"),
+    ],
+)
+def test_canonicalize_url_cases(spark, raw, want):
+    df = spark.createDataFrame([(raw,)], "u string")
+    got = df.select(canonicalize_url(F.col("u")).alias("c")).collect()[0]["c"]
+    assert got == want
+
+
+def test_canonicalize_url_idempotent(spark):
+    """Canonicalizing a canonical URL is a no-op — the fixed-point
+    property that lets the pass run at any pipeline stage."""
+    raws = [
+        "HTTPS://WWW.Example.COM:443/a/b/?z=1&a=2&utm_x=3#f",
+        "http://site.org:80/x?id=9",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c2"), "c")
+    for r in twice.collect():
+        assert r["c2"] == r["c"]

@@ -237,11 +237,176 @@ def measure_semdedup(vecs: DataFrame, k: int) -> dict:
     }
 
 
+def synth_events(spark: SparkSession, sf_dir: str, reps: int) -> DataFrame:
+    """Replicate the events table ``reps`` times with offset event and
+    user ids, so both the change volume AND the latest-state key space
+    grow linearly — the honest scale axis for a CDC state sink (same
+    keys with later timestamps would leave state size constant and
+    flatter the curve unfairly)."""
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    return base.crossJoin(rep).select(
+        (F.col("user_id") + F.col("rep") * F.lit(10_000_000)).alias("user_id"),
+        "event_type",
+        (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias("event_id"),
+        "ts",
+        "value",
+    )
+
+
+def measure_latest_state(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """End-to-end wall time of the bucketed latest-state merge sink
+    (streaming/upsert.py) over THREE micro-batches at ``reps``× event
+    volume. The claim under test (VERDICT r5 #6): per-batch cost
+    scales with the delta — touched-bucket pruning keeps untouched
+    state out of every merge — so total wall should grow ~linearly
+    with volume, not with (state × batches)."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.streaming import await_or_fail
+    from flash_cdc_spark.streaming.upsert import streaming_latest_state
+
+    events = synth_events(spark, sf_dir, reps)
+    workdir = tempfile.mkdtemp(prefix=f"probe_upsert_{reps}x_")
+    try:
+        src = f"{workdir}/src"
+        for third in range(3):
+            events.filter(F.pmod(F.col("event_id"), F.lit(3)) == third).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        n = spark.read.parquet(src).count()
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = streaming_latest_state(stream, f"{workdir}/state", f"{workdir}/ckpt")
+        await_or_fail(q)
+        sec = round(time.perf_counter() - t0, 2)
+        state_rows = spark.read.parquet(f"{workdir}/state").count()
+        return {
+            "reps": reps,
+            "n_events": n,
+            "state_rows": state_rows,
+            "latest_state_sec": sec,
+            "events_per_sec": round(n / sec),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def measure_dlq_delivery(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """End-to-end wall time of the DLQ webhook sink at ``reps``×
+    payload volume against a live local endpoint that permanently
+    rejects the poison slice. The claim under test: delivery is
+    throughput-bound on the pooled keep-alive transport — req/s stays
+    flat as volume grows, dead letters stay the fixed poison fraction,
+    and the batch always commits."""
+    import http.server
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    from flash_cdc_spark.streaming import await_or_fail
+    from flash_cdc_spark.streaming.webhook import (
+        RetryPolicy,
+        webhook_batch_writer_with_dlq,
+    )
+
+    class _Rejecting(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length).decode("utf-8")
+            doc = _json.loads(body)
+            code = 400 if doc.get("poison") else 200
+            self.send_response(code)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    payloads = base.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id")
+    ).select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id"), (F.col("doc_id") % 97 == 13).alias("poison")
+            )
+        ).alias("payload_json"),
+    )
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Rejecting)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    workdir = tempfile.mkdtemp(prefix=f"probe_dlq_{reps}x_")
+    try:
+        src = f"{workdir}/src"
+        payloads.write.parquet(src)
+        n = spark.read.parquet(src).count()
+        stream = spark.readStream.schema(payloads.schema).parquet(src)
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(
+                webhook_batch_writer_with_dlq(
+                    f"http://127.0.0.1:{server.server_address[1]}/hook",
+                    dlq_path=f"{workdir}/dlq",
+                    policy=RetryPolicy(
+                        timeout_s=30.0, max_attempts=2,
+                        backoff_initial_s=0.05, backoff_cap_s=0.2,
+                        jitter_max_s=0.0,
+                    ),
+                )
+            )
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q)
+        sec = round(time.perf_counter() - t0, 2)
+        dlq_rows = (
+            spark.read.parquet(f"{workdir}/dlq").count()
+            if os.path.isdir(f"{workdir}/dlq")
+            else 0
+        )
+        return {
+            "reps": reps,
+            "n_payloads": n,
+            "dlq_rows": dlq_rows,
+            "dlq_delivery_sec": sec,
+            "req_per_sec": round(n / sec),
+        }
+    finally:
+        server.shutdown()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     if "--sf-dir" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     spark = get_spark(app_name="dedup-scale-probe")
+    # streaming sinks (r6, VERDICT r5 #6): latest-state merge + DLQ
+    # delivery at 1x/2x/4x/8x event volume
+    if only in (None, "streaming"):
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_latest_state(spark, sf_dir, reps)), flush=True)
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_dlq_delivery(spark, sf_dir, reps)), flush=True)
+    if only == "streaming":
+        spark.stop()
+        return 0
     for reps in (1, 2, 4, 8):
         r = measure(synth_corpus(spark, sf_dir, reps))
         r["reps"] = reps
