@@ -119,6 +119,10 @@ HEADLINE = [
     "q_multimodal_dhash_neardup",
     "q_text_bpe_tokenize",
     "q_dedup_url_canonical",
+    # r6 second wave (trainer memoized: warmup absorbs the 12 rounds)
+    "q_text_bpe_train_rounds",
+    "q_multimodal_audiohash_neardup",
+    "q_quality_column_profile",
 ]
 
 

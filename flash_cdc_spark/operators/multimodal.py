@@ -50,6 +50,10 @@ __all__ = [
     "dhash_pgm",
     "dhash_features",
     "DHASH_GROUPS",
+    "synth_wav_grouped_udf",
+    "audiohash_wav",
+    "audiohash_features",
+    "AUDIO_GROUPS",
     "synth_wav_udf",
     "parse_wav",
     "decode_wav_features",
@@ -527,3 +531,107 @@ def decode_wav_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_decode, schema=out_schema)
+
+
+# --- Audio perceptual hash over the REAL WAV decode path (r6) ---------
+# 1-D sibling of the image dHash: sample 65 points from the decoded
+# waveform, bit i = s[k_i+1] > s[k_i] (sign of the local delta). The
+# delta-sign sequence is INVARIANT to DC bias (additive offset) and to
+# positive gain (volume) — the two transforms a re-encoded copy of the
+# same recording most commonly carries — so it is a near-dup key where
+# a byte hash is not. Same two-32-bit-half carry as dHash/SimHash64,
+# same Hamming banding downstream.
+
+AUDIO_GROUPS = 20
+
+
+def synth_wav_grouped_udf(
+    n_samples: int = WAV_N_SAMPLES,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    groups: int = AUDIO_GROUPS,
+):
+    """Grouped waveform synthesizer for the perceptual-dedup fixture:
+    docs in a group (``doc_id % groups``) share one quadratic waveform
+    PATTERN; variants differ by positive gain (1-3×) and DC offset
+    (0-400) — both erased by the delta-sign hash — and every fourth
+    variant carries a one-sample click at k=3 (a sampled position),
+    flipping ≤ 2 hash bits: the NEAR match the banding must find.
+    Amplitudes stay well inside int16 (max |s| ≈ 3·1024 + 400 + 5000),
+    so no clipping breaks the closed form."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_id: pd.Series) -> pd.Series:
+        def mk(did: int) -> bytes:
+            did = int(did)
+            g, variant = did % groups, did // groups
+            gain = 1 + variant % 3
+            off = (variant % 5) * 100
+            k = np.arange(n_samples, dtype=np.int64)
+            p = ((g + 3) * k * k + 7 * g * k) % 2048 - 1024
+            s = gain * p + off
+            if variant % 4 == 3:
+                s[3] += 5000  # click at a sampled position
+            data = s.astype("<i2").tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack(
+                    "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+                )
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        return doc_id.map(mk)
+
+    return _synth
+
+
+def audiohash_wav(blob: bytes, n_points: int = 65) -> tuple[int, int]:
+    """64-bit delta-sign hash of a WAV from the REAL decode path:
+    parse the RIFF container, take ``n_points`` nearest-sample probes
+    ``k_i = i·N//n_points``, bit i = s[k_{i+1}] > s[k_i] (LSB order).
+    Returns ``(hi, lo)`` 32-bit halves — the SimHash64/dHash carry
+    convention. A spectral fingerprint (Haitsma-Kalker style bands)
+    drops into the same slot when an FFT library is available; the
+    Spark plumbing is identical."""
+    _rate, channels, bits, raw = parse_wav(blob)
+    if channels != 1 or bits != 16:
+        raise ValueError("expected 16-bit mono PCM")
+    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    ks = (np.arange(n_points, dtype=np.int64) * s.size) // n_points
+    probes = s[ks]
+    hi = lo = 0
+    for b in range(n_points - 1):
+        if probes[b + 1] > probes[b]:
+            if b < 32:
+                lo |= 1 << b
+            else:
+                hi |= 1 << (b - 32)
+    return hi, lo
+
+
+def audiohash_features(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-clip 64-bit delta-sign hash via ``mapInPandas``; output
+    columns named ``sim_hi`` / ``sim_lo`` so the frame feeds
+    ``simhash64_candidate_pairs`` unchanged — audio near-dup reuses
+    the text/image Hamming banding."""
+    out_schema = f"{id_col} bigint, sim_hi bigint, sim_lo bigint"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                hi, lo = audiohash_wav(bytes(blob))
+                rows.append((int(did), hi, lo))
+            yield pd.DataFrame(rows, columns=[id_col, "sim_hi", "sim_lo"])
+
+    return df.select(id_col, binary_col).mapInPandas(_hash, schema=out_schema)

@@ -8,15 +8,19 @@ merges in rank order, greedy left-to-right — so token counts downstream
 (budget selection, packing) can use real learned-tokenizer counts
 instead of the whitespace approximation.
 
-Representation: a word's segmentation is a delimiter-wrapped string —
-``"order"`` → ``"|o|r|d|e|r|"`` — and applying merge ``de`` is ONE
-builtin ``replace(seg, '|d|e|', '|de|')``. The wrapping delimiters make
+Representation: every symbol is INDIVIDUALLY delimiter-wrapped —
+``"order"`` → ``"|o||r||d||e||r|"`` — and applying merge ``(d, e)`` is
+ONE builtin ``replace(seg, '|d||e|', '|de|')``. The wrapping makes
 symbol boundaries explicit, so multi-character symbols can never
-false-match (``"|xa|b|"`` does not contain ``"|a|b|"``), and SQL
-``replace``'s left-to-right non-overlapping scan IS greedy BPE order
-(``"|a|a|a|"`` + merge ``aa`` → ``"|aa|a|"``). Everything stays in
-whole-stage codegen: one regexp to explode chars, k chained literal
-``replace`` calls, zero Python in the hot path.
+false-match (``"|xa||b|"`` does not contain ``"|a||b|"``), and because
+adjacent matches share NO characters, SQL ``replace``'s left-to-right
+non-overlapping scan IS greedy BPE order — including back-to-back
+merges: ``"|a||a||a||a|"`` + merge ``(a,a)`` → ``"|aa||aa|"``. (A
+single shared delimiter between symbols fails exactly there: the match
+consumes the middle ``|``, so the scan skips the second pair and
+``aaaa`` mis-segments as ``[aa, a, a]`` — caught by the unit suite.)
+Everything stays in whole-stage codegen: one regexp to explode chars,
+k chained literal ``replace`` calls, zero Python in the hot path.
 
 Scale: the learned state is k rows (k=20 here) — a metadata-sized
 driver collect memoized per corpus, the same trained-state shape as
@@ -24,11 +28,11 @@ the IVF centers and logreg weights. The apply pass is one narrow
 projection over words + one partial-aggregatable groupBy(doc_id).
 Linear at 100 TB.
 
-Semantics note: these are FIRST-ROUND merges (all character pairs,
-ranked once). Full BPE re-counts pair frequencies after every merge;
-that loop is k sequential corpus aggregations and slots in here
-unchanged — each round is the same learn step over the previous
-round's segmentation.
+Two trainers: :func:`learn_first_merges` ranks all character pairs
+once (the one-shot approximation); :func:`learn_bpe_rounds` is FULL
+sequential BPE — it re-counts adjacent SYMBOL pairs over the
+re-segmented corpus every round, so later merges pair earlier merges'
+multi-character outputs.
 """
 
 from __future__ import annotations
@@ -36,7 +40,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["WORD_RE", "learn_first_merges", "bpe_segment", "bpe_token_counts"]
+__all__ = [
+    "WORD_RE",
+    "learn_first_merges",
+    "learn_bpe_rounds",
+    "bpe_segment",
+    "bpe_token_counts",
+]
 
 # Words eligible for segmentation: lowercase alphanumeric only, so the
 # '|' delimiter can never collide with word content (and empty strings
@@ -88,14 +98,95 @@ def learn_first_merges(
     return merges
 
 
-def bpe_segment(word: Column, merges: list[str]) -> Column:
+def _norm_merge(m) -> tuple[str, str]:
+    """A merge is a (left, right) SYMBOL pair. First-round merges come
+    from :func:`learn_first_merges` as 2-char strings; multi-round
+    merges from :func:`learn_bpe_rounds` are real tuples whose sides
+    may be multi-character (a later merge pairing an earlier merge's
+    output — full BPE)."""
+    if isinstance(m, str):
+        return m[0], m[1]
+    return m[0], m[1]
+
+
+def bpe_segment(word: Column, merges: list) -> Column:
     """Segmentation string of ``word`` under ``merges`` (rank order):
-    ``"|o|r|d|e|r|"`` → merges applied as chained literal ``replace``
-    expressions. Pure builtins — stays in codegen."""
-    seg = F.concat(F.lit("|"), F.regexp_replace(word, "(.)", "$1|"))
+    ``"|o||r||d||e||r|"`` → merges applied as chained literal
+    ``replace`` expressions (see the module docstring for why each
+    symbol carries its OWN delimiters). Pure builtins — stays in
+    codegen."""
+    seg = F.regexp_replace(word, "(.)", "|$1|")
     for m in merges:
-        seg = F.replace(seg, F.lit(f"|{m[0]}|{m[1]}|"), F.lit(f"|{m}|"))
+        left, right = _norm_merge(m)
+        seg = F.replace(
+            seg, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
+        )
     return seg
+
+
+# Learned multi-round merges memo per (process, corpus, rounds).
+_ROUNDS_MEMO: dict[tuple[str, int], list[tuple[str, str, int]]] = {}
+
+
+def learn_bpe_rounds(
+    docs: DataFrame,
+    rounds: int = 5,
+    text_col: str = "text",
+    cache_key: str | None = None,
+) -> list[tuple[str, str, int]]:
+    """FULL sequential BPE training (Sennrich et al. 2016): merge r+1
+    is the most frequent adjacent SYMBOL pair counted over the corpus
+    segmented by merges 1..r — so later merges can pair earlier
+    merges' multi-character outputs, unlike the one-shot first-round
+    ranking. Returns ``[(left, right, count)]`` in merge order; ties
+    broken by the ``left|right`` pair string ascending (symbols never
+    contain the delimiter, so the key is unambiguous and identical
+    across engines).
+
+    Cost: ``rounds`` sequential corpus aggregates (each: segment with
+    the merges so far — chained codegen'd ``replace`` — then ONE
+    partial-aggregatable groupBy over adjacent symbol pairs) + a
+    1-row collect per round. The learned state is ``rounds`` rows,
+    memoized per corpus like the first-round list."""
+    if cache_key is not None and (cache_key, rounds) in _ROUNDS_MEMO:
+        return _ROUNDS_MEMO[(cache_key, rounds)]
+    words = _words(docs, text_col)
+    merges: list[tuple[str, str]] = []
+    learned: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        seg = words.select(bpe_segment(F.col("w"), merges).alias("seg"))
+        syms = F.filter(F.split("seg", r"\|"), lambda s: s != "")
+        pairs = (
+            seg.select(syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.concat(
+                            F.element_at("syms", i),
+                            F.lit("|"),
+                            F.element_at("syms", i + 1),
+                        ),
+                    )
+                ).alias("pair")
+            )
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split("|")
+        merges.append((left, right))
+        learned.append((left, right, top[0]["c"]))
+    if cache_key is not None:
+        _ROUNDS_MEMO[(cache_key, rounds)] = learned
+    return learned
 
 
 def bpe_token_counts(
@@ -113,8 +204,8 @@ def bpe_token_counts(
         F.length("w").alias("n_chars"),
         bpe_segment(F.col("w"), merges).alias("seg"),
     )
-    # symbols per word = delimiter count - 1
-    toks = (F.length("seg") - F.length(F.translate("seg", "|", ""))) - 1
+    # symbols per word = delimiter count / 2 (each symbol carries two)
+    toks = (F.length("seg") - F.length(F.translate("seg", "|", ""))) / 2
     return (
         seg.groupBy(id_col)
         .agg(

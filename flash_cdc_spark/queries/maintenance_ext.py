@@ -197,3 +197,57 @@ def q_quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in orders_checks[1:] + [orphan_orders, orphan_lineitem, li_range, ev_ts]:
         out = out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------
+# Column profiler (r6): the ANALYZE-style per-column statistics pass
+# ---------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "q_quality_column_profile",
+    oracle="\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS column_name,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT)   AS n_distinct,
+           CAST(min({c}) AS VARCHAR)             AS min_value,
+           CAST(max({c}) AS VARCHAR)             AS max_value
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiler (r6): per-column null count,
+    EXACT distinct count, and min/max (string-rendered so heterogeneous
+    column types share one result schema) — the data-quality census
+    every ingest pipeline runs before trusting a new table drop.
+    Spark shape: ONE scan — all 5×4 statistics fold into a single
+    ``agg`` (multiple count-distincts plan as one Expand + one shuffle,
+    the standard multi-distinct strategy), then the wide row unpivots
+    to the per-column layout with ``stack`` (driver-free, constant
+    rows). The oracle computes each column's branch independently —
+    5 scans on the oracle side, irrelevant at oracle scale. At 100 TB:
+    exact distinct is the one deliberately expensive statistic (the
+    Expand multiplies the shuffle by #distinct-columns); the sketch
+    variant (`approx_count_distinct`, HLL++) is the drop-in when ±2%
+    suffices — `q_events_sketches` demonstrates it; this query is the
+    exact-audit form."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )

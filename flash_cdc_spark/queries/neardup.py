@@ -684,6 +684,71 @@ def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64_candidate_pairs(sig, max_hamming=3)
 
 
+@query(
+    "q_multimodal_audiohash_neardup",
+    oracle=f"""
+    WITH probe AS (
+        SELECT d.doc_id, i.i,
+               (i.i * {MM.WAV_N_SAMPLES}) // 65 AS k
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(65)) AS i) i
+    ),
+    s AS (
+        SELECT doc_id, i,
+               (1 + (doc_id // {MM.AUDIO_GROUPS}) % 3)
+                   * (((doc_id % {MM.AUDIO_GROUPS} + 3) * k * k
+                       + 7 * (doc_id % {MM.AUDIO_GROUPS}) * k) % 2048 - 1024)
+               + ((doc_id // {MM.AUDIO_GROUPS}) % 5) * 100
+               + CASE WHEN (doc_id // {MM.AUDIO_GROUPS}) % 4 = 3 AND k = 3
+                      THEN 5000 ELSE 0 END AS v
+        FROM probe
+    ),
+    bits AS (
+        SELECT l.doc_id, l.i AS b,
+               CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS bit
+        FROM s l JOIN s r ON l.doc_id = r.doc_id AND r.i = l.i + 1
+        WHERE l.i < 64
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b >= 32
+                             THEN bit * (1::BIGINT << (b - 32))
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN b < 32
+                             THEN bit * (1::BIGINT << b)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hi, b.hi))
+                + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def q_multimodal_audiohash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via delta-sign perceptual hash (r6 — the 1-D
+    sibling of `q_multimodal_dhash_neardup`): one WAV clip per document
+    from the grouped synthesizer (same-group clips share a waveform
+    pattern but differ by positive GAIN and DC OFFSET — the volume/bias
+    transforms a re-encoded copy carries — and every fourth variant has
+    a one-sample click), hashed from the REAL RIFF decode path inside
+    ``mapInPandas`` (`operators/multimodal.py:audiohash_wav`: parse →
+    65 nearest-sample probes → delta-sign bits), paired via the SAME
+    `simhash64_candidate_pairs` Hamming banding as text SimHash and
+    image dHash — one banding implementation now serves three
+    modalities. Gain/offset variants land at Hamming 0 (delta signs
+    unchanged under positive affine maps), clicked variants at ≤ 2,
+    cross-group far. The oracle recomputes every bit from the
+    closed-form sample formula and brute-forces pairs. Same 100 TB
+    shape as the image path: constant per-clip hash work, linear
+    banding shuffle, never all-pairs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    clips = d.withColumn("media", MM.synth_wav_grouped_udf()(F.col("doc_id")))
+    sig = MM.audiohash_features(clips, "media")
+    return simhash64_candidate_pairs(sig, max_hamming=3)
+
+
 _PGM_HEADER_LEN = len(f"P5\n{MM.PGM_WIDTH} {MM.PGM_HEIGHT}\n255\n")
 
 @query(

@@ -45,13 +45,13 @@ _BPE_K = 20
     ),
     seg AS (
         SELECT doc_id, length(w) AS n_chars,
-               '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS seg,
+               regexp_replace(w, '(.)', '|\\1|', 'g') AS seg,
                0 AS step
         FROM words
         UNION ALL
         SELECT s.doc_id, s.n_chars,
                replace(s.seg,
-                       '|' || substr(m.pair, 1, 1) || '|'
+                       '|' || substr(m.pair, 1, 1) || '||'
                            || substr(m.pair, 2, 1) || '|',
                        '|' || m.pair || '|'),
                s.step + 1
@@ -59,7 +59,7 @@ _BPE_K = 20
     ),
     counted AS (
         SELECT doc_id, n_chars,
-               length(seg) - length(replace(seg, '|', '')) - 1 AS toks
+               (length(seg) - length(replace(seg, '|', ''))) / 2 AS toks
         FROM seg WHERE step = {_BPE_K}
     )
     SELECT doc_id,
@@ -91,3 +91,87 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges = TOK.learn_first_merges(d, k=_BPE_K, cache_key=sf_dir)
     return TOK.bpe_token_counts(d, merges)
+
+
+_BPE_ROUNDS = 12
+
+
+def _rounds_oracle(rounds: int) -> str:
+    """Unrolled sequential-BPE oracle: stage r segments with merges
+    1..r-1 (scalar-subquery replace), counts adjacent SYMBOL pairs,
+    and takes the top pair — the same per-round corpus aggregate the
+    Spark trainer runs, written out ``rounds`` times (the unrolled-CTE
+    device the logreg/PageRank oracles use for iterative algorithms).
+    Stage CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and each
+    stage references its predecessor twice (segmenter + pair counter),
+    so un-materialized unrolling re-evaluates s0 2^rounds times —
+    observed as a too-many-open-files parquet storm."""
+    ctes = [
+        """s0 AS MATERIALIZED (
+        SELECT regexp_replace(w.w, '(.)', '|\\1|', 'g') AS seg
+        FROM documents d, unnest(string_split(lower(d.text), ' ')) AS w(w)
+        WHERE regexp_matches(w.w, '^[a-z0-9]+$')
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS (
+        SELECT u.pair, count(*) AS c
+        FROM (SELECT list_filter(string_split(seg, '|'), x -> x <> '') AS syms
+              FROM s{r - 1}) t,
+             unnest(list_transform(range(len(t.syms) - 1),
+                    i -> t.syms[CAST(i + 1 AS INT)] || '|'
+                         || t.syms[CAST(i + 2 AS INT)])) AS u(pair)
+        GROUP BY u.pair
+    )""")
+        ctes.append(f"""m{r} AS MATERIALIZED (
+        SELECT string_split(pair, '|')[1] AS l,
+               string_split(pair, '|')[2] AS r,
+               c
+        FROM p{r} ORDER BY c DESC, pair LIMIT 1
+    )""")
+        if r < rounds:
+            ctes.append(f"""s{r} AS MATERIALIZED (
+        SELECT replace(seg,
+                       '|' || (SELECT l FROM m{r}) || '||'
+                           || (SELECT r FROM m{r}) || '|',
+                       '|' || (SELECT l FROM m{r})
+                           || (SELECT r FROM m{r}) || '|') AS seg
+        FROM s{r - 1}
+    )""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, "
+        f"CAST(c AS BIGINT) AS n_occurrences FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@query("q_text_bpe_train_rounds", oracle=_rounds_oracle(_BPE_ROUNDS))
+def q_text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL sequential BPE training (r6): unlike the one-shot
+    first-round ranking (`q_text_bpe_merge_candidates`), merge r+1 is
+    counted over the corpus segmented by merges 1..r — so later merges
+    pair earlier merges' multi-character outputs (on this corpus,
+    merge 12 is ('c','an'), consuming merge 11's 'an': genuine BPE,
+    observable in the driver-compared result). Each round is one
+    segment-and-count corpus aggregate (chained codegen'd `replace` +
+    one partial-aggregatable groupBy over adjacent symbol pairs) and a
+    1-row collect; the learned table is `rounds` rows, memoized per
+    corpus (`operators/tokenize.py:learn_bpe_rounds`). The oracle
+    unrolls the same twelve stages as CTEs with scalar-subquery merge
+    application — wrong tie-breaking, a false cross-boundary match, or
+    a stale segmentation all mismatch. At 100 TB: rounds sequential
+    linear scans (vocabulary builders run exactly this, sampled);
+    aggregate state is bounded by the live symbol-pair vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    learned = TOK.learn_bpe_rounds(d, rounds=_BPE_ROUNDS, cache_key=sf_dir)
+    rows = [
+        (i + 1, left, right, left + right, int(c))
+        for i, (left, right, c) in enumerate(learned)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, n_occurrences bigint",
+    )

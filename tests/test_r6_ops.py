@@ -101,20 +101,21 @@ def _segment(spark, word: str, merges: list[str]) -> str:
 def test_bpe_greedy_left_to_right(spark):
     """SQL replace's non-overlapping left-to-right scan IS greedy BPE:
     'aaa' + merge 'aa' merges the LEFT pair."""
-    assert _segment(spark, "aaa", ["aa"]) == "|aa|a|"
+    assert _segment(spark, "aaaa", ["aa"]) == "|aa||aa|"  # back-to-back
+    assert _segment(spark, "aaa", ["aa"]) == "|aa||a|"
 
 
 def test_bpe_rank_order_applies_first_merge_first(spark):
     # 'bc' ranks above 'ab': after |a|bc|, 'ab' can no longer match
-    assert _segment(spark, "abc", ["bc", "ab"]) == "|a|bc|"
+    assert _segment(spark, "abc", ["bc", "ab"]) == "|a||bc|"
     # reversed ranks: 'ab' consumes b first
-    assert _segment(spark, "abc", ["ab", "bc"]) == "|ab|c|"
+    assert _segment(spark, "abc", ["ab", "bc"]) == "|ab||c|"
 
 
 def test_bpe_no_false_match_across_symbol_boundary(spark):
     """After 'xa' merges, the multi-char symbol's trailing 'a' must not
     pair with the following 'b' — the wrapping delimiters prevent it."""
-    assert _segment(spark, "xab", ["xa", "ab"]) == "|xa|b|"
+    assert _segment(spark, "xab", ["xa", "ab"]) == "|xa||b|"
 
 
 def test_bpe_token_counts_shape(spark):
@@ -184,3 +185,102 @@ def test_canonicalize_url_idempotent(spark):
     twice = once.select(canonicalize_url(F.col("c")).alias("c2"), "c")
     for r in twice.collect():
         assert r["c2"] == r["c"]
+
+
+# --- audio perceptual hash -------------------------------------------
+
+
+def _wav(samples: list[int]) -> bytes:
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _quad_wave(g: int, gain: int = 1, off: int = 0, n: int = 256) -> list[int]:
+    return [
+        gain * (((g + 3) * k * k + 7 * g * k) % 2048 - 1024) + off
+        for k in range(n)
+    ]
+
+
+def test_audiohash_gain_and_offset_invariance():
+    """Delta signs are invariant under positive affine maps — the
+    volume/DC-bias transforms a re-encoded copy carries."""
+    from flash_cdc_spark.operators.multimodal import audiohash_wav
+
+    for g in (0, 7, 19):
+        base = audiohash_wav(_wav(_quad_wave(g)))
+        for gain, off in ((2, 0), (3, 400), (1, 100)):
+            assert audiohash_wav(_wav(_quad_wave(g, gain, off))) == base
+
+
+def test_audiohash_negative_gain_is_not_a_dup():
+    """A polarity-inverted copy flips every non-equal delta — far in
+    Hamming, exactly as a perceptual hash should treat it."""
+    from flash_cdc_spark.operators.multimodal import audiohash_wav
+
+    a = audiohash_wav(_wav(_quad_wave(5)))
+    b = audiohash_wav(_wav([-s for s in _quad_wave(5)]))
+    assert _hamming(a, b) > 20
+
+
+def test_audiohash_click_is_near_not_exact():
+    from flash_cdc_spark.operators.multimodal import audiohash_wav
+
+    dists = []
+    for g in range(20):
+        clean = _quad_wave(g)
+        clicked = list(clean)
+        clicked[3] += 5000  # k=3 is probe 1 of the 65-point sampling
+        dists.append(
+            _hamming(audiohash_wav(_wav(clean)), audiohash_wav(_wav(clicked)))
+        )
+    assert max(dists) <= 2
+    assert max(dists) >= 1
+
+
+def test_audiohash_groups_differ():
+    from flash_cdc_spark.operators.multimodal import audiohash_wav
+
+    hashes = {audiohash_wav(_wav(_quad_wave(g))) for g in range(10)}
+    assert len(hashes) == 10
+
+
+# --- multi-round BPE -------------------------------------------------
+
+
+def test_bpe_rounds_are_sequential_not_first_round(spark):
+    """Merge r+1 is counted over the corpus segmented by merges 1..r:
+    after 'aa' merges, word 'aaaa' contributes the SYMBOL pair
+    ('aa','aa') — a pair that does not exist in first-round (character
+    pair) space at all."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id bigint, text string"
+    )
+    learned = TOK.learn_bpe_rounds(docs, rounds=2)
+    assert learned[0][:2] == ("a", "a")
+    assert learned[1][:2] == ("aa", "aa")  # multi-char pair, round 2 only
+
+
+def test_bpe_rounds_tie_break_deterministic(spark):
+    # 'ab' and 'cd' both occur once; pair-string ascending wins
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id bigint, text string")
+    learned = TOK.learn_bpe_rounds(docs, rounds=1)
+    assert learned[0][:2] == ("a", "b")
+
+
+def test_bpe_segment_multichar_merges(spark):
+    # tuple merges with multi-char sides apply like any other
+    assert _segment(spark, "aaaa", [("a", "a"), ("aa", "aa")]) == "|aaaa|"
