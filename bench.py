@@ -123,6 +123,10 @@ HEADLINE = [
     "q_text_bpe_train_rounds",
     "q_multimodal_audiohash_neardup",
     "q_quality_column_profile",
+    # r6 third wave
+    "q_multimodal_video_neardup",
+    "q_text_langid_profile",
+    "q_train_sequence_packing",
 ]
 
 

@@ -54,6 +54,11 @@ __all__ = [
     "audiohash_wav",
     "audiohash_features",
     "AUDIO_GROUPS",
+    "parse_pgm_stream",
+    "synth_video_udf",
+    "video_frame_hashes",
+    "VIDEO_FRAMES",
+    "VIDEO_GROUPS",
     "synth_wav_udf",
     "parse_wav",
     "decode_wav_features",
@@ -633,5 +638,118 @@ def audiohash_features(
                 hi, lo = audiohash_wav(bytes(blob))
                 rows.append((int(did), hi, lo))
             yield pd.DataFrame(rows, columns=[id_col, "sim_hi", "sim_lo"])
+
+    return df.select(id_col, binary_col).mapInPandas(_hash, schema=out_schema)
+
+
+# --- Video: frame stream decode + per-frame perceptual hash (r6) ------
+# A "video" here is a raw concatenated-PGM frame stream (the honest
+# codec-free container — y4m's simpler cousin; a real decoder yields
+# the same per-frame byte payloads). The content-ID shape: hash every
+# (sampled) frame with the image dHash, then two videos' similarity is
+# the OVERLAP of their frame-hash sets — an exact equi-join on the
+# hash, never pairwise frame comparison.
+
+VIDEO_FRAMES = 4
+VIDEO_GROUPS = 25
+
+
+def parse_pgm_stream(blob: bytes) -> list[bytes]:
+    """Split a concatenated-PGM stream into single-frame PGM blobs by
+    really parsing each header (the same whitespace/comment grammar as
+    :func:`parse_pgm`) to find where each raster ends."""
+    frames, pos = [], 0
+    while pos < len(blob):
+        if blob[pos : pos + 2] != b"P5":
+            raise ValueError("frame boundary is not a P5 header")
+        start, p, tokens = pos, pos + 2, []
+        while len(tokens) < 3:
+            while p < len(blob) and blob[p : p + 1].isspace():
+                p += 1
+            if blob[p : p + 1] == b"#":
+                while p < len(blob) and blob[p] not in (0x0A, 0x0D):
+                    p += 1
+                continue
+            t0 = p
+            while p < len(blob) and not blob[p : p + 1].isspace():
+                p += 1
+            tokens.append(int(blob[t0:p]))
+        p += 1  # single whitespace byte before raster
+        w, h, _maxval = tokens
+        end = p + w * h
+        if end > len(blob):
+            raise ValueError("truncated frame raster")
+        frames.append(blob[start:end])
+        pos = end
+    return frames
+
+
+def synth_video_udf(
+    width: int = PGM_WIDTH,
+    height: int = PGM_HEIGHT,
+    n_frames: int = VIDEO_FRAMES,
+    groups: int = VIDEO_GROUPS,
+):
+    """Grouped video synthesizer: videos in a group share frames 0..2
+    (group-quadratic patterns, frame index folded into the xy
+    coefficient) up to a per-video brightness offset — which the
+    per-frame dHash erases — while ODD variants replace the LAST frame
+    with a video-unique pattern. So same-group pairs share 3 or 4
+    frame hashes and cross-group pairs share none; the overlap
+    threshold (≥ 3) finds re-encodes and re-edits that differ in one
+    frame, the content-ID contract."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_id: pd.Series) -> pd.Series:
+        def frame_px(did: int, f: int) -> bytes:
+            g, variant = did % groups, did // groups
+            off = variant % 15
+            if f == n_frames - 1 and variant % 2 == 1:
+                return bytes(
+                    ((did % 97 + 5) * (x * x + y * y) + 3 * x * y) % 241 + off
+                    for y in range(height)
+                    for x in range(width)
+                )
+            return bytes(
+                ((g + 2) * (x * x + 3 * y * y) + (7 * g + 1 + f) * x * y)
+                % 241 + off
+                for y in range(height)
+                for x in range(width)
+            )
+
+        def mk(did: int) -> bytes:
+            did = int(did)
+            hdr = f"P5\n{width} {height}\n255\n".encode()
+            return b"".join(
+                hdr + frame_px(did, f) for f in range(n_frames)
+            )
+
+        return doc_id.map(mk)
+
+    return _synth
+
+
+def video_frame_hashes(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame dHash of a concatenated-PGM video via ``mapInPandas``:
+    one output row per (video, frame) with the image-dHash halves.
+    Frame explosion happens executor-side inside the Arrow batch — a
+    long video fans out to many rows without the blob ever moving.
+    A real pipeline samples frames (every Nth / keyframes) before
+    hashing; the fixture's 4-frame clips hash every frame."""
+    out_schema = f"{id_col} bigint, frame_idx int, sim_hi bigint, sim_lo bigint"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                for f, frame in enumerate(parse_pgm_stream(bytes(blob))):
+                    hi, lo = dhash_pgm(frame)
+                    rows.append((int(did), f, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "sim_hi", "sim_lo"]
+            )
 
     return df.select(id_col, binary_col).mapInPandas(_hash, schema=out_schema)

@@ -749,6 +749,95 @@ def q_multimodal_audiohash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     return simhash64_candidate_pairs(sig, max_hamming=3)
 
 
+@query(
+    "q_multimodal_video_neardup",
+    oracle=f"""
+    WITH grid AS (
+        SELECT d.doc_id, f.f, gx.gx, gy.gy,
+               (gx.gx * {MM.PGM_WIDTH}) // 9 AS sx,
+               (gy.gy * {MM.PGM_HEIGHT}) // 8 AS sy
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range({MM.VIDEO_FRAMES})) AS f) f
+        CROSS JOIN (SELECT unnest(range(9)) AS gx) gx
+        CROSS JOIN (SELECT unnest(range(8)) AS gy) gy
+    ),
+    px AS (
+        SELECT doc_id, f, gx, gy,
+               CASE WHEN f = {MM.VIDEO_FRAMES - 1}
+                         AND (doc_id // {MM.VIDEO_GROUPS}) % 2 = 1
+                    THEN ((doc_id % 97 + 5) * (sx * sx + sy * sy)
+                          + 3 * sx * sy) % 241
+                    ELSE ((doc_id % {MM.VIDEO_GROUPS} + 2)
+                              * (sx * sx + 3 * sy * sy)
+                          + (7 * (doc_id % {MM.VIDEO_GROUPS}) + 1 + f)
+                              * sx * sy) % 241
+               END + (doc_id // {MM.VIDEO_GROUPS}) % 15 AS p
+        FROM grid
+    ),
+    bits AS (
+        SELECT l.doc_id, l.f, l.gy * 8 + l.gx AS b,
+               CASE WHEN l.p > r.p THEN 1 ELSE 0 END AS bit
+        FROM px l
+        JOIN px r ON l.doc_id = r.doc_id AND l.f = r.f
+                 AND l.gy = r.gy AND r.gx = l.gx + 1
+        WHERE l.gx < 8
+    ),
+    sig AS (
+        SELECT doc_id, f,
+               CAST(sum(CASE WHEN b >= 32
+                             THEN bit * (1::BIGINT << (b - 32))
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN b < 32
+                             THEN bit * (1::BIGINT << b)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id, f
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(DISTINCT CAST(a.hi AS VARCHAR) || ':'
+                               || CAST(a.lo AS VARCHAR)) AS INT) AS n_shared
+    FROM sig a JOIN sig b ON a.hi = b.hi AND a.lo = b.lo
+                         AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(DISTINCT CAST(a.hi AS VARCHAR) || ':'
+                          || CAST(a.lo AS VARCHAR)) >= 3
+    """,
+)
+def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by frame-hash overlap (r6 — the content-ID
+    shape, completing the modality set: text SimHash, image dHash,
+    audio delta-sign, now video): each document's 4-frame
+    concatenated-PGM clip is REALLY parsed frame by frame
+    (`operators/multimodal.py:parse_pgm_stream` — per-frame header
+    grammar, not fixed offsets), every frame gets the image dHash, and
+    two videos match when their frame-hash SETS overlap in ≥ 3 hashes
+    — one exact equi-join on the 64-bit hash + one pair aggregate,
+    never pairwise frame comparison. The fixture: same-group videos
+    share 3 frames up to per-video brightness (erased by dHash) with
+    odd variants re-editing the last frame, so re-encodes AND
+    one-frame re-edits both land ≥ 3 while cross-group pairs share
+    nothing. The oracle recomputes every frame hash closed-form. At
+    100 TB: frames explode executor-side inside the Arrow batch
+    (sample every Nth frame for long videos), the hash join is a
+    linear shuffle on the 64-bit key, and the pair aggregate touches
+    only videos that actually share a frame."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = d.withColumn("media", MM.synth_video_udf()(F.col("doc_id")))
+    sig = MM.video_frame_hashes(vids, "media")
+    a = sig.select(F.col("doc_id").alias("doc_a"), "sim_hi", "sim_lo")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "sim_hi", "sim_lo")
+    return (
+        a.join(b, ["sim_hi", "sim_lo"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.countDistinct(F.concat_ws(":", "sim_hi", "sim_lo"))
+            .cast("int")
+            .alias("n_shared")
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
 _PGM_HEADER_LEN = len(f"P5\n{MM.PGM_WIDTH} {MM.PGM_HEIGHT}\n255\n")
 
 @query(

@@ -10,7 +10,8 @@ use learned-tokenizer counts instead of the whitespace approximation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators import tokenize as TOK
 from flash_cdc_spark.queries import query
@@ -174,4 +175,124 @@ def q_text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, n_occurrences bigint",
+    )
+
+
+# ---------------------------------------------------------------------
+# Training-sequence packing (r6): concat-and-chunk with a scalable
+# two-phase running sum
+# ---------------------------------------------------------------------
+
+_CTX = 512
+_PACK_BUCKET = 100  # doc_ids per cumsum bucket
+
+
+@query(
+    "q_train_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               w -> regexp_matches(w, '{TOK.WORD_RE}')))
+                   AS n_tokens
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                    AS BIGINT) AS start_tok,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id)
+                    AS BIGINT) AS end_tok
+        FROM toks WHERE n_tokens > 0
+    ),
+    spans AS (
+        SELECT doc_id, start_tok, end_tok,
+               unnest(range(start_tok // {_CTX},
+                            (end_tok - 1) // {_CTX} + 1)) AS chunk_id
+        FROM pos
+    )
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN start_tok < chunk_id * {_CTX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_carried_in,
+           CAST(sum(LEAST(end_tok, (chunk_id + 1) * {_CTX})
+                    - GREATEST(start_tok, chunk_id * {_CTX}))
+                AS BIGINT) AS fill_tokens
+    FROM spans GROUP BY chunk_id
+    """,
+)
+def q_train_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (r6): the GPT-style concat-and-chunk
+    pass — documents are concatenated in deterministic (doc_id) order
+    and cut into fixed {_CTX}-token context windows; the output is the
+    per-chunk packing census (docs touching the chunk, docs carried in
+    across the left boundary, fill — {_CTX} everywhere but the tail),
+    the table a data loader needs to locate every document span.
+
+    The scale point is the RUNNING SUM: a naive
+    ``Window.orderBy(doc_id)`` is a single-partition sort — the
+    classic global-cumsum scale killer. This implements the two-phase
+    form instead: within-bucket cumulative sums partitioned by
+    ``doc_id div {_PACK_BUCKET}`` (parallel), bucket totals rolled into
+    per-bucket offsets on the tiny bucket relation (bounded rows),
+    offsets broadcast back. Identical result, no global sort of the
+    data. The chunk explode is bounded by each doc's own span length.
+    The oracle uses the plain windowed cumsum — fine at oracle scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), " "),
+                    lambda w: w.rlike(TOK.WORD_RE),
+                )
+            ).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("bucket", F.expr(f"doc_id div {_PACK_BUCKET}"))
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = toks.withColumn("within_end", F.sum("n_tokens").over(wb))
+    btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    wo = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = btot.withColumn(
+        "offset", F.sum("btot").over(wo) - F.col("btot")
+    ).select("bucket", "offset")
+    pos = within.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("within_end") + F.col("offset") - F.col("n_tokens")).alias(
+            "start_tok"
+        ),
+        (F.col("within_end") + F.col("offset")).alias("end_tok"),
+    )
+    spans = pos.select(
+        "start_tok",
+        "end_tok",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_tok div {_CTX}"),
+                F.expr(f"(end_tok - 1) div {_CTX}"),
+            )
+        ).alias("chunk_id"),
+    )
+    c0 = F.col("chunk_id") * _CTX
+    return spans.groupBy(F.col("chunk_id").cast("bigint").alias("chunk_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("start_tok") < c0).cast("int"))
+        .cast("bigint")
+        .alias("n_carried_in"),
+        F.sum(
+            F.least(F.col("end_tok"), c0 + _CTX)
+            - F.greatest(F.col("start_tok"), c0)
+        )
+        .cast("bigint")
+        .alias("fill_tokens"),
     )

@@ -284,3 +284,96 @@ def test_bpe_rounds_tie_break_deterministic(spark):
 def test_bpe_segment_multichar_merges(spark):
     # tuple merges with multi-char sides apply like any other
     assert _segment(spark, "aaaa", [("a", "a"), ("aa", "aa")]) == "|aaaa|"
+
+
+# --- video frame stream ----------------------------------------------
+
+
+def test_parse_pgm_stream_roundtrip():
+    from flash_cdc_spark.operators.multimodal import parse_pgm, parse_pgm_stream
+
+    f1 = _pgm(4, 3, list(range(12)))
+    f2 = _pgm(2, 2, [9, 8, 7, 6])
+    frames = parse_pgm_stream(f1 + f2 + f1)
+    assert len(frames) == 3
+    assert frames[0] == f1 and frames[1] == f2 and frames[2] == f1
+    w, h, _m, raster = parse_pgm(frames[1])
+    assert (w, h, raster) == (2, 2, bytes([9, 8, 7, 6]))
+
+
+def test_parse_pgm_stream_rejects_garbage_boundary():
+    from flash_cdc_spark.operators.multimodal import parse_pgm_stream
+
+    f1 = _pgm(2, 2, [1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        parse_pgm_stream(f1 + b"JUNK")
+
+
+def test_video_frame_hashes_rows(spark):
+    from flash_cdc_spark.operators.multimodal import (
+        VIDEO_FRAMES,
+        synth_video_udf,
+        video_frame_hashes,
+    )
+
+    d = spark.range(6).select(F.col("id").alias("doc_id"))
+    vids = d.withColumn("media", synth_video_udf()(F.col("doc_id")))
+    rows = video_frame_hashes(vids, "media").collect()
+    assert len(rows) == 6 * VIDEO_FRAMES
+    assert all(0 <= r["sim_hi"] < 2**32 and 0 <= r["sim_lo"] < 2**32 for r in rows)
+
+
+# --- two-phase cumsum (sequence packing) -----------------------------
+
+
+def test_two_phase_cumsum_equals_naive(spark, sf_dir):
+    """The packing query's bucketed running sum must equal the naive
+    single-partition windowed cumsum — same positions, no global sort."""
+    from pyspark.sql import Window
+
+    from flash_cdc_spark.queries.tokenize_ext import _PACK_BUCKET
+    from flash_cdc_spark.operators.tokenize import WORD_RE
+    from flash_cdc_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower("text"), " "), lambda w: w.rlike(WORD_RE))
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    naive = {
+        r["doc_id"]: r["e"]
+        for r in toks.withColumn(
+            "e",
+            F.sum("n").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).collect()
+    }
+    bucketed = toks.withColumn("bucket", F.expr(f"doc_id div {_PACK_BUCKET}"))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("we", F.sum("n").over(wb))
+    btot = bucketed.groupBy("bucket").agg(F.sum("n").alias("bt"))
+    wo = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = btot.withColumn("o", F.sum("bt").over(wo) - F.col("bt")).select(
+        "bucket", "o"
+    )
+    got = {
+        r["doc_id"]: r["e"]
+        for r in within.join(off, "bucket")
+        .select("doc_id", (F.col("we") + F.col("o")).alias("e"))
+        .collect()
+    }
+    assert got == naive
