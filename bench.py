@@ -127,6 +127,10 @@ HEADLINE = [
     "q_multimodal_video_neardup",
     "q_text_langid_profile",
     "q_train_sequence_packing",
+    # r6 fourth wave
+    "q_sim_ann_pq_adc_topk",
+    "q_retrieval_phrase_match",
+    "q_quality_knn_label_prop",
 ]
 
 

@@ -1,0 +1,205 @@
+"""Product quantization (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011): the compressed-domain ANN tier.
+
+The embedding space is split into ``PQ_M`` contiguous subspaces; each
+subspace gets its own k-means codebook (``PQ_K`` codes, trained with
+the SAME deterministic relational Lloyd machinery as the IVF coarse
+quantizer — :mod:`flash_cdc_spark.operators.ivf`, shared hash-sample
+and md5 seed order, 9-dp rounding each pass so both engines train
+bit-identical codebooks). A vector is then stored as ``PQ_M`` small
+integer codes — at 100 TB that is ~``PQ_M`` bytes per vector instead
+of ``dim * 4``, which is the entire point: the ANN scan reads the code
+table, never the raw vectors.
+
+Search is ADC (asymmetric distance computation): the query stays
+uncompressed; per subspace a lookup table of squared distances from
+the query's subvector to each centroid is built (``PQ_M × PQ_K`` rows
+per probe — broadcast scale), and a vector's approximate distance is
+the sum of its codes' table entries. Relationally: explode the code
+table long, one broadcast join on ``(m, code)``, one sum — the corpus
+is touched once, through its codes.
+
+Determinism: every distance rounds at 9 dp (the repo-wide device), the
+final ADC sum re-rounds at 9 dp, and ranking ties break by neighbor
+id — cross-engine float-reduction order cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.operators import ivf as IVF
+
+__all__ = [
+    "PQ_M",
+    "PQ_K",
+    "PQ_ITERS",
+    "train_codebooks",
+    "encode",
+    "adc_lut",
+    "pq_cte",
+]
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codes per subspace
+PQ_ITERS = 2  # Lloyd refinement passes (same as IVF)
+
+
+def _sub(v_col: str | Column, m: int, sub_dim: int) -> Column:
+    col = F.col(v_col) if isinstance(v_col, str) else v_col
+    return F.slice(col, m * sub_dim + 1, sub_dim)
+
+
+def train_codebooks(
+    vecs: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    v_col: str = "v",
+    cache_key: str | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train ``m`` independent subspace codebooks by running the shared
+    relational k-means on each subvector slice. Seeds are the same
+    md5-ranked sample ids in every subspace (their subvectors), the
+    standard PQ setup with a deterministic twist both engines share."""
+    sub_dim = dim // m
+    books = []
+    for i in range(m):
+        sliced = vecs.select("vec_id", _sub(v_col, i, sub_dim).alias("v"))
+        books.append(
+            IVF.train_kmeans(
+                sliced,
+                k=k,
+                iters=iters,
+                cache_key=None if cache_key is None else f"{cache_key}#pq{i}",
+            )
+        )
+    return books
+
+
+def encode(
+    vecs: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+    v_col: str = "v",
+) -> DataFrame:
+    """One narrow pass producing the code table: ``(vec_id, m, code)``
+    long-form — the compact representation the ADC scan reads."""
+    sub_dim = dim // len(books)
+    code_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("m"),
+                F.element_at(
+                    IVF.cells_ranked(_sub(v_col, i, sub_dim), book), 1
+                )["cell"].alias("code"),
+            )
+            for i, book in enumerate(books)
+        ]
+    )
+    return vecs.select("vec_id", F.explode(code_structs).alias("mc")).select(
+        "vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code")
+    )
+
+
+def adc_lut(
+    probes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+    id_col: str = "query_id",
+    v_col: str = "qv",
+) -> DataFrame:
+    """Per-probe ADC lookup table ``(query_id, m, code, d2)`` —
+    ``PQ_M × PQ_K`` rows per probe, built JVM-side from the driver-held
+    codebooks (the MLlib broadcast-centers shape); always broadcast."""
+    sub_dim = dim // len(books)
+    per_m = []
+    for i, book in enumerate(books):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("int").alias("code"),
+                    IVF._d2(_sub(v_col, i, sub_dim), center).alias("d2"),
+                )
+                for cid, center in book
+            ]
+        )
+        per_m.append(
+            probes.select(
+                id_col, F.lit(i).alias("m"), F.explode(entries).alias("e")
+            ).select(id_col, "m", F.col("e.code").alias("code"), F.col("e.d2").alias("d2"))
+        )
+    out = per_m[0]
+    for p in per_m[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def pq_cte(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin: unrolled per-subspace k-means chains (shared
+    ``samp``/``seeds`` CTEs, prefixed ``s{i}_…`` per subspace) ending in
+    ``codes(vec_id, m, code)`` and ``lutall(vec_id, m, code, d2)`` —
+    the latter is the full distance table whose probe slice is the ADC
+    LUT. Expects an upstream ``vecs(vec_id, v, ...)`` CTE."""
+    sub_dim = dim // m
+    parts = [
+        f"sdims AS (SELECT CAST(unnest(range({sub_dim})) AS INT) AS d)",
+        "samp AS (SELECT vec_id FROM vecs "
+        "WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) "
+        f"% {IVF._SAMPLE_MOD} = 0)",
+        "seeds AS (SELECT vec_id, cell FROM ("
+        "SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        "vec_id) - 1 AS cell FROM samp"
+        f") WHERE cell < {k})",
+    ]
+    for i in range(m):
+        p = f"s{i}_"
+        parts.append(
+            f"{p}comp AS (SELECT vec_id, d, v[d + {i * sub_dim} + 1] AS x "
+            "FROM vecs CROSS JOIN sdims)"
+        )
+        parts.append(
+            f"{p}cent0 AS (SELECT s.cell, c.d, c.x AS w FROM seeds s "
+            f"JOIN {p}comp c ON c.vec_id = s.vec_id)"
+        )
+        prev = f"{p}cent0"
+        for t in range(1, iters + 2):
+            parts.append(
+                f"{p}asg{t} AS (SELECT {p}comp.vec_id, {prev}.cell, "
+                f"round(sum(({p}comp.x - {prev}.w) * ({p}comp.x - {prev}.w)), 9) AS d2 "
+                f"FROM {p}comp JOIN {prev} ON {p}comp.d = {prev}.d "
+                f"{'WHERE ' + p + 'comp.vec_id IN (SELECT vec_id FROM samp) ' if t <= iters else ''}"
+                f"GROUP BY {p}comp.vec_id, {prev}.cell)"
+            )
+            parts.append(
+                f"{p}best{t} AS (SELECT vec_id, cell, d2, row_number() OVER ("
+                f"PARTITION BY vec_id ORDER BY d2, cell) AS ark FROM {p}asg{t})"
+            )
+            if t <= iters:
+                parts.append(
+                    f"{p}cent{t} AS (SELECT b.cell, c.d, round(avg(c.x), 9) AS w "
+                    f"FROM {p}best{t} b JOIN {p}comp c ON c.vec_id = b.vec_id "
+                    f"WHERE b.ark = 1 GROUP BY b.cell, c.d)"
+                )
+                prev = f"{p}cent{t}"
+    final = iters + 1
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS m, CAST(cell AS INT) AS code "
+        f"FROM s{i}_best{final} WHERE ark = 1"
+        for i in range(m)
+    )
+    lut_union = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS m, CAST(cell AS INT) AS code, d2 "
+        f"FROM s{i}_asg{final}"
+        for i in range(m)
+    )
+    parts.append(f"codes AS ({codes_union})")
+    parts.append(f"lutall AS ({lut_union})")
+    return ",\n    ".join(parts)

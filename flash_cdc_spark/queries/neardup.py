@@ -30,6 +30,7 @@ from flash_cdc_spark.operators.dedup import (
     tokens_col,
 )
 from flash_cdc_spark.operators import ivf as IVF
+from flash_cdc_spark.operators import pq as PQ
 from flash_cdc_spark.session import ensure_min_parallelism
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
@@ -1032,6 +1033,80 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "cell", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "q_sim_ann_pq_adc_topk",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    """
+    + PQ.pq_cte()
+    + """,
+    adc AS (
+        SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(sum(l.d2), 9) AS adc_d2
+        FROM codes c
+        JOIN lutall l ON l.m = c.m AND l.code = c.code
+        WHERE l.vec_id < 10 AND c.vec_id <> l.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rk
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, round(adc_d2, 6) AS adc_d2,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scan (r6 — Jégou et al. 2011,
+    the COMPRESSED-domain tier completing the ANN family: brute-force
+    exact → sign-LSH buckets → IVF cells → PQ codes): the 64-dim space
+    splits into 4 subspaces, each with its own 16-code k-means codebook
+    trained by the SAME deterministic relational Lloyd machinery as the
+    IVF coarse quantizer (shared hash-sample + md5 seed order, 9-dp
+    rounding per pass — both engines train bit-identical codebooks,
+    `operators/pq.py`). The corpus is then 4 small codes per vector —
+    the whole point at 100 TB: ~4 bytes/vector instead of 256, and the
+    ANN scan reads the CODE table, never the raw vectors. Search is
+    asymmetric distance computation: per probe a 4×16 lookup table of
+    subspace distances (broadcast scale), one broadcast join on
+    (m, code), one sum — approximate distance without ever touching a
+    corpus vector. The oracle re-trains all four codebooks via unrolled
+    prefixed CTE chains and re-derives codes + LUT relationally. Pairs
+    with `q_sim_ann_ivf_topk`: in production the two compose (IVF cell
+    prune, then ADC rerank within cells)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", SIM.as_double_vec("embedding").alias("v"))
+    books = PQ.train_codebooks(vecs, dim=SIM.DIM, cache_key=sf_dir)
+    codes = PQ.encode(vecs, books, dim=SIM.DIM)
+    probes = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = PQ.adc_lut(probes, books, dim=SIM.DIM)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 9).alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc_d2", 6).alias("adc_d2"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 

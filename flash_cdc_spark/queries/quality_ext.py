@@ -754,3 +754,112 @@ def q_text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicted.groupBy("true_lang", "predicted_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------
+# kNN label propagation (r6) — semi-supervised labeling over embeddings
+# ---------------------------------------------------------------------
+
+_KNN_SEEDS = 100  # vec_id < 100 are the labeled seed set
+_KNN_K = 5
+
+
+@query(
+    "q_quality_knn_label_prop",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                   AS nrm
+        FROM embeddings
+    ),
+    seeds AS (SELECT * FROM vecs WHERE vec_id < {_KNN_SEEDS}),
+    targets AS (SELECT * FROM vecs WHERE vec_id >= {_KNN_SEEDS}),
+    sims AS (
+        SELECT t.vec_id, t.label AS true_label, s.label AS seed_label,
+               round(list_dot_product(t.v, s.v) / (t.nrm * s.nrm), 6)
+                   AS cosine,
+               s.vec_id AS seed_id
+        FROM targets t CROSS JOIN seeds s
+    ),
+    nn AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, seed_id) AS rk
+            FROM sims
+        ) WHERE rk <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT vec_id, true_label, seed_label, count(*) AS n_votes
+        FROM nn GROUP BY 1, 2, 3
+    ),
+    predicted AS (
+        SELECT vec_id, true_label, seed_label AS predicted_label
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY n_votes DESC, seed_label) AS vrk
+            FROM votes
+        ) WHERE vrk = 1
+    )
+    SELECT true_label, predicted_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM predicted GROUP BY 1, 2
+    """,
+)
+def q_quality_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation (r6): semi-supervised labeling — the
+    standard way a small human-labeled quality set extends to the full
+    corpus (the kNN-classifier complement of the trained logreg filter,
+    cf. kNN-LM, Khandelwal et al. 2020): a {_KNN_SEEDS}-row labeled
+    SEED set is broadcast, every unlabeled vector scores its {_KNN_K}
+    nearest seeds by cosine (rounded 6 dp, ties by seed id), and
+    majority vote (integer counts, ties by label ascending — fully
+    deterministic) assigns the label; output is the confusion matrix
+    against the held truth. The fixture's labels are isotropic noise so
+    chance-level agreement is expected — the mechanism is the
+    deliverable and every count is value-compared. At 100 TB: the seed
+    set stays broadcast-sized by construction (it's human-labeled), the
+    corpus is touched ONCE with no shuffle on the k·n score pass, and
+    the only shuffles are the bounded per-target top-k and the
+    label-cardinality² confusion aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from flash_cdc_spark.operators import similarity as SIM
+
+    v = SIM.as_double_vec("embedding")
+    vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    seeds = vecs.filter(F.col("vec_id") < _KNN_SEEDS).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("label").alias("seed_label"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("snrm"),
+    )
+    targets = vecs.filter(F.col("vec_id") >= _KNN_SEEDS)
+    sims = targets.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "seed_label",
+        "seed_id",
+        F.round(
+            SIM.dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("snrm")), 6
+        ).alias("cosine"),
+    )
+    w_nn = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "seed_id")
+    nn = sims.withColumn("rk", F.row_number().over(w_nn)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = nn.groupBy("vec_id", "true_label", "seed_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), "seed_label"
+    )
+    predicted = (
+        votes.withColumn("vrk", F.row_number().over(w_vote))
+        .filter(F.col("vrk") == 1)
+        .select("true_label", F.col("seed_label").alias("predicted_label"))
+    )
+    return predicted.groupBy("true_label", "predicted_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )

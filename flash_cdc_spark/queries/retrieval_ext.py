@@ -369,3 +369,126 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# Positional phrase search (r6)
+# ---------------------------------------------------------------------
+
+# Fixed probe phrases (mixed lengths so the alignment generalizes past
+# bigrams; chosen from the fixture vocabulary like _QTERMS).
+_PHRASES = ("table hash", "merge group", "slow hash batch")
+
+_PHRASES_SQL = ",".join(
+    f"({i}, '{p}')" for i, p in enumerate(_PHRASES)
+)
+
+
+@query(
+    "q_retrieval_phrase_match",
+    oracle=f"""
+    WITH probes(phrase_id, phrase) AS (VALUES {_PHRASES_SQL}),
+    pwords AS (
+        SELECT phrase_id, phrase,
+               CAST(unnest(range(len(string_split(phrase, ' ')))) AS BIGINT)
+                   AS widx,
+               string_split(phrase, ' ') AS words,
+               len(string_split(phrase, ' ')) AS plen
+        FROM probes
+    ),
+    pword AS (
+        SELECT phrase_id, phrase, widx, plen,
+               words[CAST(widx + 1 AS INT)] AS word
+        FROM pwords
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    post AS (
+        SELECT doc_id, CAST(unnest(range(len(ws))) AS BIGINT) AS pos, ws
+        FROM tok
+    ),
+    postw AS (
+        SELECT doc_id, pos, ws[CAST(pos + 1 AS INT)] AS term FROM post
+    ),
+    occ AS (
+        SELECT p.phrase_id, p.phrase, t.doc_id, t.pos - p.widx AS start
+        FROM postw t JOIN pword p ON t.term = p.word
+        GROUP BY p.phrase_id, p.phrase, p.plen, t.doc_id, t.pos - p.widx
+        HAVING count(DISTINCT p.widx) = p.plen
+    ),
+    perdoc AS (
+        SELECT phrase_id, phrase, doc_id, count(*) AS n_occ
+        FROM occ GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY phrase_id
+                                     ORDER BY n_occ DESC, doc_id) AS rk
+        FROM perdoc
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS best_doc_id,
+           CAST(max(CASE WHEN rk = 1 THEN n_occ END) AS BIGINT)
+               AS best_doc_occ
+    FROM best GROUP BY phrase
+    """,
+)
+def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index (r6 —
+    extends the lexical retrieval tier past bag-of-words BM25): the
+    postings carry token POSITIONS, and a phrase of any length matches
+    by the alignment trick — each posting matching word ``i`` of a
+    phrase votes for candidate start ``pos - i``; a start collecting
+    all ``len`` distinct word-index votes is an occurrence. That is ONE
+    broadcast join (postings × tiny phrase-word table, prefiltered to
+    probe words) + ONE aggregate keyed (phrase, doc, start) — no k-way
+    self-join chain, no per-phrase-length plan. Output: per-phrase doc
+    frequency, total occurrences, and the top document (ties by
+    doc_id); every measure is an integer, so no cross-engine float
+    hazard. At 100 TB: the join prunes postings to probe words at the
+    scan (predicate pushdown on term), the vote aggregate shuffles only
+    matching postings, and nothing global-sorts."""
+    d = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [
+            (i, p, wi, w, len(p.split(" ")))
+            for i, p in enumerate(_PHRASES)
+            for wi, w in enumerate(p.split(" "))
+        ],
+        "phrase_id int, phrase string, widx int, word string, plen int",
+    )
+    probe_words = sorted({w for p in _PHRASES for w in p.split(" ")})
+    postings = (
+        d.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "term"))
+        .filter(F.col("term").isin(probe_words))
+    )
+    occ = (
+        postings.join(F.broadcast(phrases), F.col("term") == F.col("word"))
+        .groupBy(
+            "phrase_id",
+            "phrase",
+            "plen",
+            "doc_id",
+            (F.col("pos") - F.col("widx")).alias("start"),
+        )
+        .agg(F.countDistinct("widx").alias("votes"))
+        .filter(F.col("votes") == F.col("plen"))
+    )
+    perdoc = occ.groupBy("phrase_id", "phrase", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    w_best = Window.partitionBy("phrase_id").orderBy(
+        F.col("n_occ").desc(), "doc_id"
+    )
+    best = perdoc.withColumn("rk", F.row_number().over(w_best))
+    return best.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("best_doc_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_occ")))
+        .cast("bigint")
+        .alias("best_doc_occ"),
+    )

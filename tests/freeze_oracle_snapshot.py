@@ -63,13 +63,28 @@ def oracle_fingerprint(con, sql: str) -> dict:
     return {"rows": len(rows), "cols": cols_sorted, "value_hash": digest}
 
 
-def build_snapshot(sf: str) -> dict:
+def build_snapshot(sf: str, only: list[str] | None = None) -> dict:
+    """Full rebuild, or — with ``only`` — recompute just those names
+    and merge into the existing snapshot (the add-a-query fast path;
+    untouched entries stay bit-identical, which is the point of the
+    snapshot). Unknown names in ``only`` raise."""
     from flash_cdc_spark.queries import ORACLE
 
     sf_dir = f"/root/testdata/sf{sf}"
     con = deterministic_duck(sf_dir)
-    out = {}
-    for name in sorted(ORACLE):
+    if only:
+        missing = [n for n in only if n not in ORACLE]
+        if missing:
+            raise SystemExit(f"--only names not registered: {missing}")
+        with open(snapshot_path(sf), encoding="utf-8") as fh:
+            out = json.load(fh)
+        # drop entries for queries that no longer register an oracle
+        out = {n: v for n, v in out.items() if n in ORACLE}
+        names = only
+    else:
+        out = {}
+        names = sorted(ORACLE)
+    for name in names:
         out[name] = oracle_fingerprint(con, ORACLE[name])
     con.close()
     return out
@@ -80,7 +95,10 @@ def main() -> int:
     sf = "0.001"
     if "--sf" in args:
         sf = args[args.index("--sf") + 1]
-    snap = build_snapshot(sf)
+    only = None
+    if "--only" in args:
+        only = args[args.index("--only") + 1].split(",")
+    snap = build_snapshot(sf, only=only)
     os.makedirs(SNAPSHOT_DIR, exist_ok=True)
     path = snapshot_path(sf)
     with open(path, "w", encoding="utf-8") as fh:

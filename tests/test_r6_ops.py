@@ -377,3 +377,143 @@ def test_two_phase_cumsum_equals_naive(spark, sf_dir):
         .collect()
     }
     assert got == naive
+
+
+# --- product quantization (wave 4) -----------------------------------
+
+
+def _clustered_vecs(spark, dims=16, n_clusters=6, per=30, noise=0.05):
+    import random
+
+    rng = random.Random(7)
+    anchors = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(n_clusters)]
+    rows = [
+        (c * per + i, [a + rng.gauss(0, noise) for a in anchors[c]])
+        for c in range(n_clusters)
+        for i in range(per)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_pq_encode_shape(spark):
+    from flash_cdc_spark.operators import pq as PQ
+
+    rows, vecs = _clustered_vecs(spark)
+    books = PQ.train_codebooks(vecs, dim=16, m=4, k=8, iters=2)
+    codes = PQ.encode(vecs, books, dim=16).collect()
+    assert len(codes) == len(rows) * 4
+    assert all(0 <= r["code"] < 8 and 0 <= r["m"] < 4 for r in codes)
+
+
+def test_pq_adc_recovers_cluster_neighbors(spark):
+    """On a clustered corpus, the ADC top-1 must land in the query's
+    own cluster almost always — the compressed-domain distances keep
+    cluster geometry."""
+    from flash_cdc_spark.operators import pq as PQ
+
+    rows, vecs = _clustered_vecs(spark)
+    books = PQ.train_codebooks(vecs, dim=16, m=4, k=8, iters=2)
+    codes = PQ.encode(vecs, books, dim=16)
+    probes = vecs.filter(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = PQ.adc_lut(probes, books, dim=16)
+    from pyspark.sql import Window
+
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 9).alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("ad2", "vec_id")
+    top1 = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    hits = sum(r["vec_id"] // 30 == r["query_id"] // 30 for r in top1)
+    assert hits / len(top1) >= 0.9
+
+
+# --- phrase match alignment (wave 4) ---------------------------------
+
+
+def _phrase_occurrences(spark, docs, phrase):
+    """Run the registered phrase-match pipeline shape on a local corpus."""
+    from pyspark.sql import Window
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    words = phrase.split(" ")
+    phrases = spark.createDataFrame(
+        [(0, phrase, wi, w, len(words)) for wi, w in enumerate(words)],
+        "phrase_id int, phrase string, widx int, word string, plen int",
+    )
+    postings = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).filter(F.col("term").isin(list(set(words))))
+    occ = (
+        postings.join(F.broadcast(phrases), F.col("term") == F.col("word"))
+        .groupBy("doc_id", (F.col("pos") - F.col("widx")).alias("start"), "plen")
+        .agg(F.countDistinct("widx").alias("votes"))
+        .filter(F.col("votes") == F.col("plen"))
+    )
+    return sorted((r["doc_id"], r["start"]) for r in occ.collect())
+
+
+def test_phrase_match_simple(spark):
+    docs = [(1, "x table hash y table hash"), (2, "table y hash")]
+    assert _phrase_occurrences(spark, docs, "table hash") == [(1, 1), (1, 4)]
+
+
+def test_phrase_match_overlapping_and_repeated_word(spark):
+    # "a b a b a" contains "a b a" at starts 0 and 2 (overlap allowed)
+    assert _phrase_occurrences(spark, [(1, "a b a b a")], "a b a") == [
+        (1, 0),
+        (1, 2),
+    ]
+    # repeated-word phrase "a a": distinct-widx votes, starts 0,1
+    assert _phrase_occurrences(spark, [(1, "a a a")], "a a") == [(1, 0), (1, 1)]
+
+
+def test_phrase_match_no_false_positive_across_gap(spark):
+    # words present but never adjacent -> no match
+    assert _phrase_occurrences(spark, [(1, "table x hash")], "table hash") == []
+
+
+# --- kNN label propagation (wave 4) ----------------------------------
+
+
+def test_knn_label_prop_recovers_clustered_labels(spark):
+    """With real cluster structure and one labeled seed set, the 5-NN
+    vote must recover target labels almost perfectly."""
+    from pyspark.sql import Window
+
+    rows, vecs = _clustered_vecs(spark, per=30)
+    labeled = vecs.withColumn("label", (F.col("vec_id") / 30).cast("int"))
+    seeds = labeled.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("label").alias("seed_label"),
+        F.col("v").alias("sv"),
+    )
+    targets = labeled.filter(F.col("vec_id") % 3 != 0)
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("sv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = targets.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "label", "seed_label", "seed_id", F.round(dot, 6).alias("s")
+    )
+    w_nn = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "seed_id")
+    nn = sims.withColumn("rk", F.row_number().over(w_nn)).filter(F.col("rk") <= 5)
+    votes = nn.groupBy("vec_id", "label", "seed_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_v = Window.partitionBy("vec_id").orderBy(F.col("n").desc(), "seed_label")
+    pred = votes.withColumn("vrk", F.row_number().over(w_v)).filter(
+        F.col("vrk") == 1
+    )
+    out = pred.collect()
+    acc = sum(r["label"] == r["seed_label"] for r in out) / len(out)
+    assert acc >= 0.95
