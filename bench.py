@@ -131,6 +131,10 @@ HEADLINE = [
     "q_sim_ann_pq_adc_topk",
     "q_retrieval_phrase_match",
     "q_quality_knn_label_prop",
+    # r6 fifth wave
+    "q_sim_ann_ivfadc_topk",
+    "q_text_pmi_collocations",
+    "q_maintenance_snapshot_diff",
 ]
 
 

@@ -142,23 +142,33 @@ def pq_cte(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     dim: int = 64,
+    emit_shared: bool = True,
 ) -> str:
     """DuckDB twin: unrolled per-subspace k-means chains (shared
     ``samp``/``seeds`` CTEs, prefixed ``s{i}_…`` per subspace) ending in
     ``codes(vec_id, m, code)`` and ``lutall(vec_id, m, code, d2)`` —
     the latter is the full distance table whose probe slice is the ADC
-    LUT. Expects an upstream ``vecs(vec_id, v, ...)`` CTE."""
+    LUT. Expects an upstream ``vecs(vec_id, v, ...)`` CTE.
+
+    ``emit_shared=False`` skips the ``samp``/``seeds`` CTEs for
+    composition with :func:`flash_cdc_spark.operators.ivf.kmeans_cte`
+    in the same WITH clause (both emit textually identical
+    definitions — same sample rule, and ``PQ_K == IVF_K`` — so the
+    IVF copies serve both; the IVFADC oracle relies on this)."""
     sub_dim = dim // m
     parts = [
         f"sdims AS (SELECT CAST(unnest(range({sub_dim})) AS INT) AS d)",
-        "samp AS (SELECT vec_id FROM vecs "
-        "WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) "
-        f"% {IVF._SAMPLE_MOD} = 0)",
-        "seeds AS (SELECT vec_id, cell FROM ("
-        "SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
-        "vec_id) - 1 AS cell FROM samp"
-        f") WHERE cell < {k})",
     ]
+    if emit_shared:
+        parts += [
+            "samp AS (SELECT vec_id FROM vecs "
+            "WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) "
+            f"% {IVF._SAMPLE_MOD} = 0)",
+            "seeds AS (SELECT vec_id, cell FROM ("
+            "SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+            "vec_id) - 1 AS cell FROM samp"
+            f") WHERE cell < {k})",
+        ]
     for i in range(m):
         p = f"s{i}_"
         parts.append(

@@ -440,3 +440,119 @@ def eigenvector_state(spark: SparkSession, sf_dir: str):
         )
     _PCA_STATE[sf_dir] = (mean_rows, [(r["d"], r["v"]) for r in v.collect()])
     return centered, v
+
+
+@query(
+    "q_text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    ),
+    uni AS (SELECT unnest(ws) AS w FROM toks),
+    c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+    bg AS (
+        SELECT ws[CAST(i + 1 AS INT)] AS w1, ws[CAST(i + 2 AS INT)] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(len(ws) - 1)) AS i)
+        WHERE len(ws) >= 2
+    ),
+    c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM bg GROUP BY w1, w2 HAVING count(*) >= 3
+    ),
+    lifted AS (
+        SELECT c2.w1, c2.w2, c2.c_xy, a.c AS c_x, b.c AS c_y,
+               round(CAST(c2.c_xy AS DOUBLE) * CAST(ntok.n AS DOUBLE)
+                     / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)), 9) AS lift
+        FROM c2
+        JOIN c1 a ON a.w = c2.w1
+        JOIN c1 b ON b.w = c2.w2
+        CROSS JOIN ntok
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rk
+        FROM lifted
+    )
+    SELECT w1, w2, c_xy, c_x, c_y,
+           round(lift, 6) AS lift, round(log2(lift), 4) AS pmi,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990) — the corpus-statistics complement of TF-IDF (which
+    finds per-doc salient terms) and the bigram LM (which scores docs):
+    this finds the phrase-like bigrams a tokenizer or stopword list
+    should treat as units. ``lift = P(xy) / (P(x)P(y)) =
+    c_xy * N / (c_x * c_y)``; PMI = log2(lift). Ranking uses LIFT, not
+    the log: lift is one IEEE division of exact integer-valued doubles
+    — bit-identical across engines — while log is libm-dependent, so
+    the cross-engine-fragile transform is confined to a rounded OUTPUT
+    column and can never reorder rows (the float-argmax hazard rule).
+
+    Scale shape: the model relations are vocab-bounded (c1) and
+    vocab²-bounded post-threshold (c2) — partial-aggregable groupBys
+    over one corpus token/bigram stream; the lift join is two
+    broadcast hash joins of c2 against c1 plus a broadcast scalar N.
+    The final top-20 ranks the BOUNDED c2 relation, never the corpus.
+    The c_xy >= 3 threshold is the standard collocation support floor
+    (it also keeps c2 from collecting the hapax long tail)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ws = F.split(F.col("text"), " ")
+    toks = d.select(ws.alias("ws"))
+    uni = toks.select(F.explode("ws").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ntok = c1.agg(F.sum("c").cast("bigint").alias("n"))
+    bigrams = toks.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c2 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= 3)
+    )
+    lifted = (
+        c2.join(
+            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .join(F.broadcast(ntok))
+        .withColumn(
+            "lift",
+            F.round(
+                F.col("c_xy").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double")),
+                9,
+            ),
+        )
+    )
+    w_rank = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return (
+        lifted.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round("lift", 6).alias("lift"),
+            F.round(F.log2("lift"), 4).alias("pmi"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -251,3 +251,111 @@ def q_quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+@query(
+    "q_maintenance_snapshot_diff",
+    oracle="""
+    WITH oldv AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+    ),
+    newv AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 AND o_orderstatus = 'O'
+                    THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN o_totalprice + 10.0 ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 89 = 0
+    ),
+    j AS (
+        SELECT o.o_orderkey IS NOT NULL AS in_old,
+               n.o_orderkey IS NOT NULL AS in_new,
+               CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                         AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 1 ELSE 0 END AS chg_status,
+               CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                         AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 1 ELSE 0 END AS chg_price,
+               CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                         AND o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 1 ELSE 0 END AS chg_priority
+        FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+    ),
+    typed AS (
+        SELECT CASE WHEN NOT in_old THEN 'added'
+                    WHEN NOT in_new THEN 'deleted'
+                    WHEN chg_status + chg_price + chg_priority > 0
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               chg_status, chg_price, chg_priority
+        FROM j
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT)          AS n_rows,
+           CAST(sum(chg_status) AS BIGINT)   AS n_status_changed,
+           CAST(sum(chg_price) AS BIGINT)    AS n_price_changed,
+           CAST(sum(chg_priority) AS BIGINT) AS n_priority_changed
+    FROM typed GROUP BY change_type
+    """,
+)
+def q_maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation census — the CDC audit job
+    (`operators/snapshot.py:snapshot_diff`): diff two versions of a
+    keyed table into added/deleted/changed/unchanged with per-column
+    change attribution. Here the "new" snapshot is derived
+    deterministically from orders (every 97th key deleted, every 89th
+    re-keyed in as an insert, status flips on open %7 keys, price
+    bumps on %13 keys) so both engines reconstruct the identical pair;
+    in production the two sides are yesterday's mirror and today's
+    extract — exactly the audit that verifies the engine's own
+    latest-state MERGE sink (`streaming/upsert.py`) against its
+    source. One full-outer shuffle join on the key (zero-shuffle when
+    both snapshots are bucketed by it, which a CDC mirror is),
+    null-safe column compares in codegen, one bounded census
+    aggregate. All counters are integers — no cross-engine float
+    hazard; the double price compare is exact (same parquet doubles,
+    exact +10.0 on both engines)."""
+    from flash_cdc_spark.operators.snapshot import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    updated = o.filter(k % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            (k % 7 == 0) & (F.col("o_orderstatus") == "O"), F.lit("F")
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(k % 13 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    inserted = o.filter(k % 89 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    new = updated.unionByName(inserted)
+    diff = snapshot_diff(
+        o,
+        new,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("chg_o_orderstatus").cast("bigint").alias("n_status_changed"),
+        F.sum("chg_o_totalprice").cast("bigint").alias("n_price_changed"),
+        F.sum("chg_o_orderpriority").cast("bigint").alias("n_priority_changed"),
+    )

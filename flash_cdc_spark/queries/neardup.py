@@ -1111,6 +1111,114 @@ def q_sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_ann_ivfadc_topk",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    """
+    + IVF.kmeans_cte()
+    + ",\n    "
+    + PQ.pq_cte(emit_shared=False)
+    + """,
+    assigned AS (SELECT vec_id, cell FROM best WHERE ark = 1),
+    cand AS (
+        SELECT pc.vec_id AS query_id, ca.vec_id AS neighbor_id
+        FROM best pc
+        JOIN assigned ca ON ca.cell = pc.cell
+        WHERE pc.ark <= 2 AND pc.vec_id < 10
+          AND ca.vec_id <> pc.vec_id
+    ),
+    adc AS (
+        SELECT cand.query_id, cand.neighbor_id, round(sum(l.d2), 9) AS adc_d2
+        FROM cand
+        JOIN codes c ON c.vec_id = cand.neighbor_id
+        JOIN lutall l ON l.vec_id = cand.query_id
+                     AND l.m = c.m AND l.code = c.code
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rk
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, round(adc_d2, 6) AS adc_d2,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_sim_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the production composition of the two trained index
+    tiers (Jégou et al. 2011 §IV): the IVF coarse quantizer PRUNES
+    (each probe visits its nprobe=2 nearest cells of the memoized
+    cell-partitioned layout — `PartitionFilters`, never a corpus
+    scan), and PQ/ADC RERANKS within the candidate set (distances read
+    from the 4-codes-per-vector table via the broadcast per-probe LUT
+    — no raw vector is touched after the index build). Both trained
+    states are shared memos: the SAME coarse quantizer as
+    `q_sim_ann_ivf_topk` (cache_key = corpus) and the SAME codebooks as
+    `q_sim_ann_pq_adc_topk`, which is the operational point — one
+    offline index build serves single-probe, multiprobe, ADC-flat, and
+    IVFADC search. At 100 TB the scan cost is nprobe/k of the CODE
+    table (~4 bytes/vector), the two joins are broadcast by
+    construction (probe-side relations only), and the one shuffle is
+    the (query, neighbor) ADC partial-sum aggregate over candidates.
+    The oracle composes the SAME unrolled CTE chains both single-tier
+    oracles use (`kmeans_cte` + `pq_cte(emit_shared=False)` — the
+    shared sample/seed CTEs are emitted once)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double_vec("embedding")
+    vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
+    corpus = IVF.assigned_corpus(vecs, centers, cache_key=sf_dir)
+    books = PQ.train_codebooks(vecs, dim=SIM.DIM, cache_key=sf_dir)
+    codes = PQ.encode(vecs, books, dim=SIM.DIM)
+    probes = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ranked_cells = IVF.cells_ranked(F.col("qv"), centers)
+    probe_cells = probes.select(
+        "query_id",
+        F.explode(
+            F.transform(F.slice(ranked_cells, 1, 2), lambda s: s["cell"])
+        ).alias("pcell"),
+    )
+    # IVF tier: candidate (query, neighbor) pairs from the pruned
+    # cell-partitioned layout — probe side broadcast
+    cand = (
+        corpus.join(
+            F.broadcast(probe_cells),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # ADC tier: distances via the code table + broadcast per-probe LUT
+    lut = PQ.adc_lut(probes, books, dim=SIM.DIM)
+    adc = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 9).alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_d2", 6).alias("adc_d2"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@query(
     "q_dedup_clusters",
     oracle="WITH RECURSIVE " + _DUCK_SIMHASH_SIG + """
     , sgrp AS (

@@ -517,3 +517,148 @@ def test_knn_label_prop_recovers_clustered_labels(spark):
     out = pred.collect()
     acc = sum(r["label"] == r["seed_label"] for r in out) / len(out)
     assert acc >= 0.95
+
+
+# --- snapshot diff (wave 5) -------------------------------------------
+
+
+def _diff(spark, old_rows, new_rows):
+    from flash_cdc_spark.operators.snapshot import snapshot_diff
+
+    schema = "k long, status string, price double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    out = snapshot_diff(old, new, key_cols=["k"], compare_cols=["status", "price"])
+    return {r["k"]: r.asDict() for r in out.collect()}
+
+
+def test_snapshot_diff_classification(spark):
+    got = _diff(
+        spark,
+        [(1, "O", 10.0), (2, "O", 20.0), (3, "F", 30.0)],
+        [(1, "O", 10.0), (2, "F", 20.0), (4, "O", 40.0)],
+    )
+    assert got[1]["change_type"] == "unchanged"
+    assert got[2]["change_type"] == "changed"
+    assert (got[2]["chg_status"], got[2]["chg_price"]) == (1, 0)
+    assert got[3]["change_type"] == "deleted"
+    assert got[4]["change_type"] == "added"
+    # added/deleted rows never set column flags
+    assert got[3]["chg_status"] == got[4]["chg_status"] == 0
+
+
+def test_snapshot_diff_null_safe(spark):
+    got = _diff(
+        spark,
+        [(1, None, 1.0), (2, None, 2.0)],
+        [(1, None, 1.0), (2, "X", 2.0)],
+    )
+    assert got[1]["change_type"] == "unchanged"  # null == null
+    assert got[2]["change_type"] == "changed" and got[2]["chg_status"] == 1
+
+
+def test_snapshot_diff_multi_column_change(spark):
+    got = _diff(spark, [(1, "A", 1.0)], [(1, "B", 2.0)])
+    assert got[1]["change_type"] == "changed"
+    assert (got[1]["chg_status"], got[1]["chg_price"]) == (1, 1)
+
+
+# --- PMI collocations (wave 5) ----------------------------------------
+
+
+def test_pmi_lift_prefers_glued_bigram(spark):
+    """'x y' always co-occur; 'p'/'q' appear equally often but never
+    adjacent to each other more than chance — the glued pair must rank
+    first, and its lift must be the closed-form c_xy*N/(c_x*c_y)."""
+    from pyspark.sql import Window
+
+    docs = [(i, "x y p q r" if i % 2 == 0 else "x y q p s") for i in range(12)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    ws = F.split("text", " ")
+    toks = d.select(ws.alias("ws"))
+    uni = toks.select(F.explode("ws").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = uni.count()
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    lifted = (
+        c2.join(F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))), "w1")
+        .join(F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))), "w2")
+        .withColumn(
+            "lift",
+            F.col("c_xy").cast("double") * F.lit(float(n))
+            / (F.col("c_x") * F.col("c_y")).cast("double"),
+        )
+        .collect()
+    )
+    by_pair = {(r["w1"], r["w2"]): r for r in lifted}
+    xy = by_pair[("x", "y")]
+    # closed form: c_xy=12, c_x=c_y=12, N=60 -> lift = 12*60/144 = 5.0
+    assert xy["lift"] == 5.0
+    assert all(
+        xy["lift"] >= r["lift"] for r in lifted
+    ), "glued bigram must have max lift"
+
+
+def test_pmi_query_output_contract(spark, sf_dir):
+    """Registered-query invariants: ranks contiguous from 1, lift
+    non-increasing in rank, pmi consistent with lift, support floor."""
+    import math
+
+    from flash_cdc_spark.queries.llm_ext3 import q_text_pmi_collocations
+
+    rows = sorted(
+        q_text_pmi_collocations(spark, sf_dir).collect(), key=lambda r: r["rk"]
+    )
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a["lift"] >= b["lift"] for a, b in zip(rows, rows[1:]))
+    assert all(r["c_xy"] >= 3 for r in rows)
+    for r in rows:
+        assert abs(r["pmi"] - round(math.log2(r["lift"]), 4)) < 2e-4
+
+
+# --- IVFADC composition (wave 5) --------------------------------------
+
+
+def test_ivfadc_agrees_with_flat_adc(spark, sf_dir):
+    """Where the pruned (IVFADC) and flat (PQ/ADC) searches report the
+    same (query, neighbor) pair, the ADC distance must be IDENTICAL —
+    the IVF tier prunes candidates, it must never change distances.
+    And pruning can only shrink the candidate set, so any rank-1
+    IVFADC distance is >= the flat rank-1 distance for that query."""
+    from flash_cdc_spark.queries.neardup import (
+        q_sim_ann_ivfadc_topk,
+        q_sim_ann_pq_adc_topk,
+    )
+
+    flat = {
+        (r["query_id"], r["neighbor_id"]): r["adc_d2"]
+        for r in q_sim_ann_pq_adc_topk(spark, sf_dir).collect()
+    }
+    pruned = q_sim_ann_ivfadc_topk(spark, sf_dir).collect()
+    assert len(pruned) > 0
+    shared = 0
+    for r in pruned:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in flat:
+            shared += 1
+            assert flat[key] == r["adc_d2"], key
+    assert shared > 0, "nprobe=2 should recover some flat top-3 pairs"
+    flat_best = {}
+    for (q, _), d in flat.items():
+        flat_best[q] = min(d, flat_best.get(q, float("inf")))
+    for r in pruned:
+        if r["rk"] == 1:
+            assert r["adc_d2"] >= flat_best[r["query_id"]] - 1e-9
