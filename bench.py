@@ -135,6 +135,11 @@ HEADLINE = [
     "q_sim_ann_ivfadc_topk",
     "q_text_pmi_collocations",
     "q_maintenance_snapshot_diff",
+    # r6 sixth wave
+    "q_ingest_json_quarantine",
+    "q_quality_mad_outliers",
+    "q_market_basket_pairs",
+    "q_retrieval_prf_expansion",
 ]
 
 

@@ -967,3 +967,61 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_market_basket_pairs",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM basket a JOIN basket b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY support DESC,
+                                     brand_a, brand_b) AS rk
+        FROM pairs
+    )
+    SELECT brand_a, brand_b, support, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the A-priori level-2 candidate
+    pass, Agrawal & Srikant VLDB'94): which brand pairs ship together
+    in the same order. The per-basket pair expansion is bounded by
+    basket size (TPC-H orders hold ≤ 7 lines; real carts are similarly
+    small — the itemset-mining standard assumption), so the self-join
+    on the order key is linear in orders times a small constant, never
+    corpus². Dimension lookup (part → brand) broadcasts; the support
+    census is one partial-aggregable groupBy over brand²-bounded keys;
+    the top-20 ranks that bounded relation. All-integer output."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b = basket.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        basket.withColumnRenamed("brand", "brand_a")
+        .join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("support").desc(), "brand_a", "brand_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("brand_a", "brand_b", "support", F.col("rk").cast("int").alias("rk"))
+    )

@@ -863,3 +863,90 @@ def q_quality_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicted.groupBy("true_label", "predicted_label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
     )
+
+
+@query(
+    "q_quality_mad_outliers",
+    oracle="""
+    WITH lens AS (
+        SELECT source, doc_id, CAST(length(text) AS BIGINT) AS len
+        FROM documents
+    ),
+    med AS (
+        SELECT source, CAST(quantile_disc(len, 0.5) AS BIGINT) AS med
+        FROM lens GROUP BY source
+    ),
+    devs AS (
+        SELECT l.source, l.len, m.med, abs(l.len - m.med) AS dev
+        FROM lens l JOIN med m USING (source)
+    ),
+    mad AS (
+        SELECT source, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+        FROM devs GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(max(d.med) AS BIGINT) AS med_len,
+           CAST(max(a.mad) AS BIGINT) AS mad_len,
+           CAST(sum(CASE WHEN d.dev * 10000 > 44478 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(d.dev) AS BIGINT) AS max_dev
+    FROM devs d JOIN mad a USING (source)
+    GROUP BY d.source
+    """,
+)
+def q_quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier detection by median absolute
+    deviation — the curation complement of the mean/stddev z-score
+    paths (`q_events_anomaly_zscore`, seasonal anomalies): on heavy-
+    tailed web corpora the MEAN is dragged by the very outliers being
+    hunted, while median/MAD have a 50% breakdown point (Hampel 1974;
+    the |dev| > 3·1.4826·MAD rule is the standard robust 3σ under
+    normality). The discrete median (lower-middle element, DuckDB
+    ``quantile_disc`` semantics) keeps every statistic an INTEGER, and
+    the threshold is integer cross-multiplication (dev·10000 >
+    44478·MAD) — zero float arithmetic end to end, so cross-engine
+    drift is impossible by construction.
+
+    Scale shape: two per-source rank passes (median of lengths, then
+    of deviations) — each a partition-local sort over the source's
+    docs, never global; the stats broadcast back (per-source rows).
+    At 100 TB the exact medians are the audit form; the drop-in sketch
+    is `approx_percentile` (same plan, bounded state), matching the
+    column-profiler's exact/HLL split."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").cast("bigint").alias("len")
+    )
+    w_len = Window.partitionBy("source").orderBy("len", "doc_id")
+    w_src = Window.partitionBy("source")
+    med = (
+        d.withColumn("rn", F.row_number().over(w_len))
+        .withColumn("n", F.count(F.lit(1)).over(w_src))
+        .filter(F.col("rn") == ((F.col("n") - 1) / 2).cast("bigint") + 1)
+        .select("source", F.col("len").alias("med"))
+    )
+    devs = d.join(F.broadcast(med), "source").withColumn(
+        "dev", F.abs(F.col("len") - F.col("med"))
+    )
+    w_dev = Window.partitionBy("source").orderBy("dev", "doc_id")
+    mad = (
+        devs.withColumn("rn", F.row_number().over(w_dev))
+        .withColumn("n", F.count(F.lit(1)).over(w_src))
+        .filter(F.col("rn") == ((F.col("n") - 1) / 2).cast("bigint") + 1)
+        .select("source", F.col("dev").alias("mad"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("med").cast("bigint").alias("med_len"),
+            F.max("mad").cast("bigint").alias("mad_len"),
+            F.sum(
+                F.when(F.col("dev") * 10000 > 44478 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("dev").cast("bigint").alias("max_dev"),
+        )
+    )

@@ -492,3 +492,140 @@ def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("best_doc_occ"),
     )
+
+
+# ---------------------------------------------------------------------
+# Pseudo-relevance feedback (r6, wave 6)
+# ---------------------------------------------------------------------
+
+_PRF_DOCS = 5  # pseudo-relevant set size
+_PRF_TERMS = 3  # expansion terms
+_PRF_W = 0.5  # expansion-term weight (original terms weigh 1.0)
+
+
+@query(
+    "q_retrieval_prf_expansion",
+    oracle="WITH "
+    + _DUCK_BM25
+    + f""",
+    prf AS (SELECT doc_id FROM bm WHERE rk <= {_PRF_DOCS}),
+    exp_cand AS (
+        SELECT tok.t, CAST(count(*) AS BIGINT) AS tfprf
+        FROM tok JOIN prf USING (doc_id)
+        WHERE length(tok.t) >= 4 AND tok.t NOT IN ({_QTERMS_SQL})
+        GROUP BY tok.t
+    ),
+    exp_ranked AS (
+        SELECT t, row_number() OVER (ORDER BY tfprf DESC, t) AS trk
+        FROM exp_cand
+    ),
+    terms AS (
+        SELECT unnest([{_QTERMS_SQL}]) AS t, 1.0 AS w
+        UNION ALL
+        SELECT t, {_PRF_W} AS w FROM exp_ranked WHERE trk <= {_PRF_TERMS}
+    ),
+    tf2 AS (
+        SELECT tok.doc_id, tok.t, count(*) AS tf
+        FROM tok JOIN terms ON terms.t = tok.t
+        GROUP BY tok.doc_id, tok.t
+    ),
+    idf2 AS (SELECT t, count(*) AS df FROM tf2 GROUP BY t),
+    scored2 AS (
+        SELECT f.doc_id,
+               round(sum(
+                   t.w *
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                   f.tf * ({_K1} + 1) /
+                   (f.tf + {_K1} * (1 - {_B} + {_B} * l.dl / s.avgdl))
+               ), 6) AS prf_score
+        FROM tf2 f
+        JOIN idf2 d ON d.t = f.t
+        JOIN terms t ON t.t = f.t
+        JOIN dl l ON l.doc_id = f.doc_id
+        CROSS JOIN stats s
+        GROUP BY f.doc_id
+    ),
+    ranked2 AS (
+        SELECT doc_id, prf_score,
+               row_number() OVER (ORDER BY prf_score DESC, doc_id) AS rk
+        FROM scored2
+    )
+    SELECT doc_id, prf_score, CAST(rk AS INT) AS rk
+    FROM ranked2 WHERE rk <= {_PRF_DOCS}
+    """,
+)
+def q_retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio 1971 / RM-style two-pass
+    retrieval — the classical query-expansion loop production RAG
+    stacks still run): pass 1 retrieves the BM25 top-5 as the
+    pseudo-relevant set, the top-3 non-query terms by term frequency
+    IN THAT SET (length ≥ 4, ties by term — an all-integer selection,
+    so both engines expand identically) join the query at half weight,
+    and pass 2 re-scores with the weighted BM25 sum. Everything stays
+    relational: the expansion-term relation is 3 rows (broadcast), the
+    second-pass tf prunes the token stream by a broadcast semi-join on
+    the 6-term dictionary, and both rank windows run over
+    TakeOrdered-bounded relations. The two tiny derived relations —
+    the pseudo-relevant set (5 rows) and the expansion terms (3 rows)
+    — are materialized EAGERLY (localCheckpoint), so the whole
+    first-pass ranking subtree executes once instead of re-running
+    inside every second-pass branch that references it. Scale shape:
+    each pass is bounded model aggregates + broadcast joins over the
+    token stream; no global sort anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    prf = (
+        _bm25_ranking(spark, sf_dir, top_n=_PRF_DOCS)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    exp_cand = (
+        tok.join(F.broadcast(prf), "doc_id")
+        .filter((F.length("t") >= 4) & ~F.col("t").isin(*_QTERMS))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tfprf"))
+    )
+    exp_terms = (
+        exp_cand.orderBy(F.col("tfprf").desc(), "t")
+        .limit(_PRF_TERMS)
+        .select("t", F.lit(float(_PRF_W)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    qterms = spark.createDataFrame(
+        [(t, 1.0) for t in _QTERMS], "t string, w double"
+    )
+    terms = qterms.unionByName(exp_terms)
+    tf2 = (
+        tok.join(F.broadcast(terms.select("t")), "t")
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf2 = tf2.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        tf2.join(F.broadcast(idf2), "t")
+        .join(F.broadcast(terms), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("w")
+                * F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (_K1 + 1)
+                / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("prf_score"))
+    )
+    topn = scored.orderBy(F.col("prf_score").desc(), "doc_id").limit(_PRF_DOCS)
+    w_rank = Window.orderBy(F.col("prf_score").desc(), "doc_id")
+    return topn.withColumn("rk", F.row_number().over(w_rank)).select(
+        "doc_id", "prf_score", F.col("rk").cast("int").alias("rk")
+    )

@@ -662,3 +662,128 @@ def test_ivfadc_agrees_with_flat_adc(spark, sf_dir):
     for r in pruned:
         if r["rk"] == 1:
             assert r["adc_d2"] >= flat_best[r["query_id"]] - 1e-9
+
+
+# --- JSONL quarantine (wave 6) ----------------------------------------
+
+
+def test_from_json_corrupt_record_pattern(spark):
+    """The PERMISSIVE corrupt-record contract the quarantine query
+    relies on: malformed line -> _corrupt_record holds the raw text,
+    clean line -> NULL (Spark 4 never nulls the whole struct)."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, 'CORRUPT{"k": 7}'), (3, "{bad")],
+        "i long, line string",
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            F.from_json(
+                "line",
+                "k BIGINT, _corrupt_record STRING",
+                {"columnNameOfCorruptRecord": "_corrupt_record"},
+            ).alias("j"),
+        )
+        .select("i", "j.k", "j._corrupt_record")
+        .collect()
+    }
+    assert out[1]["k"] == 7 and out[1]["_corrupt_record"] is None
+    assert out[2]["_corrupt_record"] is not None
+    assert out[3]["_corrupt_record"] is not None
+
+
+def test_ingest_quarantine_census_consistency(spark, sf_dir):
+    from flash_cdc_spark.queries.ingest_ext import q_ingest_json_quarantine
+
+    rows = q_ingest_json_quarantine(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["n_lines"] == r["n_parsed"] + r["n_quarantined"] for r in rows)
+    assert sum(r["n_quarantined"] for r in rows) > 0  # fixture non-vacuous
+    assert all(r["sum_k"] >= 0 for r in rows)
+
+
+# --- MAD outliers (wave 6) --------------------------------------------
+
+
+def test_mad_median_matches_quantile_disc_semantics(spark):
+    """The Spark rank-pick must equal DuckDB quantile_disc(0.5): the
+    LOWER middle element for even counts."""
+    from pyspark.sql import Window
+
+    for vals, want in (
+        ([1, 2, 3, 4], 2),
+        ([1, 2, 3, 4, 5], 3),
+        ([10, 20], 10),
+        ([7], 7),
+    ):
+        d = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id long, len long"
+        ).withColumn("source", F.lit("s"))
+        w_len = Window.partitionBy("source").orderBy("len", "doc_id")
+        w_src = Window.partitionBy("source")
+        got = (
+            d.withColumn("rn", F.row_number().over(w_len))
+            .withColumn("n", F.count(F.lit(1)).over(w_src))
+            .filter(F.col("rn") == ((F.col("n") - 1) / 2).cast("bigint") + 1)
+            .collect()
+        )
+        assert len(got) == 1 and got[0]["len"] == want, (vals, got)
+
+
+def test_mad_zero_mad_flags_any_deviation(spark, tmp_path):
+    """Constant corpus with one freak: MAD=0, so ANY nonzero deviation
+    is an outlier (the integer threshold handles the degenerate case
+    a float sigma would turn into a 0-division)."""
+    from flash_cdc_spark.queries.quality_ext import q_quality_mad_outliers
+
+    docs = [(i, "aaaaaaaaaa", "s") for i in range(9)] + [(9, "a" * 500, "s")]
+    spark.createDataFrame(docs, "doc_id long, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    rows = q_quality_mad_outliers(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["med_len"] == 10 and r["mad_len"] == 0
+    assert r["n_outliers"] == 1 and r["max_dev"] == 490
+
+
+# --- market basket (wave 6) -------------------------------------------
+
+
+def test_market_basket_closed_form(spark, tmp_path):
+    from flash_cdc_spark.queries.batch_ext import q_market_basket_pairs
+
+    # orders: 1:{A,B,C} 2:{A,B} 3:{A,B} 4:{C} -> AB support 3, AC 1, BC 1
+    part = [(1, "A"), (2, "B"), (3, "C")]
+    li = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1), (3, 2), (3, 2), (4, 3)]
+    spark.createDataFrame(part, "p_partkey long, p_brand string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+    rows = sorted(
+        q_market_basket_pairs(spark, str(tmp_path)).collect(), key=lambda r: r["rk"]
+    )
+    assert (rows[0]["brand_a"], rows[0]["brand_b"], rows[0]["support"]) == ("A", "B", 3)
+    by_pair = {(r["brand_a"], r["brand_b"]): r["support"] for r in rows}
+    # the duplicated (3, B) lineitem must NOT inflate support (distinct)
+    assert by_pair[("A", "C")] == 1 and by_pair[("B", "C")] == 1
+
+
+# --- PRF expansion (wave 6) -------------------------------------------
+
+
+def test_prf_expansion_contract(spark, sf_dir):
+    """Ranks contiguous, scores non-increasing and positive, and the
+    result is top-5 (the pseudo-relevant set size)."""
+    from flash_cdc_spark.queries.retrieval_ext import q_retrieval_prf_expansion
+
+    rows = sorted(
+        q_retrieval_prf_expansion(spark, sf_dir).collect(), key=lambda r: r["rk"]
+    )
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 5
+    assert all(a["prf_score"] >= b["prf_score"] for a, b in zip(rows, rows[1:]))
+    assert all(r["prf_score"] > 0 for r in rows)

@@ -407,14 +407,15 @@ def main() -> int:
     if only == "streaming":
         spark.stop()
         return 0
-    for reps in (1, 2, 4, 8):
-        r = measure(synth_corpus(spark, sf_dir, reps))
-        r["reps"] = reps
-        r["minhash_pairs_per_doc"] = round(r["minhash_pairs"] / r["n_docs"], 3)
-        r["simhash64_pairs_per_doc"] = round(r["simhash64_pairs"] / r["n_docs"], 3)
-        r["prefix_pairs_per_doc"] = round(r["prefix_pairs"] / r["n_docs"], 3)
-        r["contain_pairs_per_doc"] = round(r["contain_pairs"] / r["n_docs"], 3)
-        print(json.dumps(r), flush=True)
+    if only in (None, "dedup"):
+        for reps in (1, 2, 4, 8):
+            r = measure(synth_corpus(spark, sf_dir, reps))
+            r["reps"] = reps
+            r["minhash_pairs_per_doc"] = round(r["minhash_pairs"] / r["n_docs"], 3)
+            r["simhash64_pairs_per_doc"] = round(r["simhash64_pairs"] / r["n_docs"], 3)
+            r["prefix_pairs_per_doc"] = round(r["prefix_pairs"] / r["n_docs"], 3)
+            r["contain_pairs_per_doc"] = round(r["contain_pairs"] / r["n_docs"], 3)
+            print(json.dumps(r), flush=True)
     # model-based curation (r5): logreg classifier (train 4 GD steps +
     # score all) and DSIR weights — both end-to-end through the real
     # query code against a written corpus; the claim is linear
@@ -427,7 +428,7 @@ def main() -> int:
         q_train_dsir_weights,
     )
 
-    for reps in (1, 2, 4, 8):
+    for reps in (1, 2, 4, 8) if only in (None, "model") else ():
         docs = synth_corpus(spark, sf_dir, reps)
         d = tempfile.mkdtemp(prefix=f"modelcur_{reps}x_")
         try:
@@ -450,9 +451,44 @@ def main() -> int:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    # PQ/ADC + IVFADC (r6): end-to-end through the real query code
+    # against a written corpus. Cold = codebook/quantizer training +
+    # encode + search (the offline index build, hash-sample-bounded
+    # training); warm = search only (memoized trained state — the
+    # steady-state shape). The claim: warm search scales with the CODE
+    # table (linear, tiny constants), train with the SAMPLE.
+    from flash_cdc_spark.queries.neardup import (
+        q_sim_ann_ivfadc_topk,
+        q_sim_ann_pq_adc_topk,
+    )
+
+    for reps in (1, 2, 4, 8) if only in (None, "pq") else ():
+        vecs = synth_embeddings(spark, sf_dir, reps)
+        d = tempfile.mkdtemp(prefix=f"pqprobe_{reps}x_")
+        try:
+            vecs.withColumn("label", F.lit("probe")).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/embeddings.parquet")
+            r = {
+                "reps": reps,
+                "n_vecs": spark.read.parquet(f"{d}/embeddings.parquet").count(),
+            }
+            t0 = time.perf_counter()
+            q_sim_ann_pq_adc_topk(spark, d).count()
+            r["pq_adc_cold_sec"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            q_sim_ann_pq_adc_topk(spark, d).count()
+            r["pq_adc_warm_sec"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            q_sim_ann_ivfadc_topk(spark, d).count()
+            r["ivfadc_sec"] = round(time.perf_counter() - t0, 2)
+            print(json.dumps(r), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     # SemDeDup's within-cell stage: fixed k (the hazard) vs k grown
     # with n (the prescription — cell width ~n/k stays constant)
-    for reps in (1, 2, 4, 8):
+    for reps in (1, 2, 4, 8) if only in (None, "semdedup") else ():
         vecs = synth_embeddings(spark, sf_dir, reps)
         for k, mode in ((16, "fixed_k"), (16 * reps, "scaled_k")):
             r = measure_semdedup(vecs, k=k)
