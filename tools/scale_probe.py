@@ -466,9 +466,11 @@ def main() -> int:
         vecs = synth_embeddings(spark, sf_dir, reps)
         d = tempfile.mkdtemp(prefix=f"pqprobe_{reps}x_")
         try:
-            vecs.withColumn("label", F.lit("probe")).write.mode(
-                "overwrite"
-            ).parquet(f"{d}/embeddings.parquet")
+            vecs.select(
+                "vec_id",
+                F.col("v").alias("embedding"),
+                F.lit("probe").alias("label"),
+            ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
             r = {
                 "reps": reps,
                 "n_vecs": spark.read.parquet(f"{d}/embeddings.parquet").count(),
