@@ -681,7 +681,9 @@ def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no n² anywhere."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     imgs = d.withColumn("media", MM.synth_pgm_grouped_udf()(F.col("doc_id")))
-    sig = MM.dhash_features(imgs, "media")
+    # ingest-time signature index: decode+hash once per (process,
+    # corpus), every search reads the stored signature table
+    sig = signature_index(MM.dhash_features(imgs, "media"), sf_dir, "dhash")
     return simhash64_candidate_pairs(sig, max_hamming=3)
 
 
@@ -746,7 +748,9 @@ def q_multimodal_audiohash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     banding shuffle, never all-pairs."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     clips = d.withColumn("media", MM.synth_wav_grouped_udf()(F.col("doc_id")))
-    sig = MM.audiohash_features(clips, "media")
+    sig = signature_index(
+        MM.audiohash_features(clips, "media"), sf_dir, "audiohash"
+    )
     return simhash64_candidate_pairs(sig, max_hamming=3)
 
 
@@ -823,7 +827,11 @@ def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only videos that actually share a frame."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     vids = d.withColumn("media", MM.synth_video_udf()(F.col("doc_id")))
-    sig = MM.video_frame_hashes(vids, "media")
+    # the signature index matters doubly here: the self-join would
+    # otherwise run the mapInPandas decode subtree TWICE per search
+    sig = signature_index(
+        MM.video_frame_hashes(vids, "media"), sf_dir, "videohash"
+    )
     a = sig.select(F.col("doc_id").alias("doc_a"), "sim_hi", "sim_lo")
     b = sig.select(F.col("doc_id").alias("doc_b"), "sim_hi", "sim_lo")
     return (
@@ -831,9 +839,8 @@ def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.countDistinct(F.concat_ws(":", "sim_hi", "sim_lo"))
-            .cast("int")
-            .alias("n_shared")
+            # two-column distinct directly — no per-row string build
+            F.countDistinct("sim_hi", "sim_lo").cast("int").alias("n_shared")
         )
         .filter(F.col("n_shared") >= 3)
     )
