@@ -145,3 +145,114 @@ def test_chunk_maxp_scores_bounded_and_ranked(spark, sf_dir):
     scores = [r["doc_score"] for r in out]
     assert scores == sorted(scores, reverse=True)
     assert all(1 <= s <= 3 for s in scores)
+
+
+# ------------------------- batch 2 (CDC + stats) -------------------------
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """Efraimidis-Spirakis with w = ln(1+n_chars) must oversample long
+    documents: the sample's average length exceeds the corpus average
+    (the r6 sign bug this pins: ranking by k ASC inverts the weights)."""
+    from flash_cdc_spark.queries.analytics_ext2 import q_train_weighted_sample
+    from flash_cdc_spark.tables import load_table
+
+    out = q_train_weighted_sample(spark, sf_dir).collect()
+    n = sum(r["n_sampled"] for r in out)
+    assert n == 200
+    sample_avg = sum(r["avg_len"] * r["n_sampled"] for r in out) / n
+    corpus_avg = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_avg > corpus_avg
+
+
+def test_equidepth_buckets_are_equal_depth_and_ordered(spark, sf_dir):
+    from flash_cdc_spark.queries.analytics_ext2 import q_stats_equidepth_histogram
+    from flash_cdc_spark.tables import load_table
+
+    out = sorted(
+        q_stats_equidepth_histogram(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in out] == list(range(1, 11))
+    depths = [r["n_rows"] for r in out]
+    assert max(depths) - min(depths) <= 1
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(depths) == total
+    for prev, cur in zip(out, out[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_gini_bounded_and_positive(spark, sf_dir):
+    from flash_cdc_spark.queries.analytics_ext2 import q_sales_gini_concentration
+
+    out = q_sales_gini_concentration(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_ols_exact_on_linear_series(spark, tmp_path):
+    """On exactly linear data OLS recovers the slope and R2 = 1."""
+    import datetime as dt
+
+    from flash_cdc_spark.queries.analytics_ext2 import q_events_ols_trend
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "lin", 5.0 + 2.5 * i, "{}")
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "sfY"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    out = q_events_ols_trend(spark, str(d)).collect()
+    assert len(out) == 1
+    assert out[0]["slope"] == 2.5
+    assert out[0]["r2"] == 1.0
+
+
+def test_net_effect_partitions_window_keys(spark, sf_dir):
+    """I-keys + U-keys = distinct keys with >=1 change in the window,
+    and every I-key's first-ever change is inside the window."""
+    from flash_cdc_spark.queries.analytics_ext2 import q_changefeed_net_effect
+    from flash_cdc_spark.tables import load_table
+
+    out = q_changefeed_net_effect(spark, sf_dir).collect()
+    got_keys = sum(r["n_keys"] for r in out)
+    e = load_table(spark, sf_dir, "events")
+    expected = (
+        e.filter(F.col("ts") >= F.lit("2024-01-04 00:00:00").cast("timestamp"))
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got_keys == expected
+    assert all(r["n_changes"] >= r["n_keys"] for r in out)
+
+
+def test_skew_report_orderkey_bounded(spark, sf_dir):
+    """TPC-H lineitem has at most 7 lines per order — the skew report
+    must agree, and partkey/suppkey must show more rows per key than
+    p50=1-ish orderkey fanout."""
+    from flash_cdc_spark.queries.analytics_ext2 import q_maintenance_skew_report
+
+    out = {r["key_col"]: r for r in q_maintenance_skew_report(spark, sf_dir).collect()}
+    assert set(out) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    li = None
+    from flash_cdc_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    expected_max = (
+        li.groupBy("l_orderkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert out["l_orderkey"]["max_rows_per_key"] == expected_max
+    assert out["l_suppkey"]["n_keys"] < out["l_orderkey"]["n_keys"]
+    for r in out.values():
+        assert r["skew_ratio"] >= 1.0
