@@ -140,6 +140,12 @@ HEADLINE = [
     "q_quality_mad_outliers",
     "q_market_basket_pairs",
     "q_retrieval_prf_expansion",
+    # r6 seventh wave (analytics/CDC batches)
+    "q_events_cusum_changepoint",
+    "q_retrieval_chunk_maxp",
+    "q_customer_rfm_segments",
+    "q_changefeed_net_effect",
+    "q_train_weighted_sample",
 ]
 
 
