@@ -753,3 +753,86 @@ def video_frame_hashes(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_hash, schema=out_schema)
+
+
+# --- Audio loudness normalization over the REAL WAV path (r6) ---------
+# Decode -> gain-to-target-RMS -> int16 clip -> RE-ENCODE a RIFF/WAVE
+# file -> decode it AGAIN and report statistics from the re-decoded
+# bytes. The round trip is the point: a header-size bug, byte-order
+# slip, or clipping error in the encoder surfaces as a value mismatch
+# against the closed-form oracle, exactly like the image-resize
+# re-parse (`resize_pgm`).
+
+AUDIO_NORM_TARGET_RMS = 24000.0
+
+
+def _encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Encode int16 mono PCM samples as a RIFF/WAVE file (the inverse
+    of ``parse_wav`` for the PCM subset it accepts)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def normalize_wav_loudness(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    target_rms: float = AUDIO_NORM_TARGET_RMS,
+) -> DataFrame:
+    """Loudness-normalize each WAV to ``target_rms``: gain = target /
+    input RMS (rounded to 9 dp for cross-engine determinism), samples
+    scaled with floor(x·g + 0.5) (explicit half-up — numpy's default
+    round() is banker's and SQL's is half-away; floor(+0.5) is the one
+    form both engines reproduce bit-for-bit), clipped to int16,
+    re-encoded, RE-decoded, and measured. Emits the gain, how many
+    samples clipped, and the post-normalization RMS/peak from the
+    round-tripped bytes."""
+    out_schema = (
+        f"{id_col} bigint, gain double, n_clipped int, "
+        "rms_out double, peak_out int"
+    )
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, gains, clps, rmss, peaks = [], [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                rate, channels, bits, raw = parse_wav(bytes(blob))
+                if channels != 1 or bits != 16:
+                    raise ValueError("expected 16-bit mono PCM")
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                rms_in = float(np.sqrt((arr * arr).mean()))
+                g = round(target_rms / rms_in, 9)
+                scaled = np.floor(arr * g + 0.5)
+                n_clip = int(((scaled > 32767) | (scaled < -32768)).sum())
+                clipped = np.clip(scaled, -32768, 32767).astype("<i2")
+                # real round trip: encode, then decode the new file
+                blob2 = _encode_wav(clipped, rate)
+                _, _, _, raw2 = parse_wav(blob2)
+                arr2 = np.frombuffer(raw2, dtype="<i2").astype(np.float64)
+                ids.append(int(did))
+                gains.append(g)
+                clps.append(n_clip)
+                rmss.append(float(np.sqrt((arr2 * arr2).mean())))
+                peaks.append(int(np.abs(arr2).max()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "gain": gains,
+                    "n_clipped": clps,
+                    "rms_out": rmss,
+                    "peak_out": peaks,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_norm, schema=out_schema)

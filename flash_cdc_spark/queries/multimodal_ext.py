@@ -62,3 +62,72 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
     )
+
+
+@query(
+    "q_multimodal_audio_normalize",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id,
+               CAST((31 * (d.doc_id * 131) + 17 * k.k) % 65536 - 32768
+                    AS DOUBLE) AS v
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range({MM.WAV_N_SAMPLES})) AS k) k
+    ),
+    g AS (
+        SELECT doc_id,
+               round({MM.AUDIO_NORM_TARGET_RMS} / sqrt(avg(v * v)), 9) AS g
+        FROM s GROUP BY doc_id
+    ),
+    scaled AS (
+        SELECT s.doc_id, g.g,
+               floor(s.v * g.g + 0.5) AS x
+        FROM s JOIN g USING (doc_id)
+    ),
+    clipped AS (
+        SELECT doc_id, g,
+               CAST(x > 32767 OR x < -32768 AS INT) AS is_clip,
+               greatest(-32768.0, least(32767.0, x)) AS c
+        FROM scaled
+    )
+    SELECT doc_id,
+           max(g) AS gain,
+           CAST(sum(is_clip) AS INT) AS n_clipped,
+           round(sqrt(avg(c * c)), 6) AS rms_out,
+           CAST(max(abs(c)) AS INT) AS peak_out
+    FROM clipped GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness normalization with a REAL encode/decode round trip:
+    each document's WAV is decoded, gained to the target RMS, int16-
+    clipped, RE-ENCODED as a new RIFF/WAVE file, decoded AGAIN, and
+    measured — the full pipeline a speech-corpus prep job runs before
+    feature extraction. The oracle reproduces gain/clip arithmetic in
+    closed form from the waveform formula; every step (sqrt is IEEE
+    correctly-rounded, floor(x·g + 0.5) is explicit half-up, gain
+    rounded to 9 dp) is chosen so both engines agree bit-for-bit —
+    numpy's banker's ``round`` is deliberately NOT used.
+
+    Scale shape: one ``mapInPandas`` pass, blobs never leave the
+    executors, output is fixed-width stats per clip; no shuffle at
+    all. Clipping is genuinely exercised: each doc's waveform is a
+    narrow ramp whose loudness depends on doc_id, so quiet clips take
+    large gains (up to ~25×) and clip hard while loud clips attenuate
+    cleanly — both branches of the normalizer are on the gate."""
+    d = load_table(spark, sf_dir, "documents")
+    # doc_id*131 spreads the waveform band across the full int16 range
+    # (bare doc_id 0..n gives uniformly loud bands), so the fixture
+    # exercises BOTH branches: quiet clips gain >1 and clip, loud clips
+    # attenuate with zero clipping.
+    wavs = d.select("doc_id").withColumn(
+        "media", MM.synth_wav_udf()(F.col("doc_id") * 131)
+    )
+    out = MM.normalize_wav_loudness(wavs, "media")
+    return out.select(
+        "doc_id",
+        "gain",
+        "n_clipped",
+        F.round("rms_out", 6).alias("rms_out"),
+        "peak_out",
+    )

@@ -787,3 +787,48 @@ def test_prf_expansion_contract(spark, sf_dir):
     assert len(rows) == 5
     assert all(a["prf_score"] >= b["prf_score"] for a, b in zip(rows, rows[1:]))
     assert all(r["prf_score"] > 0 for r in rows)
+
+
+# --- audio loudness normalization (r6) --------------------------------
+
+
+def test_encode_wav_roundtrip_identity():
+    import numpy as np
+
+    from flash_cdc_spark.operators.multimodal import _encode_wav, parse_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype="<i2")
+    blob = _encode_wav(samples, 8000)
+    rate, channels, bits, raw = parse_wav(blob)
+    assert (rate, channels, bits) == (8000, 1, 16)
+    assert np.array_equal(np.frombuffer(raw, dtype="<i2"), samples)
+
+
+def test_normalize_wav_clipping_bruteforce(spark):
+    """The mapInPandas output matches a pure-python recomputation for
+    one synthesized clip, including the clip count and the half-up
+    scaling convention."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flash_cdc_spark.operators import multimodal as MM
+
+    # 31*1057 = 32767, so doc 1057's waveform band sits just above
+    # zero: quiet input -> gain ~9.6x -> guaranteed clipping.
+    did = 1057
+    df = spark.createDataFrame([(did,)], "doc_id long").withColumn(
+        "media", MM.synth_wav_udf()(F.col("doc_id"))
+    )
+    out = MM.normalize_wav_loudness(df, "media").collect()[0]
+    k = np.arange(MM.WAV_N_SAMPLES, dtype=np.int64)
+    v = ((31 * did + 17 * k) % 65536 - 32768).astype(np.float64)
+    rms_in = float(np.sqrt((v * v).mean()))
+    g = round(MM.AUDIO_NORM_TARGET_RMS / rms_in, 9)
+    scaled = np.floor(v * g + 0.5)
+    n_clip = int(((scaled > 32767) | (scaled < -32768)).sum())
+    clipped = np.clip(scaled, -32768, 32767)
+    assert out["gain"] == g
+    assert out["n_clipped"] == n_clip
+    assert n_clip > 0  # the target is chosen to exercise clipping
+    assert abs(out["rms_out"] - float(np.sqrt((clipped * clipped).mean()))) < 1e-6
+    assert out["peak_out"] == int(np.abs(clipped).max())
