@@ -126,9 +126,12 @@ def q_quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: each branch is a LEFT ANTI join — the dimension sides
     (customer/supplier/part) broadcast; the orders↔lineitem pair
     shuffles once on the shared orderkey. Anti joins short-circuit per
-    probe row and never materialize matches, so the audit costs one
-    scan per table at 100 TB. (Childless-orders is anti-join on the
-    aggregated DISTINCT line keys — dedup before the join, not after.)
+    probe row and never materialize matches; each FK branch costs one
+    scan of its fact side (lineitem is scanned once per audited
+    relationship — fuse the three lineitem branches into one pass with
+    three existence flags if the 100 TB scan dominates). Childless-
+    orders anti-joins the aggregated DISTINCT line keys — dedup before
+    the join, not after.
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
