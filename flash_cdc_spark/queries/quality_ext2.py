@@ -329,12 +329,15 @@ def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     ref = e.filter(F.col("ts") < mid).select("event_type", "value")
     cur = e.filter(F.col("ts") >= mid).select("event_type", "value")
+    # types×9 rows; checkpoint so the six consumers (two binning
+    # passes, the grid, and their aggregates) reuse ONE percentile job
+    # instead of re-scanning the reference half per branch.
     bounds = ref.groupBy("event_type").agg(
         *[
             F.round(F.expr(f"percentile(value, 0.{k})"), 9).alias(f"b{k}")
             for k in range(1, 10)
         ]
-    )
+    ).localCheckpoint(eager=False)
 
     def binned(df: DataFrame) -> DataFrame:
         b = df.join(F.broadcast(bounds), "event_type")
@@ -343,8 +346,12 @@ def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = expr + (F.col("value") > F.col(f"b{k}")).cast("int")
         return b.select("event_type", expr.alias("bin"))
 
-    rc = binned(ref).groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("rc"))
-    cc = binned(cur).groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cc"))
+    rc = binned(ref).groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("rc")
+    ).localCheckpoint(eager=False)  # types×10 — each half binned ONCE
+    cc = binned(cur).groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cc")
+    ).localCheckpoint(eager=False)
     rn = rc.groupBy("event_type").agg(F.sum("rc").alias("n_ref"))
     cn = cc.groupBy("event_type").agg(F.sum("cc").alias("n_cur"))
     grid = bounds.select("event_type").crossJoin(
