@@ -488,6 +488,115 @@ def main() -> int:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    # r6 analytics batch: NB classifier (cold train vs memoized warm),
+    # chunk-maxP retrieval, Theil-Sen trend (span-bounded pair claim),
+    # bipartite projection (dedup-before-join guard vs genuine fanout
+    # growth). Claims: NB warm / maxP / Theil-Sen linear in facts;
+    # bipartite FLAT under duplicate-fact replication (the distinct
+    # incidence relation absorbs it) and ~reps^2 pairs when the fanout
+    # itself grows (new suppliers per part — the documented hazard).
+    if only in (None, "analytics"):
+        from flash_cdc_spark.queries.analytics_ext import (
+            q_events_theilsen_trend,
+            q_retrieval_chunk_maxp,
+        )
+        from flash_cdc_spark.queries.analytics_ext3 import (
+            q_graph_bipartite_projection,
+        )
+        from flash_cdc_spark.queries.quality_ext2 import (
+            _NB_STATE,
+            q_quality_nb_classifier,
+        )
+
+        for reps in (1, 2, 4, 8):
+            docs = synth_corpus(spark, sf_dir, reps)
+            d = tempfile.mkdtemp(prefix=f"anprobe_{reps}x_")
+            try:
+                docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+                r = {
+                    "reps": reps,
+                    "n_docs": spark.read.parquet(f"{d}/documents.parquet").count(),
+                }
+                _NB_STATE.pop(d, None)
+                t0 = time.perf_counter()
+                q_quality_nb_classifier(spark, d).count()
+                r["nb_cold_sec"] = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                q_quality_nb_classifier(spark, d).count()
+                r["nb_warm_sec"] = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                q_retrieval_chunk_maxp(spark, d).count()
+                r["chunk_maxp_sec"] = round(time.perf_counter() - t0, 2)
+                print(json.dumps(r), flush=True)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        for reps in (1, 2, 4, 8):
+            ev = synth_events(spark, sf_dir, reps)
+            d = tempfile.mkdtemp(prefix=f"tsprobe_{reps}x_")
+            try:
+                ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+                r = {
+                    "reps": reps,
+                    "n_events": spark.read.parquet(f"{d}/events.parquet").count(),
+                }
+                t0 = time.perf_counter()
+                q_events_theilsen_trend(spark, d).count()
+                r["theilsen_sec"] = round(time.perf_counter() - t0, 2)
+                print(json.dumps(r), flush=True)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        li_base = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        )
+        for reps in (1, 2, 4, 8):
+            rep = spark.range(reps).select(F.col("id").alias("rep"))
+            for mode in ("dup_facts", "new_suppliers"):
+                shifted_supp = (
+                    F.col("l_suppkey") + F.col("rep") * F.lit(10_000_000)
+                    if mode == "new_suppliers"
+                    else F.col("l_suppkey")
+                )
+                li = li_base.crossJoin(rep).select(
+                    (F.col("l_orderkey") + F.col("rep") * F.lit(100_000_000)).alias(
+                        "l_orderkey"
+                    ),
+                    "l_partkey",
+                    shifted_supp.alias("l_suppkey"),
+                )
+                d = tempfile.mkdtemp(prefix=f"bpprobe_{reps}x_")
+                try:
+                    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+                    ps = (
+                        spark.read.parquet(f"{d}/lineitem.parquet")
+                        .select("l_partkey", "l_suppkey")
+                        .distinct()
+                    )
+                    n_pairs = (
+                        ps.alias("a")
+                        .join(
+                            ps.alias("b"),
+                            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+                            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+                        )
+                        .count()
+                    )
+                    t0 = time.perf_counter()
+                    q_graph_bipartite_projection(spark, d).count()
+                    r = {
+                        "reps": reps,
+                        "mode": mode,
+                        "n_pairs": n_pairs,
+                        "bipartite_sec": round(time.perf_counter() - t0, 2),
+                    }
+                    print(json.dumps(r), flush=True)
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+                if reps == 1:
+                    break  # modes identical at 1x
+    if only == "analytics":
+        spark.stop()
+        return 0
+
     # SemDeDup's within-cell stage: fixed k (the hazard) vs k grown
     # with n (the prescription — cell width ~n/k stays constant)
     for reps in (1, 2, 4, 8) if only in (None, "semdedup") else ():
