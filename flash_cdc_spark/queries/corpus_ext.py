@@ -1,0 +1,228 @@
+"""Corpus-analysis extensions (r6, batch 7): n-gram novelty scoring
+and Jensen-Shannon lexical divergence between sources.
+
+Novelty is the memorization-risk / boilerplate screen (a doc whose
+n-grams all appear elsewhere is template or copy; one whose grams are
+unique is original — or noise); JSD between source unigram
+distributions is the dataset-similarity measure mixture designers use
+to decide which sources are redundant (Lin 1991; the lexical
+complement to the embedding-space `q_embedding_label_centroid_sim`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.operators.dedup import shingles_col, tokens_col
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------
+# n-gram novelty
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(list_slice(t, k + 1, k + 5), ' ') AS g
+        FROM toks
+        CROSS JOIN (SELECT unnest(range(0, 200)) AS k) ks
+        WHERE k <= len(t) - 5
+    ),
+    df AS (
+        SELECT g, count(*) AS docs_with FROM grams GROUP BY g
+    ),
+    per_doc AS (
+        SELECT gr.doc_id, gr.source,
+               round(sum(CAST(d.docs_with = 1 AS INT))
+                     / CAST(count(*) AS DOUBLE), 9) AS novelty
+        FROM grams gr JOIN df d USING (g)
+        GROUP BY gr.doc_id, gr.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(novelty), 6) AS avg_novelty,
+           round(min(novelty), 6) AS min_novelty,
+           CAST(sum(CAST(novelty < 0.2 AS INT)) AS BIGINT)
+               AS n_boilerplate_docs
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty per document, aggregated per source: the share
+    of a doc's distinct word 5-grams that appear in NO other document.
+    Low novelty = template/boilerplate/copy (candidate for removal or
+    downweighting); the per-source average and the count of docs under
+    0.2 novelty are the curation dashboard numbers. This is the
+    self-corpus complement of the train/eval contamination audits
+    (same gram machinery, different question).
+
+    Scale: distinct grams per doc are length-bounded; document
+    frequency is one partial-aggregatable groupBy on the gram key (the
+    only fact-sized shuffle); the df join is gram-keyed and uniform.
+    A doc's novelty is exact int ratios rounded to 9 dp before the
+    source average. At 100 TB this is the same shape as the Bloom
+    contamination audit — swap the exact df relation for a counting
+    Bloom if the gram table dominates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(shingles_col(tokens_col("text"), n=5)).alias("g"),
+        )
+        .distinct()
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("docs_with"))
+    per_doc = (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum((F.col("docs_with") == 1).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("novelty")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+        F.round(F.min("novelty"), 6).alias("min_novelty"),
+        F.sum((F.col("novelty") < 0.2).cast("int")).alias("n_boilerplate_docs"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_text_source_jsd",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    toksf AS (SELECT * FROM toks WHERE w <> ''),
+    vocab AS (SELECT w FROM toksf GROUP BY w HAVING count(*) >= 5),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    cnt AS (
+        SELECT t.source, t.w, count(*) AS c
+        FROM toksf t JOIN vocab USING (w)
+        GROUP BY t.source, t.w
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+    grid AS (
+        SELECT t2.source, v2.w, t2.n FROM tot t2 CROSS JOIN vocab v2
+    ),
+    p AS (
+        SELECT g.source, g.w,
+               round((coalesce(c.c, 0) + 0.5)
+                     / (g.n + 0.5 * (SELECT v FROM vsize)), 9) AS p
+        FROM grid g LEFT JOIN cnt c
+          ON g.source = c.source AND g.w = c.w
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               round(sum(round(
+                   0.5 * a.p * ln(2.0 * a.p / (a.p + b.p))
+                 + 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p)), 9)), 6) AS jsd
+        FROM p a JOIN p b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY jsd, source_a, source_b)
+                   AS rk
+        FROM pairs
+    )
+    SELECT CAST(rk AS INT) AS rk, source_a, source_b, jsd
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q_text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of sources'
+    (smoothed) unigram distributions — the lexical dataset-similarity
+    matrix: the 10 LOWEST-divergence pairs are the sources a mixture
+    designer should suspect of redundancy (near-identical language)
+    before spending dedup compute across them. JSD is symmetric and
+    bounded (≤ ln 2), unlike raw KL.
+
+    Scale: one token-count shuffle; everything after runs on the
+    (sources × vocab) grid — broadcast scale by the vocab min-count
+    threshold — so the sources² pair stage is grid-sized arithmetic,
+    never corpus work. Probabilities and per-word contributions are
+    rounded to 9 dp before their sums; smoothing (+0.5 per cell) keeps
+    every log finite on the explicit grid (absent words included,
+    never silently dropped).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .filter(F.col("cg") >= 5)
+        .select("w")
+        .localCheckpoint(eager=False)
+    )
+    v_size = vocab.count()
+    cnt = toks.join(F.broadcast(vocab), "w").groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = tot.crossJoin(F.broadcast(vocab))
+    p = (
+        grid.join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.round(
+                (F.coalesce(F.col("c"), F.lit(0)) + 0.5)
+                / (F.col("n") + 0.5 * F.lit(float(v_size))),
+                9,
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=False)  # sources×vocab — reused by both
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    contrib = F.round(
+        0.5 * F.col("a.p") * F.log(2.0 * F.col("a.p") / (F.col("a.p") + F.col("b.p")))
+        + 0.5
+        * F.col("b.p")
+        * F.log(2.0 * F.col("b.p") / (F.col("a.p") + F.col("b.p"))),
+        9,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.round(F.sum(contrib), 6).alias("jsd"))
+    )
+    rk_w = Window.orderBy("jsd", "source_a", "source_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("rk").cast("int").alias("rk"), "source_a", "source_b", "jsd")
+    )
