@@ -172,3 +172,95 @@ def test_source_jsd_bounded_and_self_similarity(spark, sf_dir, tmp_path):
     assert len(out2) == 3
     assert {out2[0]["source_a"], out2[0]["source_b"]} == {"xa", "xb"}
     assert out2[0]["jsd"] < out2[1]["jsd"]
+
+
+# ------------------------- batch 8 (training prep) -------------------------
+
+
+def test_epoch_allocation_caps_and_budget(spark, sf_dir):
+    from flash_cdc_spark.queries.training_ext import q_train_epoch_allocation
+    from flash_cdc_spark.tables import load_table
+
+    out = q_train_epoch_allocation(spark, sf_dir).collect()
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(out) == n_sources
+    for r in out:
+        assert 0.0 < r["epochs"] <= 4.0
+        assert abs(r["allocated_tokens"] - r["epochs"] * r["toks"]) <= 1
+    # uncapped total allocation would be exactly 2x the corpus; caps
+    # can only reduce it
+    total_alloc = sum(r["allocated_tokens"] for r in out)
+    total_toks = sum(r["toks"] for r in out)
+    assert total_alloc <= 2 * total_toks + len(out)
+
+
+def test_embedding_outliers_detect_injected_garbage(spark, sf_dir, tmp_path):
+    """A vector with one dimension at 100x the corpus scale must rank
+    first."""
+    from flash_cdc_spark.queries.training_ext import q_embedding_outliers
+    from flash_cdc_spark.tables import load_table
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    e = load_table(spark, sf_dir, "embeddings")
+    bad = e.limit(1).select(
+        F.lit(9_999_999).cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 100.0).alias("embedding"),
+        F.lit(99).cast("int").alias("label"),
+    )
+    e.unionByName(bad).write.parquet(str(d / "embeddings.parquet"))
+    out = sorted(q_embedding_outliers(spark, str(d)).collect(), key=lambda r: r["rk"])
+    assert out[0]["vec_id"] == 9_999_999
+
+
+def test_burst_detection_flags_injected_burst(spark, tmp_path):
+    import datetime as dt
+
+    from flash_cdc_spark.queries.training_ext import q_events_burst_detection
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(72):
+        # 10-12/hour with variation (a constant baseline has sigma=0,
+        # which the query rightly excludes), 100 at hour 60
+        n = (10 + h % 3) if h != 60 else 100
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), 1,
+                         "t", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "burst"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    out = q_events_burst_detection(spark, str(d)).collect()
+    assert len(out) == 1
+    assert out[0]["hour_ts"] == base + dt.timedelta(hours=60)
+    assert out[0]["n_events"] == 100
+
+
+def test_interleave_order_round_robins_sources(spark, sf_dir):
+    """The first |sources| schedule positions contain each source at
+    most... exactly once per pass: pass_idx must be non-decreasing
+    with pos, and within pass 1 every source appears once."""
+    from flash_cdc_spark.queries.training_ext import q_train_interleave_order
+    from flash_cdc_spark.tables import load_table
+
+    out = sorted(
+        q_train_interleave_order(spark, sf_dir).collect(), key=lambda r: r["pos"]
+    )
+    assert [r["pos"] for r in out] == list(range(1, 51))
+    passes = [r["pass_idx"] for r in out]
+    assert passes == sorted(passes)
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    first_pass = [r["source"] for r in out if r["pass_idx"] == 1]
+    assert len(first_pass) == min(n_sources, len(first_pass))
+    assert len(set(first_pass)) == len(first_pass)  # no source repeats in a pass
