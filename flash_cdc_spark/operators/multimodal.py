@@ -836,3 +836,81 @@ def normalize_wav_loudness(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_norm, schema=out_schema)
+
+
+# --- Image contrast stretch over the REAL PGM path (r6) ---------------
+# The third real media transform (after resize and loudness
+# normalization): parse -> min/max -> linear stretch to [0, 255] ->
+# RE-ENCODE a PGM -> RE-PARSE -> report stats from the round-tripped
+# bytes. Low-contrast fixture images make the stretch non-trivial
+# (a full-range image stretches to itself).
+
+
+def synth_pgm_lowcontrast_udf(width: int = PGM_WIDTH, height: int = PGM_HEIGHT):
+    """Low-contrast variant of ``synth_pgm_udf``: pixel(x, y) = 100 +
+    (7·id + 13·x + 29·y) mod 64 — values span [100, 163], so a
+    contrast stretch has real work to do and the result is still
+    closed-form for the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_id: pd.Series) -> pd.Series:
+        def mk(did: int) -> bytes:
+            did = int(did)
+            px = bytes(
+                100 + (7 * did + 13 * x + 29 * y) % 64
+                for y in range(height)
+                for x in range(width)
+            )
+            return f"P5\n{width} {height}\n255\n".encode() + px
+
+        return doc_id.map(mk)
+
+    return _synth
+
+
+def stretch_pgm_contrast(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear contrast stretch to the full [0, 255] range with an
+    encode/decode round trip: out = floor((px - mn)·255/(mx - mn) +
+    0.5) (explicit half-up — the same cross-engine convention as the
+    audio normalizer), re-encoded as a PGM and re-parsed before
+    measuring. Constant images (mx == mn) pass through unchanged —
+    reported, not divided by zero."""
+    out_schema = (
+        f"{id_col} bigint, px_min int, px_max int, "
+        "mean_out double, checksum_out bigint"
+    )
+
+    def _stretch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mns, mxs, means, sums = [], [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                w, h, maxval, raw = parse_pgm(bytes(blob))
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                mn, mx = int(arr.min()), int(arr.max())
+                if mx > mn:
+                    out = np.floor((arr - mn) * 255.0 / (mx - mn) + 0.5)
+                else:
+                    out = arr
+                out8 = out.astype(np.uint8)
+                blob2 = f"P5\n{w} {h}\n255\n".encode() + out8.tobytes()
+                _, _, _, raw2 = parse_pgm(blob2)
+                arr2 = np.frombuffer(raw2, dtype=np.uint8).astype(np.float64)
+                ids.append(int(did))
+                mns.append(mn)
+                mxs.append(mx)
+                means.append(float(arr2.mean()))
+                sums.append(int(arr2.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "px_min": mns,
+                    "px_max": mxs,
+                    "mean_out": means,
+                    "checksum_out": sums,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_stretch, schema=out_schema)

@@ -832,3 +832,38 @@ def test_normalize_wav_clipping_bruteforce(spark):
     assert n_clip > 0  # the target is chosen to exercise clipping
     assert abs(out["rms_out"] - float(np.sqrt((clipped * clipped).mean()))) < 1e-6
     assert out["peak_out"] == int(np.abs(clipped).max())
+
+
+# --- image contrast stretch (r6) --------------------------------------
+
+
+def test_contrast_stretch_full_range_and_constant_image(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flash_cdc_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(3,)], "doc_id long").withColumn(
+        "media", MM.synth_pgm_lowcontrast_udf()(F.col("doc_id"))
+    )
+    out = MM.stretch_pgm_contrast(df, "media").collect()[0]
+    # low-contrast input...
+    assert 100 <= out["px_min"] < out["px_max"] <= 163
+    # ...stretched output spans the full range: brute-force check
+    w, h = MM.PGM_WIDTH, MM.PGM_HEIGHT
+    v = np.array(
+        [100 + (7 * 3 + 13 * x + 29 * y) % 64 for y in range(h) for x in range(w)],
+        dtype=np.float64,
+    )
+    mn, mx = v.min(), v.max()
+    o = np.floor((v - mn) * 255.0 / (mx - mn) + 0.5)
+    assert out["checksum_out"] == int(o.sum())
+    assert o.min() == 0 and o.max() == 255
+    # constant image passes through unchanged (no div-by-zero)
+    const = spark.createDataFrame([(1,)], "doc_id long").withColumn(
+        "media",
+        F.lit(b"P5\n4 2\n255\n" + bytes([77] * 8)),
+    )
+    outc = MM.stretch_pgm_contrast(const, "media").collect()[0]
+    assert outc["px_min"] == outc["px_max"] == 77
+    assert outc["checksum_out"] == 77 * 8
