@@ -146,6 +146,11 @@ HEADLINE = [
     "q_customer_rfm_segments",
     "q_changefeed_net_effect",
     "q_train_weighted_sample",
+    # r6 eighth wave (trained NB memoized: warmup absorbs training;
+    # novelty is the gram-shuffle heavy representative)
+    "q_text_ngram_novelty",
+    "q_quality_nb_classifier",
+    "q_embedding_outliers",
 ]
 
 
