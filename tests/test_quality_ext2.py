@@ -264,3 +264,73 @@ def test_interleave_order_round_robins_sources(spark, sf_dir):
     first_pass = [r["source"] for r in out if r["pass_idx"] == 1]
     assert len(first_pass) == min(n_sources, len(first_pass))
     assert len(set(first_pass)) == len(first_pass)  # no source repeats in a pass
+
+
+# ------------------------- batch 10 (maintenance) -------------------------
+
+
+def test_incremental_agg_merge_is_exact(spark, sf_dir):
+    from flash_cdc_spark.queries.maintenance_ext2 import (
+        q_maintenance_incremental_agg,
+    )
+    from flash_cdc_spark.tables import load_table
+
+    out = q_maintenance_incremental_agg(spark, sf_dir).collect()
+    assert sum(r["mismatch"] for r in out) == 0
+    total = sum(r["n_orders"] for r in out)
+    assert total == load_table(spark, sf_dir, "orders").count()
+    for r in out:
+        whole, frac = r["revenue"].split(".")
+        assert len(frac) == 2  # decimal, not float repr
+
+
+def test_watermark_advisor_matches_bruteforce(spark, tmp_path):
+    """The advisor's lateness profile equals a pure-python recompute
+    of the same jitter-simulated arrival sequence (high-water-mark
+    walk + exact linear-interpolation percentile), and the suggested
+    watermark is bounded by the 120 s jitter ceiling by construction."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from flash_cdc_spark.queries.maintenance_ext2 import q_events_watermark_advisor
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=30 * i), 1, "t", 1.0, "{}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "late"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    out = q_events_watermark_advisor(spark, str(d)).collect()[0]
+
+    def jitter(eid: int) -> int:
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16) % 120000
+
+    evs = sorted(
+        (int(ts.timestamp() * 1000) + jitter(eid), eid,
+         int(ts.timestamp() * 1000)) for eid, ts, *_ in rows
+    )
+    hwm, lates = None, []
+    for _arr, _eid, ts_ms in evs:
+        lates.append(max(0, hwm - ts_ms) if hwm is not None else 0)
+        hwm = ts_ms if hwm is None else max(hwm, ts_ms)
+    lates_sorted = sorted(lates)
+    n = len(lates_sorted)
+    pos = 0.99 * (n - 1)
+    lo, hi = int(pos), min(int(pos) + 1, n - 1)
+    p99 = lates_sorted[lo] + (pos - lo) * (lates_sorted[hi] - lates_sorted[lo])
+
+    assert out["n_events"] == 500
+    assert out["pct_out_of_order"] == round(
+        100.0 * sum(1 for x in lates if x > 0) / n, 4
+    )
+    assert abs(out["p99_late_s"] - round(p99 / 1000.0, 4)) < 1e-6
+    assert out["suggested_watermark_s"] == math.ceil(p99 / 1000.0)
+    assert 0 < out["suggested_watermark_s"] <= 120  # jitter ceiling
