@@ -94,6 +94,7 @@ from flash_cdc_spark.queries import corpus_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import training_ext  # noqa: E402,F401
 from flash_cdc_spark.queries import analytics_ext4  # noqa: E402,F401
 from flash_cdc_spark.queries import maintenance_ext2  # noqa: E402,F401
+from flash_cdc_spark.queries import contracts_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # r6 driver window (VERDICT r5, next-round item #3).

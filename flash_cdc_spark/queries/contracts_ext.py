@@ -1,0 +1,172 @@
+"""Data-contract extensions (r6, batch 11): column-level schema/
+profile drift between two snapshots, and Wilson-interval source
+ranking.
+
+Schema drift is the data-contract check a lakehouse runs between
+yesterday's and today's loads (the row-level twin is
+`q_maintenance_snapshot_diff`; this one watches DISTRIBUTIONS, not
+rows). The Wilson lower bound is the correct way to rank groups by a
+pass rate when group sizes differ (Agresti-Coull / Wilson 1927 — the
+classic 'how not to sort by average rating' correction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.queries import query
+from flash_cdc_spark.tables import load_table
+
+
+@query(
+    "q_quality_profile_drift",
+    oracle="""
+    WITH halves AS (
+        SELECT CASE WHEN o_orderdate < DATE '1996-01-01'
+                    THEN 'before' ELSE 'after' END AS half,
+               o_totalprice, o_orderpriority, o_custkey, o_orderstatus
+        FROM orders
+    ),
+    prof AS (
+        SELECT half,
+               count(*) AS n,
+               round(avg(o_totalprice), 9) AS price_mean,
+               round(stddev_samp(o_totalprice), 9) AS price_std,
+               count(DISTINCT o_orderpriority) AS prio_distinct,
+               count(DISTINCT o_custkey) AS cust_distinct,
+               round(avg(CAST(o_orderstatus = 'F' AS INT)), 9)
+                   AS fulfilled_share
+        FROM halves GROUP BY half
+    )
+    SELECT b.n AS n_before, a.n AS n_after,
+           round((a.price_mean - b.price_mean)
+                 / b.price_std, 6) AS price_mean_shift_z,
+           round(a.price_mean / b.price_mean, 6) AS price_mean_ratio,
+           CAST(b.prio_distinct AS BIGINT) AS prio_distinct_before,
+           CAST(a.prio_distinct AS BIGINT) AS prio_distinct_after,
+           round(CAST(a.cust_distinct AS DOUBLE) / b.cust_distinct, 6)
+               AS cust_distinct_ratio,
+           round(a.fulfilled_share - b.fulfilled_share, 6)
+               AS fulfilled_share_shift
+    FROM (SELECT * FROM prof WHERE half = 'before') b
+    CROSS JOIN (SELECT * FROM prof WHERE half = 'after') a
+    """,
+)
+def q_quality_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two table snapshots (before/after
+    a date cut standing in for yesterday/today loads) — the data-
+    contract check that catches upstream regressions schemas can't:
+    a numeric mean shifting in std-units, categorical cardinality
+    appearing/disappearing, id-space growth, and a categorical share
+    shifting (order fulfillment, which REALLY drifts across the date
+    cut — recent orders are unfulfilled). One row of named drift
+    signals; alert thresholds live downstream.
+
+    Scale: one pass builds BOTH profiles (conditional aggregation per
+    half — shown as a single grouped pass here), the comparison is a
+    2-row cross join. Distinct counts swap to approx_count_distinct
+    at 100 TB; the drift ratios need two digits, not nine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    half = F.when(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date"), "before"
+    ).otherwise("after")
+    prof = (
+        o.select(
+            half.alias("half"),
+            "o_totalprice",
+            "o_orderpriority",
+            "o_custkey",
+            (F.col("o_orderstatus") == "F").cast("int").alias("isf"),
+        )
+        .groupBy("half")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 9).alias("price_mean"),
+            F.round(F.stddev_samp("o_totalprice"), 9).alias("price_std"),
+            F.countDistinct("o_orderpriority").alias("prio_distinct"),
+            F.countDistinct("o_custkey").alias("cust_distinct"),
+            F.round(F.avg("isf"), 9).alias("fulfilled_share"),
+        )
+    )
+    b = prof.filter(F.col("half") == "before").alias("b")
+    a = prof.filter(F.col("half") == "after").alias("a")
+    return b.crossJoin(a).select(
+        F.col("b.n").alias("n_before"),
+        F.col("a.n").alias("n_after"),
+        F.round(
+            (F.col("a.price_mean") - F.col("b.price_mean")) / F.col("b.price_std"),
+            6,
+        ).alias("price_mean_shift_z"),
+        F.round(F.col("a.price_mean") / F.col("b.price_mean"), 6).alias(
+            "price_mean_ratio"
+        ),
+        F.col("b.prio_distinct").alias("prio_distinct_before"),
+        F.col("a.prio_distinct").alias("prio_distinct_after"),
+        F.round(
+            F.col("a.cust_distinct").cast("double") / F.col("b.cust_distinct"), 6
+        ).alias("cust_distinct_ratio"),
+        F.round(
+            F.col("a.fulfilled_share") - F.col("b.fulfilled_share"), 6
+        ).alias("fulfilled_share_shift"),
+    )
+
+
+@query(
+    "q_quality_wilson_ranking",
+    oracle="""
+    WITH rates AS (
+        SELECT source,
+               count(*) AS n,
+               sum(CAST(n_chars >= 200 AS INT)) AS k
+        FROM documents GROUP BY source
+    ),
+    wilson AS (
+        SELECT source, n, k,
+               round(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+               round((
+                   (k * 1.0 / n) + 3.8416 / (2 * n)
+                   - 1.96 * sqrt(((k * 1.0 / n) * (1 - k * 1.0 / n)
+                                  + 3.8416 / (4 * n)) / n)
+               ) / (1 + 3.8416 / n), 6) AS wilson_lb
+        FROM rates
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(k AS BIGINT) AS n_pass, raw_rate, wilson_lb
+    FROM wilson
+    """,
+)
+def q_quality_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-interval source ranking: score each source by the 95%
+    LOWER confidence bound of its quality-pass rate (docs ≥200 chars
+    as the stand-in predicate), not the raw rate — the standard fix
+    for 'a source with 3/3 passing outranks one with 970/1000' when
+    deciding which sources to trust or upweight (Wilson 1927; the
+    how-not-to-sort-by-average-rating correction).
+
+    Scale: one conditional-aggregation pass to (source, n, k); the
+    Wilson arithmetic is closed-form per row. z²=3.8416 (z=1.96) is
+    inlined so both engines evaluate the identical expression; sqrt
+    is IEEE correctly-rounded, so 6-dp rounding is stable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rates = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_chars") >= 200).cast("int")).alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    z2 = 3.8416
+    wilson_lb = F.round(
+        (p + z2 / (2 * F.col("n"))
+         - 1.96 * F.sqrt((p * (1 - p) + z2 / (4 * F.col("n"))) / F.col("n")))
+        / (1 + z2 / F.col("n")),
+        6,
+    )
+    return rates.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_pass"),
+        F.round(p, 6).alias("raw_rate"),
+        wilson_lb.alias("wilson_lb"),
+    )

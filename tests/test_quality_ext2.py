@@ -334,3 +334,50 @@ def test_watermark_advisor_matches_bruteforce(spark, tmp_path):
     assert abs(out["p99_late_s"] - round(p99 / 1000.0, 4)) < 1e-6
     assert out["suggested_watermark_s"] == math.ceil(p99 / 1000.0)
     assert 0 < out["suggested_watermark_s"] <= 120  # jitter ceiling
+
+
+# ------------------------- batch 11 (data contracts) -------------------------
+
+
+def test_wilson_lb_below_raw_and_small_n_penalized(spark, sf_dir, tmp_path):
+    from flash_cdc_spark.queries.contracts_ext import q_quality_wilson_ranking
+
+    out = q_quality_wilson_ranking(spark, sf_dir).collect()
+    for r in out:
+        assert r["wilson_lb"] <= r["raw_rate"] + 1e-9
+        assert 0.0 <= r["wilson_lb"] <= 1.0
+    # 3/3 passing must rank BELOW 970/1000 by lower bound despite the
+    # higher raw rate — the property the correction exists for
+    rows = [(i, "x", "en", "tiny", 300) for i in range(3)]
+    rows += [(100 + i, "x", "en", "big", 300 if i < 970 else 10)
+             for i in range(1000)]
+    d = tmp_path / "wil"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    out2 = {r["source"]: r for r in q_quality_wilson_ranking(spark, str(d)).collect()}
+    assert out2["tiny"]["raw_rate"] == 1.0
+    assert out2["tiny"]["wilson_lb"] < out2["big"]["wilson_lb"]
+
+
+def test_profile_drift_detects_injected_shift(spark, sf_dir, tmp_path):
+    """Doubling prices in the 'after' half must move the mean-shift
+    z-score far from the clean baseline."""
+    from flash_cdc_spark.queries.contracts_ext import q_quality_profile_drift
+    from flash_cdc_spark.tables import load_table
+
+    clean = q_quality_profile_drift(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("date")
+    shifted = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderdate") >= cut, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")),
+    )
+    d = tmp_path / "drift"
+    d.mkdir()
+    shifted.write.parquet(str(d / "orders.parquet"))
+    drifted = q_quality_profile_drift(spark, str(d)).collect()[0]
+    assert abs(drifted["price_mean_shift_z"]) > abs(clean["price_mean_shift_z"]) + 1.0
+    assert drifted["price_mean_ratio"] > 1.8
