@@ -170,3 +170,145 @@ def q_quality_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("raw_rate"),
         wilson_lb.alias("wilson_lb"),
     )
+
+
+@query(
+    "q_sales_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, CAST(year(min(o_orderdate)) AS INT) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+        SELECT f.cohort,
+               CAST(year(o.o_orderdate) AS INT) - f.cohort AS age_years,
+               round(sum(o.o_totalprice), 2) AS revenue,
+               count(DISTINCT o.o_custkey) AS active_customers
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY f.cohort, age_years
+    ),
+    sizes AS (
+        SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort
+    )
+    SELECT s.cohort, CAST(s.age_years AS INT) AS age_years,
+           CAST(z.cohort_size AS BIGINT) AS cohort_size,
+           CAST(s.active_customers AS BIGINT) AS active_customers,
+           s.revenue,
+           round(sum(s.revenue) OVER (PARTITION BY s.cohort
+                                      ORDER BY s.age_years)
+                 / z.cohort_size, 2) AS cum_ltv_per_customer
+    FROM spend s JOIN sizes z ON s.cohort = z.cohort
+    """,
+)
+def q_sales_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort lifetime-value matrix: customers grouped by
+    first-order year, revenue tracked by cohort age, cumulative LTV
+    per customer as the running sum — the (cohort × age) triangle
+    every subscription/commerce dashboard draws, and the batch twin of
+    the event-level `q_events_cohort_retention` (that one counts
+    activity; this one follows the money).
+
+    Scale: first-order dates are one partial-agg pass; the fact scan
+    joins that broadcast-sized relation and reduces to the tiny
+    (cohort × age) grid, where the running sum is window work over
+    dozens of rows. Revenue rounded to 2 dp before the cumulative
+    fold; the fold order is the unique age axis.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("int").alias("cohort")
+    )
+    spend = (
+        o.join(F.broadcast(firsts), "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate").cast("int") - F.col("cohort")).alias(
+                "age_years"
+            ),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    from pyspark.sql import Window as W
+
+    cum = (
+        W.partitionBy("cohort")
+        .orderBy("age_years")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spend.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("age_years").cast("int").alias("age_years"),
+            "cohort_size",
+            "active_customers",
+            "revenue",
+            F.round(
+                F.sum("revenue").over(cum) / F.col("cohort_size"), 2
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+@query(
+    "q_text_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    toksf AS (SELECT * FROM toks WHERE w <> ''),
+    per_doc AS (
+        SELECT doc_id, source,
+               count(*) AS n_tokens,
+               count(DISTINCT w) AS n_types,
+               round(count(DISTINCT w) / sqrt(CAST(count(*) AS DOUBLE)), 9)
+                   AS root_ttr
+        FROM toksf GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(root_ttr), 6) AS avg_root_ttr,
+           round(min(root_ttr), 6) AS min_root_ttr,
+           CAST(sum(CAST(n_types * 2 < n_tokens AS INT)) AS BIGINT)
+               AS n_low_diversity_docs
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source via root type-token ratio
+    (Guiraud's index — types/√tokens, the TTR variant that does not
+    collapse with document length): low diversity flags generated or
+    template text before any model-based scorer runs; the
+    low-diversity count (types < tokens/2) is the dashboard's
+    machine-text alarm. Complements `q_text_repetition_ratio` (which
+    watches the TOP bigram; this watches the whole vocabulary).
+
+    Scale: one groupBy per (doc, word) underneath a per-doc aggregate
+    — token-stream shuffles keyed by doc, uniform by construction;
+    per-doc ratios are exact-int arithmetic rounded to 9 dp before
+    the source average.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+        F.round(
+            F.countDistinct("w") / F.sqrt(F.count(F.lit(1)).cast("double")), 9
+        ).alias("root_ttr"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("root_ttr"), 6).alias("avg_root_ttr"),
+        F.round(F.min("root_ttr"), 6).alias("min_root_ttr"),
+        F.sum((F.col("n_types") * 2 < F.col("n_tokens")).cast("int")).alias(
+            "n_low_diversity_docs"
+        ),
+    )
