@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flash_cdc_spark.operators.global_order import global_ntile, with_global_order
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
@@ -436,15 +437,28 @@ def q_stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket width variation is what exposes the distribution's skew.
 
     Determinism: ntile over the unique (value, key) order splits
-    identically on both engines. Scale note: a full-sort ntile is the
-    *definition*; the production construction at 100 TB samples or
-    uses ``approx_percentile`` boundaries (one pass, bounded state)
-    and counts per boundary range — same output schema, which is why
-    the exact form is the oracle-checkable one here.
+    identically on both engines — the Spark side reproduces exact
+    NTILE semantics arithmetically from the two-phase global rank.
+
+    Scale (r7 rewrite, VERDICT r6 item #2): the r6 form ran
+    ``ntile(10)`` over ALL orders through one partition. The rank now
+    comes from :func:`with_global_order` (range-partitioned two-phase,
+    parallel) and the bucket from :func:`global_ntile` (exact NTILE
+    arithmetic from rank + total count) — unchanged oracle, identical
+    output, NO single-partition window in the plan. Counts are exact
+    integers, so the decomposition has no float-fold-order exposure.
     """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+    n_df = o.agg(F.count(F.lit(1)).alias("__n"))
+    r = with_global_order(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="__rk",
+    )
+    b = r.crossJoin(F.broadcast(n_df)).select(
+        "o_totalprice",
+        global_ntile(F.col("__rk"), F.col("__n"), 10).alias("bucket"),
+    )
     return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),

@@ -464,18 +464,29 @@ def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(status_or_null, '?')             AS status_nz,
            (status_or_null IS NOT DISTINCT FROM 'F') AS is_f_nullsafe,
            (price_or_null IS NULL)                   AS price_missing,
-           CAST(row_number() OVER (ORDER BY price_or_null ASC NULLS FIRST,
+           CAST(row_number() OVER (PARTITION BY status_or_null
+                              ORDER BY price_or_null ASC NULLS FIRST,
                               o_orderkey) AS INT)    AS rn_nulls_first,
-           CAST(row_number() OVER (ORDER BY price_or_null DESC NULLS LAST,
+           CAST(row_number() OVER (PARTITION BY status_or_null
+                              ORDER BY price_or_null DESC NULLS LAST,
                               o_orderkey) AS INT)    AS rn_nulls_last
     FROM o
     """,
 )
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-semantics suite: nullif, null-safe equality (<=> / IS NOT
-    DISTINCT FROM), and *explicit* null ordering — Spark defaults to
+    DISTINCT FROM), *explicit* null ordering — Spark defaults to
     NULLS FIRST ascending while DuckDB defaults NULLS LAST, so portable
-    queries must always spell it out (as these do)."""
+    queries must always spell it out (as these do) — and null window
+    PARTITIONING: both engines group all NULL partition keys into ONE
+    window partition (grouping semantics, not join semantics), which
+    the per-status row numbers exercise directly.
+
+    r7: the row-number windows are partitioned by ``status_or_null``
+    (VERDICT r6 item #3 cleanup) — the r6 form ranked the whole
+    filtered relation through one partition; partitioned ranks keep
+    every null-ordering behavior under test while planning parallel.
+    """
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 3000)
@@ -489,8 +500,12 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w_first = Window.orderBy(F.col("price_or_null").asc_nulls_first(), F.col("o_orderkey"))
-    w_last = Window.orderBy(F.col("price_or_null").desc_nulls_last(), F.col("o_orderkey"))
+    w_first = Window.partitionBy("status_or_null").orderBy(
+        F.col("price_or_null").asc_nulls_first(), F.col("o_orderkey")
+    )
+    w_last = Window.partitionBy("status_or_null").orderBy(
+        F.col("price_or_null").desc_nulls_last(), F.col("o_orderkey")
+    )
     return o.select(
         "o_orderkey",
         "status_or_null",

@@ -1,0 +1,83 @@
+"""Unit tests for operators/global_order.py: the two-phase exact
+global rank / running sum must be value-identical to the naive
+single-partition window forms it replaces (which are the semantic
+definition — fine as a test oracle at test scale, the scale killer the
+operator exists to remove in production plans)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flash_cdc_spark.operators.global_order import global_ntile, with_global_order
+
+
+@pytest.fixture(scope="module")
+def rel(spark):
+    # Deliberately tie-heavy: ~70% of rows share v=1 (the frequency=1
+    # pile-up shape that defeats value-bucketed decompositions), plus a
+    # negative-value band for the cumsum sign coverage.
+    rows = [(i, 1 if i % 10 < 7 else (i % 97) - 20) for i in range(2000)]
+    return spark.createDataFrame(rows, "id bigint, v int")
+
+
+def _naive(rel, order):
+    w = Window.orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return rel.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("v").over(wf).cast("bigint").alias("cs"),
+        F.ntile(7).over(w).alias("nt"),
+    )
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_rank_cumsum_ntile_match_naive_window(spark, rel, direction):
+    # Column exprs built lazily — classic-mode Columns need a live JVM.
+    if direction == "asc":
+        order = [F.col("v").asc(), F.col("id").asc()]
+    else:
+        order = [F.col("v").desc(), F.col("id").desc()]
+    got = with_global_order(
+        rel, order, rank_col="rk", sums={"cs": F.col("v")}, buckets=16
+    )
+    n = rel.count()
+    got = got.select(
+        "id",
+        "rk",
+        F.col("cs").cast("bigint").alias("cs"),
+        global_ntile(F.col("rk"), F.lit(n), 7).alias("nt"),
+    )
+    exp = _naive(rel, order)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_plan_has_no_single_partition_window(spark, rel):
+    got = with_global_order(
+        rel, [F.col("v"), F.col("id")], rank_col="rk", buckets=16
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            nxt = "\n".join(lines[i + 1 : i + 4])
+            assert "Exchange SinglePartition" not in nxt, plan
+
+
+def test_ntile_degenerate_small_n(spark):
+    # n < k: NTILE hands each row its own bucket (bucket = rank).
+    df = spark.range(3).select(F.col("id"))
+    naive = df.select(
+        "id", F.ntile(7).over(Window.orderBy("id")).alias("nt")
+    )
+    two = with_global_order(df, [F.col("id")], rank_col="rk", buckets=4)
+    two = two.select("id", global_ntile(F.col("rk"), F.lit(3), 7).alias("nt"))
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_requires_some_output(spark, rel):
+    with pytest.raises(ValueError):
+        with_global_order(rel, [F.col("id")])
