@@ -1,10 +1,13 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "spread_pct": {name: pct, ...},
-     "iters": N, "sf": <sf>}
+Prints ONE JSON line to stdout:
+    {"queries": {name: sec, ...}, "metric": "...",
+     "value": <total_sec>, "unit": "sec", "iters": N, "sf": <sf>}
+spread_pct goes to stderr, and the complete result (medians + spreads
++ headline) is written to BENCH_LOCAL.json at the repo root — commit
+it each round so per-query medians survive any driver-side truncation
+of the stdout capture (VERDICT r6 #4).
 
 Measurement protocol (r3, per VERDICT r2 'Next round' #6 — r1/r2 were
 single-shot and showed ±20-25% swings on sub-2s queries):
@@ -184,29 +187,36 @@ def main() -> None:
         spread[name] = round(100.0 * (trimmed[-1] - trimmed[0]) / med, 1)
 
     total = round(sum(timings.values()), 3)
-    # Key order is deliberate (r6, VERDICT r5 #4): the round driver
-    # archives only the TAIL of this line, so the sacrificial
-    # spread_pct dict goes FIRST, the per-query medians second, and
-    # the headline summary (metric/value/unit/iters/sf) LAST — a
-    # truncated capture drops spread numbers, never the medians or
-    # the headline (r5's medians were unrecoverable because `queries`
-    # printed first).
+    # Artifact strategy (r7, VERDICT r6 #4): the round driver archives
+    # only the TAIL of the stdout line, and by r6 the line had grown
+    # past the captured tail — the first ~38 per-query medians were
+    # lost even with the r6 key reordering. Two changes close it for
+    # good: (1) spread_pct leaves the stdout line entirely (stderr,
+    # below), roughly halving the line; (2) the COMPLETE result —
+    # medians, spreads, headline — is also written to BENCH_LOCAL.json
+    # next to this script and committed each round, so every median is
+    # recoverable from the repo even if the driver capture truncates.
+    # Key order on stdout stays medians-first / headline-last so a
+    # truncated capture drops the oldest medians, never the headline.
     # One-time memo writes (signature index, IVF layout) are absorbed
     # by each query's uncounted warmup run, so timed rows are
     # steady-state.
-    print(
-        json.dumps(
-            {
-                "spread_pct": spread,
-                "queries": timings,
-                "metric": "headline_query_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "iters": ITERS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "queries": timings,
+        "metric": "headline_query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "iters": ITERS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    print(json.dumps({"spread_pct": spread}), file=sys.stderr)
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump({**result, "spread_pct": spread}, f, indent=1, sort_keys=True)
+        f.write("\n")
     spark.stop()
 
 

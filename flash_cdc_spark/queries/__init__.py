@@ -97,104 +97,104 @@ from flash_cdc_spark.queries import maintenance_ext2  # noqa: E402,F401
 from flash_cdc_spark.queries import contracts_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
-# r6 driver window (VERDICT r5, next-round item #3).
+# r7 driver window (VERDICT r6, next-round item #1 — the rotation plan
+# written in COVERAGE.md last round, executed verbatim).
 #
 # The round driver value-compares only the FIRST 50 registered queries,
 # so which 50 lead the registry is an explicit per-round decision, not
 # a side effect of module import order. This round's composition:
 #
-# * slots 1-21 — the 21 r5-new queries that registered past the window
-#   last round (COVERAGE.md ledger rows 84 and 154-173): the trained
-#   quality classifier pair + calibration, DSIR, Bloom contamination,
-#   BPE merges, length-matched sampling, label-centroid matrix,
-#   Z-order extents, the two streaming-executed paths (DLQ delivery,
-#   near-dup ingest gate), incremental IVF, cross-source dup matrix,
-#   touch attribution, curation funnel, MMR, PCA projection, seasonal
-#   anomalies, temperature mixture, token-budget selection, ts-profile
-#   similarity, and the real image resize. They are the only
-#   oracle-backed queries with no driver row yet; rotating them in
-#   makes every registered oracle-backed query driver-green at least
-#   once (the milestone r5 missed by one row).
-# * slot 22 — q12: r5's only red row (oracle HUGEINT/float64 typing,
-#   fixed this round with CAST(... AS BIGINT)); kept in-window so the
-#   fix shows green in CORRECTNESS_r06.json.
-# * slots 23-48 — 26 regression keepers spanning the r5/r6 diff and
-#   the scale-risk surfaces: the pooled-transport delivery paths
-#   (changefeed e2e), the memoized trained states (IVF ANN), the
-#   canonical-docs re-key, contamination + simhash64 (bench watch
-#   items), changefeed + Avro decode, the dedup family, streaming
-#   sinks, admin pagination, sketches/sessionize, retrieval, span
-#   dedup, eigenvector, UDTF, and 64-bit clusters.
-# * slots 49-50 — batch canaries from the rotation pool
-#   (q03/q10 due back — served r3; q01/q14/q18 served r5,
-#   q05/q13 in r4).
+# * slots 1-48 — the 48 OLDEST r6-new queries by COVERAGE.md ledger
+#   order (rows 72-74, the row-141 sequence-packing rewrite, and rows
+#   173-221 minus the r5 rows and the oracle-less row 182): the
+#   multimodal near-dup trio (image dHash / audio delta-sign / video
+#   frame-hash), the two-phase sequence packing, column profile, URL
+#   canonicalization, trained language ID, BPE train+apply, PQ/ADC +
+#   IVFADC ANN, phrase retrieval, kNN label propagation, PMI
+#   collocations, snapshot diff, JSONL quarantine, MAD outliers,
+#   market-basket pairs, PRF expansion, the warehouse-analytics batch
+#   (Benford, decayed popularity, CUSUM, RFM, Pareto, winsorized,
+#   Theil-Sen, chunk maxP, CDC net-effect/as-of, OLS, Gini, entropy,
+#   weighted sample, equi-depth, skew report), NB classifier, PSI
+#   drift, negative sampling, hard negatives, dwell time, referential
+#   audit, bipartite projection, exact decimal totals, audio
+#   normalize, n-gram novelty, source JSD, epoch allocation, and the
+#   embedding outlier screen. All were local-oracle + snapshot green
+#   in r6; these are their first driver rows. The three r6
+#   single-partition-window deductions (RFM, Pareto, equi-depth) ride
+#   in-window deliberately so their r7 two-phase rewrites show green
+#   in CORRECTNESS_r07.json.
+# * slots 49-50 — batch canaries from the rotation pool (q05/q13 due
+#   back — served r4; q03/q10 served r6, q01/q14/q18 r5).
+#
+# The remaining 11 r6-new queries (ledger rows 222-232,
+# q_events_burst_detection onward) plus this round's diff keepers lead
+# the r8 window — the written proposal is in COVERAGE.md.
 #
 # Everything rotated out stays continuously checked by the local mimic
 # (tests/test_oracle.py) AND pinned against the committed
 # oracle-fingerprint snapshot (tests/test_oracle_snapshot.py), so a
 # regression in the rotated-out surface still fails pytest loudly.
 WINDOW: list[str] = [
-    # -- r5 past-window queries: first driver rows this round (21) --
-    "q_quality_logreg_score",
-    "q_quality_logreg_calibration",
-    "q_train_dsir_weights",
-    "q_train_contamination_bloom",
-    "q_text_bpe_merge_candidates",
-    "q_train_length_matched_sample",
-    "q_embedding_label_centroid_sim",
-    "q_events_zorder_extents",
-    "q_streaming_neardup_dedup",
-    "q_streaming_dlq_delivery",
-    "q_sim_ann_ivf_incremental",
-    "q_dedup_cross_source_matrix",
-    "q_events_touch_attribution",
-    "q_curation_funnel_report",
-    "q_retrieval_mmr_topk",
-    "q_embedding_pca_project",
-    "q_events_seasonal_anomalies",
-    "q_train_temperature_mixture",
-    "q_train_token_budget_selection",
-    "q_events_ts_profile_similarity",
-    "q_multimodal_image_resize",
-    # -- r5's red row, oracle fixed this round (1) --
-    "q12_late_shipment_priority",
-    # -- regression keepers (26) --
-    "q_streaming_changefeed_e2e",
-    "q_changefeed_flagship",
-    "q_envelope_decode_avro",
-    "q_dedup_canonical_docs",
-    "q_train_contamination_check",
-    "q_dedup_simhash64_pairs",
-    "q_sim_ann_ivf_topk",
-    "q_dedup_clusters",
-    "q_dedup_clusters64",
-    "q_dedup_minhash_lsh",
-    "q_dedup_exact_summary",
-    "q_dedup_prefix_jaccard_join",
-    "q_dedup_containment_pairs",
-    "q_dedup_semdedup",
-    "q_streaming_latest_state",
-    "q_streaming_db_upsert",
-    "q_streaming_feed_outbox",
-    "q_admin_filter_paginate",
-    "q_multimodal_decode_features",
-    "q_events_sessionize",
-    "q_events_sketch_accuracy",
-    "q_events_heavy_hitters",
-    "q_retrieval_bm25_topk",
-    "q_text_span_dedup",
-    "q_embedding_top_eigenvector",
-    "q_udtf_chunk_digest",
+    # -- r6-new, first driver rows (48; COVERAGE.md ledger order) --
+    "q_multimodal_dhash_neardup",
+    "q_multimodal_audiohash_neardup",
+    "q_multimodal_video_neardup",
+    "q_train_sequence_packing",
+    "q_quality_column_profile",
+    "q_dedup_url_canonical",
+    "q_text_langid_profile",
+    "q_text_bpe_tokenize",
+    "q_text_bpe_train_rounds",
+    "q_sim_ann_pq_adc_topk",
+    "q_retrieval_phrase_match",
+    "q_quality_knn_label_prop",
+    "q_sim_ann_ivfadc_topk",
+    "q_text_pmi_collocations",
+    "q_maintenance_snapshot_diff",
+    "q_ingest_json_quarantine",
+    "q_quality_mad_outliers",
+    "q_market_basket_pairs",
+    "q_retrieval_prf_expansion",
+    "q_events_benford_audit",
+    "q_events_decayed_popularity",
+    "q_events_cusum_changepoint",
+    "q_customer_rfm_segments",
+    "q_sales_pareto_abc",
+    "q_quality_winsorized_stats",
+    "q_events_theilsen_trend",
+    "q_retrieval_chunk_maxp",
+    "q_changefeed_net_effect",
+    "q_changefeed_asof_state",
+    "q_events_ols_trend",
+    "q_sales_gini_concentration",
+    "q_events_user_entropy",
+    "q_train_weighted_sample",
+    "q_stats_equidepth_histogram",
+    "q_maintenance_skew_report",
+    "q_quality_nb_classifier",
+    "q_quality_psi_drift",
+    "q_train_negative_sampling",
+    "q_retrieval_hard_negatives",
+    "q_events_dwell_time",
+    "q_quality_referential_audit",
+    "q_graph_bipartite_projection",
+    "q_quality_exact_decimal_totals",
+    "q_multimodal_audio_normalize",
+    "q_text_ngram_novelty",
+    "q_text_source_jsd",
+    "q_train_epoch_allocation",
+    "q_embedding_outliers",
     # -- batch canaries (2; rotation pool in COVERAGE.md) --
-    "q03_shipping_priority",
-    "q10_returned_items",
+    "q05_local_supplier_volume",
+    "q13_customer_distribution",
 ]
 
 # This round's batch canaries (tail of WINDOW); exported for the
 # registry-contract test and COVERAGE.md's rotation history.
 CANARIES: list[str] = [
-    "q03_shipping_priority",
-    "q10_returned_items",
+    "q05_local_supplier_volume",
+    "q13_customer_distribution",
 ]
 
 

@@ -96,6 +96,55 @@ def test_admin_http_routes_end_to_end(spark, tmp_path, capture):
         assert _call(f"{url}/nope")[0] == 404
 
 
+def test_admin_http_restart_route(spark, tmp_path, capture):
+    """r7 (VERDICT r6 'What's missing' #3): POST /clients/{id}/restart —
+    the last reference route without a 1:1 endpoint (reference
+    ``app/routers/listeners.py:91-96``). Three paths: a live/registered
+    pipeline recycles via ``PipelineManager.restart``; an id known only
+    to the config store cold-starts from stored config (the reference
+    reloads from the DB on restart) and must DELIVER; an unknown id is
+    404."""
+    _write_events(spark, str(tmp_path / "source"), [_event_row(1, ["w1"], flag="true")])
+    mgr = PipelineManager(spark, retry_policy=FAST)
+    svc = AdminService(spark, mgr, str(tmp_path / "configs"))
+
+    def cfg_body(pid):
+        return {
+            "id": pid,
+            "name": f"client-{pid}",
+            "topic": "/data/OppChangeEvent",
+            "webhook_url": f"http://127.0.0.1:{capture.server_address[1]}/h",
+            "instance_url": "https://i",
+            "source_path": str(tmp_path / "source"),
+            "checkpoint_root": str(tmp_path / f"ckpt{pid}"),
+            "is_active": False,
+        }
+
+    with AdminHttpServer(svc) as url:
+        assert _call(f"{url}/clients/", "POST", cfg_body(1))[0] == 200
+        assert _call(f"{url}/clients/", "POST", cfg_body(2))[0] == 200
+
+        # registered path: start, let it finish, then recycle in place
+        assert _call(f"{url}/clients/1/start", "POST")[0] == 200
+        mgr.wait(1, timeout_s=120)
+        code, body = _call(f"{url}/clients/1/restart", "POST")
+        assert code == 200 and body["ok"] and body["restarted"]
+        mgr.wait(1, timeout_s=120)
+
+        # fallback path: id 2 was never started — restart cold-starts
+        # from the stored config and the pipeline delivers
+        code, body = _call(f"{url}/clients/2/restart", "POST")
+        assert code == 200 and body["ok"] and body["restarted"]
+        mgr.wait(2, timeout_s=120)
+        with capture.lock:
+            assert any(
+                r["data"][0]["Id"] == "w1" for r in capture.requests
+            )
+
+        # unknown id
+        assert _call(f"{url}/clients/99/restart", "POST")[0] == 404
+
+
 def test_admin_http_crud_routes_end_to_end(spark, tmp_path, capture):
     """r5 (VERDICT r4 #4): list / get-one / PATCH / DELETE / test —
     the reference's remaining clients.py routes — driven end-to-end,
