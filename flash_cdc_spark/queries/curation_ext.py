@@ -120,7 +120,7 @@ def q_dedup_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (process, corpus) instead of per-query localCheckpoint, the
     # ingest-time artifact a production dedup pipeline would store
     docs = signature_index(
-        d.select(
+        lambda: d.select(
             "doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles")
         ).filter(F.size("shingles") > 0),
         sf_dir,
@@ -231,7 +231,7 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same shared shingle index as the Jaccard prefix join (r5): one
     # parquet materialization per (process, corpus), read lazily here
     docs = signature_index(
-        d.select(
+        lambda: d.select(
             "doc_id", shingles_col(tokens_col("text"), n=3).alias("shingles")
         ).filter(F.size("shingles") > 0),
         sf_dir,
@@ -514,7 +514,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flash_cdc_spark.session import ensure_min_parallelism
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sigs = signature_index(simhash64_signatures(d), sf_dir, "simhash64")
+    sigs = signature_index(lambda: simhash64_signatures(d), sf_dir, "simhash64")
     grp = sigs.groupBy("sim_hi", "sim_lo").agg(F.min("doc_id").alias("doc_id"))
     pairs = simhash64_candidate_pairs(
         grp.select("doc_id", "sim_hi", "sim_lo"),

@@ -261,7 +261,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # read from the memoized signature index (ingest-time analog) —
     # bit-identical to inline computation, see operators/dedup.py
-    sigs = signature_index(simhash_signatures(d), sf_dir, "simhash32")
+    sigs = signature_index(lambda: simhash_signatures(d), sf_dir, "simhash32")
     return simhash_candidate_pairs(
         sigs, max_hamming=3, max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH
     )
@@ -331,7 +331,7 @@ def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate boilerplate). Signature carried as two 32-bit halves —
     bit-exact on both engines, no 2⁶³ overflow on either."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = signature_index(simhash64_signatures(d), sf_dir, "simhash64")
+    sigs = signature_index(lambda: simhash64_signatures(d), sf_dir, "simhash64")
     return simhash64_candidate_pairs(
         sigs, max_hamming=3, max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH
     )
@@ -683,7 +683,7 @@ def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = d.withColumn("media", MM.synth_pgm_grouped_udf()(F.col("doc_id")))
     # ingest-time signature index: decode+hash once per (process,
     # corpus), every search reads the stored signature table
-    sig = signature_index(MM.dhash_features(imgs, "media"), sf_dir, "dhash")
+    sig = signature_index(lambda: MM.dhash_features(imgs, "media"), sf_dir, "dhash")
     return simhash64_candidate_pairs(sig, max_hamming=3)
 
 
@@ -749,7 +749,7 @@ def q_multimodal_audiohash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     clips = d.withColumn("media", MM.synth_wav_grouped_udf()(F.col("doc_id")))
     sig = signature_index(
-        MM.audiohash_features(clips, "media"), sf_dir, "audiohash"
+        lambda: MM.audiohash_features(clips, "media"), sf_dir, "audiohash"
     )
     return simhash64_candidate_pairs(sig, max_hamming=3)
 
@@ -830,7 +830,7 @@ def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature index matters doubly here: the self-join would
     # otherwise run the mapInPandas decode subtree TWICE per search
     sig = signature_index(
-        MM.video_frame_hashes(vids, "media"), sf_dir, "videohash"
+        lambda: MM.video_frame_hashes(vids, "media"), sf_dir, "videohash"
     )
     a = sig.select(F.col("doc_id").alias("doc_a"), "sim_hi", "sim_lo")
     b = sig.select(F.col("doc_id").alias("doc_b"), "sim_hi", "sim_lo")
@@ -1300,7 +1300,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flash_cdc_spark.operators.graph import connected_components
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sigs = signature_index(simhash_signatures(d), sf_dir, "simhash32")
+    sigs = signature_index(lambda: simhash_signatures(d), sf_dir, "simhash32")
     grp = (
         sigs.groupBy("simhash")
         .agg(
@@ -1554,7 +1554,7 @@ def q_dedup_clusters64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flash_cdc_spark.operators.graph import connected_components
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sigs = signature_index(simhash64_signatures(d), sf_dir, "simhash64")
+    sigs = signature_index(lambda: simhash64_signatures(d), sf_dir, "simhash64")
     grp = (
         sigs.groupBy("sim_hi", "sim_lo")
         .agg(
@@ -1665,7 +1665,7 @@ def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the kmeans_cte device), so the unrolled-CTE oracle is
     bit-comparable despite float reductions."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sigs = signature_index(simhash64_signatures(d), sf_dir, "simhash64")
+    sigs = signature_index(lambda: simhash64_signatures(d), sf_dir, "simhash64")
     grp = (
         sigs.groupBy("sim_hi", "sim_lo")
         .agg(F.min("doc_id").alias("doc_id"))
