@@ -154,6 +154,13 @@ HEADLINE = [
     "q_text_ngram_novelty",
     "q_quality_nb_classifier",
     "q_embedding_outliers",
+    # --- added r7 ---
+    "q_survival_kaplan_meier",
+    "q_events_sla_percentiles",
+    "q_multimodal_video_dup_groups",
+    "q_retrieval_ql_dirichlet",
+    "q_text_readability_forcast",
+    "q_quality_dup_inflation",
 ]
 
 

@@ -96,6 +96,10 @@ from flash_cdc_spark.queries import analytics_ext4  # noqa: E402,F401
 from flash_cdc_spark.queries import maintenance_ext2  # noqa: E402,F401
 from flash_cdc_spark.queries import contracts_ext  # noqa: E402,F401
 
+# r7 additions (past-window; r8 rotation candidates — slots reserved in
+# the COVERAGE.md r8 proposal).
+from flash_cdc_spark.queries import analytics_ext5  # noqa: E402,F401
+
 # ---------------------------------------------------------------------
 # r7 driver window (VERDICT r6, next-round item #1 — the rotation plan
 # written in COVERAGE.md last round, executed verbatim).

@@ -1040,3 +1040,112 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("brand_a", "brand_b", "support", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "q_market_basket_rules",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_baskets AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS nb FROM basket),
+    supp1 AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS s FROM basket GROUP BY brand
+    ),
+    pairs AS (
+        SELECT a.brand AS antecedent, b.brand AS consequent,
+               CAST(count(*) AS BIGINT) AS supp_ab
+        FROM basket a JOIN basket b
+          ON a.okey = b.okey AND a.brand <> b.brand
+        GROUP BY a.brand, b.brand
+    ),
+    rules AS (
+        SELECT r.antecedent, r.consequent, r.supp_ab,
+               sa.s AS supp_a, sb.s AS supp_b,
+               round(CAST(r.supp_ab AS DOUBLE) / sa.s, 6) AS confidence,
+               round(CAST(r.supp_ab AS DOUBLE) * (SELECT nb FROM n_baskets)
+                     / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+        FROM pairs r
+        JOIN supp1 sa ON sa.brand = r.antecedent
+        JOIN supp1 sb ON sb.brand = r.consequent
+        WHERE r.supp_ab >= 5
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY lift DESC, antecedent,
+                                     consequent) AS rk
+        FROM rules
+    )
+    SELECT antecedent, consequent, supp_ab, supp_a, supp_b,
+           confidence, lift, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from basket co-occurrence (the A-priori rule
+    step, Agrawal & Srikant VLDB'94): for every DIRECTED brand pair
+    with joint support >= 5, confidence(A->B) = supp(AB)/supp(A) and
+    lift = supp(AB)*N / (supp(A)*supp(B)) — the two numbers a
+    recommender/assortment team actually reads (confidence without
+    lift mistakes popularity for affinity). Top-20 by lift.
+
+    Scale: the same bounded per-basket pair expansion as
+    q_market_basket_pairs (baskets are small — the itemset-mining
+    standing assumption) joined to the brand-bounded unary supports
+    (broadcast) and one scalar basket count; the rank runs after a
+    TakeOrdered over brand^2-bounded rules. Confidence/lift are exact
+    integer ratios rounded to 6 dp — identical doubles cross-engine.
+    """
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = basket.agg(F.countDistinct("okey").cast("bigint").alias("nb"))
+    supp1 = basket.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    b2 = basket.select(F.col("okey"), F.col("brand").alias("consequent"))
+    pairs = (
+        basket.withColumnRenamed("brand", "antecedent")
+        .join(b2, "okey")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 5)
+    )
+    sa = supp1.select(F.col("brand").alias("antecedent"), F.col("s").alias("supp_a"))
+    sb = supp1.select(F.col("brand").alias("consequent"), F.col("s").alias("supp_b"))
+    rules = (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "supp_ab",
+            "supp_a",
+            "supp_b",
+            F.round(F.col("supp_ab").cast("double") / F.col("supp_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("supp_ab").cast("double")
+                * F.col("nb")
+                / (F.col("supp_a").cast("double") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    topn = rules.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(20)
+    w = Window.orderBy(F.col("lift").desc(), "antecedent", "consequent")
+    return topn.withColumn("rk", F.row_number().over(w)).select(
+        "antecedent", "consequent", "supp_ab", "supp_a", "supp_b",
+        "confidence", "lift", F.col("rk").cast("int").alias("rk"),
+    )

@@ -226,3 +226,86 @@ def q_text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select(F.col("rk").cast("int").alias("rk"), "source_a", "source_b", "jsd")
     )
+
+
+# ---------------------------------------------------------------------
+# FORCAST readability grade (r7)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_text_readability_forcast",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    syl AS (
+        SELECT doc_id, source,
+               CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) <= 1
+                    THEN 1 ELSE 0 END AS mono
+        FROM words WHERE w <> ''
+    ),
+    perdoc AS (
+        SELECT doc_id, source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(mono) AS BIGINT) AS n_mono,
+               round(20.0 - (150.0 * sum(mono) / count(*)) / 10.0, 6)
+                   AS grade
+        FROM syl GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           round(avg(100.0 * n_mono / n_words), 4) AS pct_monosyllabic,
+           round(avg(grade), 4) AS avg_forcast_grade
+    FROM perdoc GROUP BY source
+    """,
+)
+def q_text_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORCAST readability grade per source (Caylor & Sticht 1973):
+    grade = 20 - (monosyllabic words per 150) / 10 — the readability
+    formula designed for NON-NARRATIVE text (forms, technical prose)
+    because it needs no sentence boundaries, which makes it the right
+    instrument for token-stream corpora like this fixture (no
+    punctuation). Syllables are estimated as vowel groups
+    ('[aeiouy]+' runs), the standard heuristic; a word with <= 1 vowel
+    group is monosyllabic. Reported per source as a curation signal
+    (low grade = simpler text) next to the Gopher/perplexity screens.
+
+    Scale: one token explode -> per-doc aggregate -> per-source
+    aggregate; the vowel-group count is a built-in regexp inside
+    codegen (no UDF). Per-doc grades are exact-integer ratios rounded
+    to 6 dp, so the per-source means fold identically-valued doubles;
+    final rounding at 4 dp absorbs fold-order ulps.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    mono = (
+        F.size(F.regexp_extract_all("w", F.lit("[aeiouy]+"), F.lit(0))) <= 1
+    ).cast("int")
+    perdoc = words.select("doc_id", "source", mono.alias("mono")).groupBy(
+        "doc_id", "source"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("mono").cast("bigint").alias("n_mono"),
+    ).withColumn(
+        "grade",
+        F.round(
+            F.lit(20.0)
+            - (150.0 * F.col("n_mono") / F.col("n_words")) / 10.0,
+            6,
+        ),
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.round(F.avg(100.0 * F.col("n_mono") / F.col("n_words")), 4).alias(
+            "pct_monosyllabic"
+        ),
+        F.round(F.avg("grade"), 4).alias("avg_forcast_grade"),
+    )

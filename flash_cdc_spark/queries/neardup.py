@@ -754,10 +754,10 @@ def q_multimodal_audiohash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     return simhash64_candidate_pairs(sig, max_hamming=3)
 
 
-@query(
-    "q_multimodal_video_neardup",
-    oracle=f"""
-    WITH grid AS (
+# Closed-form DuckDB recomputation of every per-frame dHash of the
+# synthetic video corpus — shared by the pair query and the r7
+# contraction query. Emits sig(doc_id, f, hi, lo).
+_DUCK_VIDEO_SIG = f"""grid AS (
         SELECT d.doc_id, f.f, gx.gx, gy.gy,
                (gx.gx * {MM.PGM_WIDTH}) // 9 AS sx,
                (gy.gy * {MM.PGM_HEIGHT}) // 8 AS sy
@@ -796,7 +796,13 @@ def q_multimodal_audiohash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
                              THEN bit * (1::BIGINT << b)
                              ELSE 0 END) AS BIGINT) AS lo
         FROM bits GROUP BY doc_id, f
-    )
+    )"""
+
+
+@query(
+    "q_multimodal_video_neardup",
+    oracle=f"""
+    WITH {_DUCK_VIDEO_SIG}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(DISTINCT CAST(a.hi AS VARCHAR) || ':'
                                || CAST(a.lo AS VARCHAR)) AS INT) AS n_shared
@@ -844,6 +850,127 @@ def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@query(
+    "q_multimodal_video_dup_groups",
+    oracle=f"""
+    WITH {_DUCK_VIDEO_SIG},
+    vhash AS (SELECT DISTINCT doc_id, hi, lo FROM sig),
+    fp AS (
+        SELECT doc_id,
+               md5(string_agg(CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR),
+                   ',' ORDER BY CAST(hi AS VARCHAR) || ':'
+                                || CAST(lo AS VARCHAR))) AS f
+        FROM vhash GROUP BY doc_id
+    ),
+    reps AS (
+        SELECT f, CAST(min(doc_id) AS BIGINT) AS rep,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM fp GROUP BY f
+    ),
+    rhash AS (
+        SELECT r.rep, r.n_copies, v.hi, v.lo
+        FROM reps r JOIN vhash v ON v.doc_id = r.rep
+    ),
+    cross_pairs AS (
+        SELECT a.rep AS rep_a, b.rep AS rep_b,
+               CAST(count(*) AS INT) AS n_shared,
+               CAST(max(a.n_copies) * max(b.n_copies) AS BIGINT)
+                   AS covered_pairs
+        FROM rhash a JOIN rhash b
+          ON a.hi = b.hi AND a.lo = b.lo AND a.rep < b.rep
+        GROUP BY a.rep, b.rep
+        HAVING count(*) >= 3
+    ),
+    rcount AS (
+        SELECT rep, CAST(count(*) AS INT) AS nh FROM rhash GROUP BY rep
+    ),
+    internal AS (
+        SELECT r.rep AS rep_a, r.rep AS rep_b, c.nh AS n_shared,
+               CAST(r.n_copies * (r.n_copies - 1) // 2 AS BIGINT)
+                   AS covered_pairs
+        FROM reps r JOIN rcount c ON c.rep = r.rep
+        WHERE r.n_copies > 1
+    )
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM internal
+    """,
+)
+def q_multimodal_video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup with EXACT-DUP CONTRACTION (r7) — the scale form
+    the r7 probe demanded: ``tools/scale_probe.py --only video``
+    measured the pair query's output growing quadratically in
+    duplication-group width (497k pairs -> 32M pairs, join 4.8 s ->
+    248 s at 8x replication) because N byte-identical re-encodes ARE
+    N(N-1)/2 pairs. This query contracts FIRST: videos with an
+    identical frame-hash fingerprint (md5 of the sorted hash set)
+    collapse to one representative carrying its copy count, the >=3
+    shared-frame join runs over REPRESENTATIVES only, and each output
+    row carries ``covered_pairs`` — the number of doc-level pairs it
+    stands for (n_a*n_b across fingerprints; C(n,2) inside one — the
+    self-row rep_a = rep_b). Total information is the same; output and
+    join cost are now linear in DISTINCT content, so replication
+    contracts instead of exploding (re-probed FLAT, SCALE.md). Same
+    device as q_dedup_clusters' signature-group contraction — applied
+    to the content-ID modality.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = d.withColumn("media", MM.synth_video_udf()(F.col("doc_id")))
+    sig = signature_index(
+        lambda: MM.video_frame_hashes(vids, "media"), sf_dir, "videohash"
+    )
+    vhash = sig.select("doc_id", "sim_hi", "sim_lo").distinct()
+    key = F.concat_ws(
+        ":", F.col("sim_hi").cast("string"), F.col("sim_lo").cast("string")
+    )
+    fp = vhash.groupBy("doc_id").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(key)))).alias("f")
+    )
+    reps = fp.groupBy("f").agg(
+        F.min("doc_id").cast("bigint").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    rhash = reps.join(vhash, reps["rep"] == vhash["doc_id"]).select(
+        "rep", "n_copies", "sim_hi", "sim_lo"
+    )
+    a = rhash.select(
+        F.col("rep").alias("rep_a"),
+        F.col("n_copies").alias("na"),
+        "sim_hi",
+        "sim_lo",
+    )
+    b = rhash.select(
+        F.col("rep").alias("rep_b"),
+        F.col("n_copies").alias("nb"),
+        "sim_hi",
+        "sim_lo",
+    )
+    cross_pairs = (
+        a.join(b, ["sim_hi", "sim_lo"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("rep_a", "rep_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shared"),
+            (F.max("na") * F.max("nb")).cast("bigint").alias("covered_pairs"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
+    rcount = rhash.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("int").alias("nh")
+    )
+    internal = (
+        reps.filter(F.col("n_copies") > 1)
+        .join(rcount, "rep")
+        .select(
+            F.col("rep").alias("rep_a"),
+            F.col("rep").alias("rep_b"),
+            F.col("nh").alias("n_shared"),
+            (F.col("n_copies") * (F.col("n_copies") - 1) / 2)
+            .cast("bigint")
+            .alias("covered_pairs"),
+        )
+    )
+    return cross_pairs.unionByName(internal)
 
 
 _PGM_HEADER_LEN = len(f"P5\n{MM.PGM_WIDTH} {MM.PGM_HEIGHT}\n255\n")

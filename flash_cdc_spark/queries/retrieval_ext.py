@@ -629,3 +629,107 @@ def q_retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topn.withColumn("rk", F.row_number().over(w_rank)).select(
         "doc_id", "prf_score", F.col("rk").cast("int").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood (r7)
+# ---------------------------------------------------------------------
+
+_QL_MU = 2000.0  # the standard Dirichlet prior (Zhai & Lafferty 2001)
+
+
+@query(
+    "q_retrieval_ql_dirichlet",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    coll AS (SELECT CAST(count(*) AS BIGINT) AS total_toks FROM tok),
+    cf AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cf FROM tok
+        WHERE t IN ({_QTERMS_SQL}) GROUP BY t
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id FROM tok WHERE t IN ({_QTERMS_SQL})
+    ),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM tok
+        WHERE t IN ({_QTERMS_SQL}) GROUP BY doc_id, t
+    ),
+    grid AS (
+        SELECT c.doc_id, f.t, f.cf, coalesce(tf.tf, 0) AS tf
+        FROM cand c CROSS JOIN cf f
+        LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.t = f.t
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               round(sum(ln(
+                   (g.tf + {_QL_MU} * (CAST(g.cf AS DOUBLE) / s.total_toks))
+                   / (l.dl + {_QL_MU})
+               )), 6) AS ql_score
+        FROM grid g
+        JOIN dl l ON l.doc_id = g.doc_id
+        CROSS JOIN coll s
+        GROUP BY g.doc_id
+    ),
+    top AS (
+        SELECT doc_id, ql_score,
+               row_number() OVER (ORDER BY ql_score DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT doc_id, ql_score, CAST(rk AS INT) AS rk
+    FROM top WHERE rk <= {_TOPK}
+    """,
+)
+def q_retrieval_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    SIGIR'01) — the language-modeling counterpart to BM25, completing
+    the classical lexical pair: score(d) = sum over query terms of
+    ln((tf + mu*P(t|C)) / (|d| + mu)), mu={_QL_MU}. Candidates are
+    pruned to documents containing at least one query term (the
+    inverted-index retrieval contract); the smoothing grid is
+    candidates x |q| so every candidate scores ALL query terms, zeros
+    smoothed by the collection LM.
+
+    Scale: one token-explode pass builds tf/dl/collection stats; the
+    collection LM for the |q| probe terms broadcasts; the candidate
+    grid is |cand| x 3 rows; top-{_TOPK} is a TakeOrdered (rank
+    assigned after the take over {_TOPK} rows — no global sort).
+    Determinism: scores rounded to 6 dp, ties by doc_id, same fold
+    inputs on both engines (the 3-term sum folds identically-rounded
+    doubles)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    coll = tok.agg(F.count("*").cast("bigint").alias("total_toks"))
+    probe = tok.filter(F.col("t").isin(*_QTERMS))
+    cf = probe.groupBy("t").agg(F.count("*").cast("bigint").alias("cf"))
+    cand = probe.select("doc_id").distinct()
+    tf = probe.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    grid = (
+        cand.crossJoin(F.broadcast(cf))
+        .join(tf, ["doc_id", "t"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+    )
+    scored = (
+        grid.join(dl, "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "doc_id",
+            F.log(
+                (
+                    F.col("tf")
+                    + _QL_MU * (F.col("cf").cast("double") / F.col("total_toks"))
+                )
+                / (F.col("dl") + _QL_MU)
+            ).alias("term_ll"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_ll"), 6).alias("ql_score"))
+    )
+    topn = scored.orderBy(F.col("ql_score").desc(), "doc_id").limit(_TOPK)
+    w_rank = Window.orderBy(F.col("ql_score").desc(), "doc_id")
+    return topn.withColumn("rk", F.row_number().over(w_rank)).select(
+        "doc_id", "ql_score", F.col("rk").cast("int").alias("rk")
+    )

@@ -389,6 +389,149 @@ def measure_dlq_delivery(spark: SparkSession, sf_dir: str, reps: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def measure_video_neardup(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """Video frame-hash join growth (r7, VERDICT r6 #7 — the r6 family
+    without a probe table): replicate the video corpus ``reps``× with
+    the dedup-probe structure (even ids keep their ORIGINAL content —
+    exact duplicate clips across replicas, the content-ID worst case
+    where every shared frame bucket is ``reps`` wide; odd ids get
+    unique content). Runs the real decode → per-frame dHash →
+    equi-join-on-hash → pair-aggregate path and reports decode and
+    join wall separately, so linear decode cannot mask superlinear
+    join growth. Expected reading: pairs grow ~quadratically in the
+    DUPLICATION factor (8 copies of a clip ARE 28 duplicate pairs —
+    correct output, not a plan hazard) while join wall tracks the
+    output size, and decode stays linear in clips."""
+    from flash_cdc_spark.operators import multimodal as MM
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    ids = base.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        F.when(
+            (F.col("rep") == 0) | (F.col("doc_id") % 2 == 0), F.col("doc_id")
+        )
+        .otherwise(F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+        .alias("content_id"),
+    )
+    vids = ids.withColumn("media", MM.synth_video_udf()(F.col("content_id")))
+
+    import shutil
+    import tempfile
+
+    layout = tempfile.mkdtemp(prefix=f"videoprobe_{reps}x_")
+    try:
+        t0 = time.time()
+        MM.video_frame_hashes(
+            vids, "media"
+        ).write.mode("overwrite").parquet(layout)
+        decode_sec = round(time.time() - t0, 2)
+        sig = spark.read.parquet(layout)
+        a = sig.select(F.col("doc_id").alias("doc_a"), "sim_hi", "sim_lo")
+        b = sig.select(F.col("doc_id").alias("doc_b"), "sim_hi", "sim_lo")
+        t0 = time.time()
+        pairs = (
+            a.join(b, ["sim_hi", "sim_lo"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.countDistinct("sim_hi", "sim_lo").cast("int").alias("n_shared"))
+            .filter(F.col("n_shared") >= 3)
+            .count()
+        )
+        join_sec = round(time.time() - t0, 2)
+        n_videos = sig.select("doc_id").distinct().count()
+
+        # contracted path (q_multimodal_video_dup_groups): exact-dup
+        # fingerprint contraction, then the same >=3 join over reps
+        t0 = time.time()
+        vhash = sig.select("doc_id", "sim_hi", "sim_lo").distinct()
+        key = F.concat_ws(
+            ":", F.col("sim_hi").cast("string"), F.col("sim_lo").cast("string")
+        )
+        fp = vhash.groupBy("doc_id").agg(
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list(key)))).alias("f")
+        )
+        reps_df = fp.groupBy("f").agg(
+            F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_copies")
+        )
+        rhash = reps_df.join(vhash, reps_df["rep"] == vhash["doc_id"]).select(
+            "rep", "n_copies", "sim_hi", "sim_lo"
+        )
+        ca = rhash.select(F.col("rep").alias("rep_a"), "sim_hi", "sim_lo")
+        cb = rhash.select(F.col("rep").alias("rep_b"), "sim_hi", "sim_lo")
+        rep_pairs = (
+            ca.join(cb, ["sim_hi", "sim_lo"])
+            .filter(F.col("rep_a") < F.col("rep_b"))
+            .groupBy("rep_a", "rep_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 3)
+            .count()
+        )
+        n_reps = reps_df.count()
+        contracted_sec = round(time.time() - t0, 2)
+        return {
+            "probe": "video_neardup",
+            "reps": reps,
+            "n_videos": n_videos,
+            "n_frame_hash_rows": sig.count(),
+            "dup_pairs": pairs,
+            "decode_sec": decode_sec,
+            "join_sec": join_sec,
+            "n_fingerprint_reps": n_reps,
+            "rep_pairs": rep_pairs,
+            "contracted_sec": contracted_sec,
+        }
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
+
+
+def measure_phrase_match(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """Phrase-retrieval posting-join growth (r7, VERDICT r6 #7 — the
+    other unprobed r6 family): replicate documents ``reps``× (the
+    dedup-probe corpus: half exact dups, half near-dups) and run the
+    real positional-posting pipeline — posexplode → probe-word filter
+    → broadcast phrase join → (phrase, doc, start) vote aggregate.
+    Expected reading: matching postings, occurrences, and wall all
+    grow ~linearly with the corpus (the probe-word filter prunes at
+    the scan; nothing is quadratic in docs)."""
+    from flash_cdc_spark.operators.dedup import tokens_col
+    from flash_cdc_spark.queries.retrieval_ext import _PHRASES
+
+    docs = synth_corpus(spark, sf_dir, reps)
+    phrases = spark.createDataFrame(
+        [
+            (i, p, wi, w, len(p.split(" ")))
+            for i, p in enumerate(_PHRASES)
+            for wi, w in enumerate(p.split(" "))
+        ],
+        "phrase_id int, phrase string, widx int, word string, plen int",
+    )
+    probe_words = sorted({w for p in _PHRASES for w in p.split(" ")})
+    t0 = time.time()
+    postings = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "term")
+    ).filter(F.col("term").isin(probe_words))
+    occ = (
+        postings.join(F.broadcast(phrases), F.col("term") == F.col("word"))
+        .groupBy("phrase_id", "doc_id", (F.col("pos") - F.col("widx")).alias("start"))
+        .agg(
+            F.countDistinct("widx").alias("votes"),
+            F.max("plen").alias("plen"),
+        )
+        .filter(F.col("votes") == F.col("plen"))
+    )
+    n_occ = occ.count()
+    wall = round(time.time() - t0, 2)
+    return {
+        "probe": "phrase_match",
+        "reps": reps,
+        "n_docs": docs.count(),
+        "n_matching_postings": postings.count(),
+        "n_occurrences": n_occ,
+        "phrase_pipeline_sec": wall,
+    }
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     if "--sf-dir" in sys.argv:
@@ -405,6 +548,16 @@ def main() -> int:
         for reps in (1, 2, 4, 8):
             print(json.dumps(measure_dlq_delivery(spark, sf_dir, reps)), flush=True)
     if only == "streaming":
+        spark.stop()
+        return 0
+    # r7 (VERDICT r6 #7): the two r6 families without probe tables
+    if only in (None, "video"):
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_video_neardup(spark, sf_dir, reps)), flush=True)
+    if only in (None, "phrase"):
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_phrase_match(spark, sf_dir, reps)), flush=True)
+    if only in ("video", "phrase"):
         spark.stop()
         return 0
     if only in (None, "dedup"):
