@@ -81,3 +81,47 @@ def test_ntile_degenerate_small_n(spark):
 def test_requires_some_output(spark, rel):
     with pytest.raises(ValueError):
         with_global_order(rel, [F.col("id")])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=300),
+    buckets=st.integers(min_value=1, max_value=40),
+    k=st.integers(min_value=1, max_value=9),
+)
+def test_property_two_phase_matches_naive(spark, vals, buckets, k):
+    """Random tie-heavy integer relations, arbitrary bucket counts
+    (including buckets > rows and buckets = 1), and arbitrary NTILE k:
+    rank, running sum, and ntile from the two-phase decomposition must
+    equal the naive global-window forms exactly."""
+    rel = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v int"
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = with_global_order(
+        rel, order, rank_col="rk", sums={"cs": F.col("v")}, buckets=buckets
+    )
+    n = len(vals)
+    got = got.select(
+        "id",
+        "rk",
+        F.col("cs").cast("bigint").alias("cs"),
+        global_ntile(F.col("rk"), F.lit(n), k).alias("nt"),
+    ).collect()
+    w = Window.orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp = rel.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("v").over(wf).cast("bigint").alias("cs"),
+        F.ntile(k).over(w).alias("nt"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))

@@ -532,6 +532,62 @@ def measure_phrase_match(spark: SparkSession, sf_dir: str, reps: int) -> dict:
     }
 
 
+def measure_global_rank(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """Two-phase exact global rank growth (r7): the
+    `operators/global_order.py` decomposition now carries the RFM /
+    Pareto / equi-depth rewrites, the SLA percentiles, and both KM
+    cumsums — this probe pins its scaling claim. Replicate events
+    ``reps``× with globally-unique ids and run the exact-SLA-percentile
+    pipeline (rank every row, select 4 target ranks). Expected
+    reading: wall ~linear-to-flat in rows (two linear passes — the
+    range shuffle and the pid window — dominate; the offsets join is
+    bounded by the bucket count), and the selected rank values
+    consistent across scales (the replicated distribution is
+    identical, so p50/p99 values repeat)."""
+    from flash_cdc_spark.operators.global_order import with_global_order
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    e = (
+        base.crossJoin(rep)
+        .select(
+            (F.col("event_id") * reps + F.col("rep")).alias("event_id"),
+            "value",
+        )
+        .filter(F.col("value").isNotNull())
+    )
+    t0 = time.time()
+    n_df = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = with_global_order(
+        e, [F.col("value").asc(), F.col("event_id").asc()], rank_col="rn"
+    )
+    qs = F.array(
+        *[
+            F.struct(F.lit(q).alias("q"), F.lit(lb).alias("label"))
+            for q, lb in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"), (0.999, "p999"))
+        ]
+    )
+    targets = n_df.select("n", F.explode(qs).alias("qq")).select(
+        F.col("qq.label").alias("label"),
+        F.ceil(F.col("qq.q") * F.col("n")).cast("bigint").alias("at_rank"),
+    )
+    rows = (
+        ranked.join(F.broadcast(targets), ranked["rn"] == targets["at_rank"])
+        .select("label", "value")
+        .collect()
+    )
+    wall = round(time.time() - t0, 2)
+    return {
+        "probe": "global_rank_sla",
+        "reps": reps,
+        "n_rows": e.count(),
+        "percentiles": {r["label"]: round(r["value"], 4) for r in rows},
+        "rank_select_sec": wall,
+    }
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     if "--sf-dir" in sys.argv:
@@ -557,7 +613,10 @@ def main() -> int:
     if only in (None, "phrase"):
         for reps in (1, 2, 4, 8):
             print(json.dumps(measure_phrase_match(spark, sf_dir, reps)), flush=True)
-    if only in ("video", "phrase"):
+    if only in (None, "rank"):
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_global_rank(spark, sf_dir, reps)), flush=True)
+    if only in ("video", "phrase", "rank"):
         spark.stop()
         return 0
     if only in (None, "dedup"):
