@@ -80,8 +80,26 @@ def with_global_order(
         raise ValueError("request at least one of rank_col / sums")
     sums = dict(sums or {})
 
-    ranged = df.repartitionByRange(buckets, *order).withColumn(
-        _PID, F.spark_partition_id()
+    # The ranged+pid frame feeds TWO consumers (the per-range window
+    # and the totals aggregate). Without materialization, each consumer
+    # may evaluate its own copy of the range exchange, and the range
+    # partitioner SAMPLES its boundaries — exact only while the data is
+    # small enough that the sample sees every row. Past that, two
+    # evaluations can draw different boundaries, the partition ids the
+    # offsets were computed for no longer match the ids the window saw,
+    # and ranks silently mis-assign (caught at sf0.1 in r7: the chained
+    # RFM output was wrong AND run-to-run nondeterministic while both
+    # oracle scales — small enough for exact sampling — stayed green).
+    # The eager localCheckpoint pins ONE materialized assignment that
+    # both consumers read; the cost is one executor-disk write of the
+    # relation, comparable to the shuffle itself.
+    # Regression test: tests/test_global_order.py::
+    # test_sampled_boundaries_stay_consistent (100k rows — large enough
+    # that the range sampler actually samples).
+    ranged = (
+        df.repartitionByRange(buckets, *order)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
 
     # Phase 1: within-range running aggregates (parallel window; the

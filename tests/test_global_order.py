@@ -125,3 +125,28 @@ def test_property_two_phase_matches_naive(spark, vals, buckets, k):
         F.ntile(k).over(w).alias("nt"),
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_sampled_boundaries_stay_consistent(spark):
+    """r7 regression: at sizes where the range partitioner actually
+    SAMPLES its boundaries (small relations are partitioned exactly, so
+    oracle-scale tests cannot see this), the operator's two consumers
+    of the range exchange must observe the SAME partition assignment —
+    without the internal materialization, offsets computed for one
+    sampling were applied to ranks from another, silently mis-ranking
+    rows (caught at sf0.1 on the RFM rewrite). 100k rows trigger
+    sampling; exact equality to the naive global window is required,
+    twice, to also catch run-to-run nondeterminism."""
+    n = 100_000
+    rel = spark.range(n).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1000).alias("v")
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order)
+    exp = rel.select("id", F.row_number().over(w).cast("bigint").alias("rk"))
+    for _ in range(2):
+        got = with_global_order(rel, order, rank_col="rk", buckets=32).select(
+            "id", "rk"
+        )
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
