@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flash_cdc_spark.operators.global_order import with_global_order
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
@@ -264,17 +265,23 @@ def q_train_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's actual token share against a uniform target and emit the
     up/down-sampling weight, capped at 5× (the standard bound on
     repeating any single domain). Shape: ONE partial-aggregatable
-    groupBy(source) reduces 100 TB to #sources rows; the share windows
-    run over that tiny relation on one task. The hot path is the
+    groupBy(source) reduces 100 TB to #sources rows; the grand totals
+    are a one-row aggregate broadcast back (r7 — replaces the
+    empty-partition share windows, part of zeroing the
+    single-partition-window allowlist; totals are exact integers, so
+    the replacement is bit-identical). The hot path is the
     token-count scan — narrow and linear."""
     d = load_table(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
     )
-    w = Window.partitionBy()
-    actual = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
-    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("__tot"), F.count(F.lit(1)).alias("__ns")
+    )
+    per_source = per_source.crossJoin(F.broadcast(totals))
+    actual = F.col("n_tokens") / F.col("__tot").cast("double")
+    target = F.lit(1.0) / F.col("__ns")
     weight = F.least(target / actual, F.lit(5.0))
     return per_source.select(
         "source",
@@ -473,9 +480,10 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics rather than templated/boilerplate ones (which bend the
     rank-frequency curve).
 
-    Scale shape: one shuffle builds the frequency table; the rank is a
-    vocab-sized (not corpus-sized) global window — vocabularies are
-    millions of rows at 100 TB, a single-task sort of a few MB — and
+    Scale shape: one shuffle builds the frequency table; the rank is
+    vocab-sized (not corpus-sized) and since r7 comes from the
+    two-phase `with_global_order` (no single-partition sort even for
+    the vocabulary — the allowlist entry this removed), and
     regr_slope/regr_r2 are partial-aggregable JVM builtins, so the fit
     itself is one map-side-combined pass."""
     docs = load_table(spark, sf_dir, "documents")
@@ -486,8 +494,9 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.orderBy(F.col("tf").desc(), F.col("tok"))
-    ranked = freq.select("tf", F.row_number().over(w).alias("rnk"))
+    ranked = with_global_order(
+        freq, [F.col("tf").desc(), F.col("tok").asc()], rank_col="rnk"
+    ).select("tf", "rnk")
     lg_tf = F.log(F.col("tf").cast("double"))
     lg_rk = F.log(F.col("rnk").cast("double"))
     return ranked.agg(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators.dedup import let_bound
+from flash_cdc_spark.operators.global_order import with_global_order
 from flash_cdc_spark.queries import llm_ext3, query
 from flash_cdc_spark.tables import load_table
 
@@ -122,20 +123,19 @@ def q_train_length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     the midpoint CDF position of its exact length) and samples each
     stratum at the same deterministic hash rate. Scale shape: the
     stratum map is a groupBy(n_chars) — distinct lengths, a tiny
-    relation — with the cumulative window running over that tiny
-    relation only, broadcast back; membership is then a stateless
+    relation — with the cumulative sum running in the two-phase
+    `with_global_order` form over that tiny relation (r7: no
+    single-partition window even here; integer counts, bit-identical),
+    broadcast back; membership is then a stateless
     hash filter. No global sort, no ntile over the corpus (the naive
     decile assignment is a single-partition window — this is the
     scale-safe equivalent). Replay-stable: stratum and membership are
     pure functions of (n_chars, doc_id)."""
     d = load_table(spark, sf_dir, "documents")
     lc = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
-    cum = lc.select(
-        "n_chars",
-        "c",
-        (F.sum("c").over(w) - F.col("c")).alias("below"),
-    )
+    cum = with_global_order(
+        lc, [F.col("n_chars").asc()], sums={"__incl": F.col("c")}
+    ).select("n_chars", "c", (F.col("__incl") - F.col("c")).alias("below"))
     total = lc.agg(F.sum("c").cast("double").alias("total"))
     strata = cum.crossJoin(F.broadcast(total)).select(
         "n_chars",

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flash_cdc_spark.operators.global_order import with_global_order
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
@@ -420,8 +421,11 @@ def q_train_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one token-count aggregate (the only fact-sized shuffle), a
     scalar normalizer, a running sum over the (vocabulary-sized)
-    distribution in deterministic (count DESC, word) order. Powers and
-    probabilities rounded to 9 dp before any cumulative fold.
+    distribution in deterministic (count DESC, word) order — since r7
+    through the two-phase `with_global_order`, accumulating the
+    9-dp-rounded probabilities in DECIMAL(38,9) so the parallel fold
+    is exact and order-free (the oracle's sequential double fold
+    agrees within the 6-dp output rounding).
     """
     d = load_table(spark, sf_dir, "documents")
     counts = (
@@ -435,15 +439,19 @@ def q_train_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = pw.crossJoin(F.broadcast(z)).select(
         "w", "c", F.round(F.col("s") / F.col("z"), 9).alias("p")
     )
-    w_ord = Window.orderBy(F.col("c").desc(), "w")
-    cum_w = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = with_global_order(
+        probs,
+        [F.col("c").desc(), F.col("w").asc()],
+        rank_col="rk",
+        sums={"__cum_p": F.col("p").cast("decimal(38,9)")},
+    )
     return (
-        probs.select(
+        ranked.select(
             F.col("w").alias("word"),
             F.col("c").alias("count"),
             "p",
-            F.round(F.sum("p").over(cum_w), 6).alias("cum_p"),
-            F.row_number().over(w_ord).alias("rk"),
+            F.round(F.col("__cum_p").cast("double"), 6).alias("cum_p"),
+            F.col("rk"),
         )
         .filter(F.col("rk") <= 30)
         .select(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators import tokenize as TOK
+from flash_cdc_spark.operators.global_order import with_global_order
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
@@ -259,13 +260,9 @@ def q_train_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     within = toks.withColumn("within_end", F.sum("n_tokens").over(wb))
     btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-    wo = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = btot.withColumn(
-        "offset", F.sum("btot").over(wo) - F.col("btot")
-    ).select("bucket", "offset")
+    offsets = with_global_order(
+        btot, [F.col("bucket").asc()], sums={"__incl": F.col("btot")}
+    ).select("bucket", (F.col("__incl") - F.col("btot")).alias("offset"))
     pos = within.join(F.broadcast(offsets), "bucket").select(
         "doc_id",
         (F.col("within_end") + F.col("offset") - F.col("n_tokens")).alias(

@@ -63,26 +63,17 @@ def test_no_cartesian_and_no_row_python(spark, sf_dir, name):
     assert "BatchEvalPython (" not in plan, f"{name}: row-wise Python UDF"
 
 
-# Windows whose input is bounded by construction — the relation being
-# sorted cannot grow with corpus ROWS, only with a fixed grid/bucket/
-# vocabulary axis, so the single task holds a bounded (or sublinear,
-# few-MB) relation. Every entry names its bound; this list should only
-# ever shrink.
-_BOUNDED_WINDOW_OK: dict[str, str] = {
-    # prefix offsets over the doc_id//64 bucket relation (the two-phase
-    # cumsum's own bounded phase-2; |docs|/64 rows of two longs).
-    "q_train_sequence_packing": "bucket-offset relation, |docs|/64 rows",
-    # cumulative counts over the distinct-doc-length histogram —
-    # bounded by max document length, not corpus size.
-    "q_train_length_matched_sample": "n_chars histogram, <=max_doc_len rows",
-    # share windows over the per-source aggregate — #sources rows.
-    "q_train_domain_mix_weights": "per-source relation, #sources rows",
-    # rank over the token-frequency table — vocabulary-sized (sublinear
-    # in corpus; millions of rows = few MB on one task at 100 TB).
-    "q_text_zipf_slope": "vocab-sized frequency table",
-    # cumulative sampling distribution over the counted vocabulary.
-    "q_train_negative_sampling": "vocab-sized unigram table",
-}
+# Windows whose input is bounded by construction. EMPTY since late r7:
+# the five bounded-input windows that shipped with the check (sequence
+# packing's bucket offsets, the n_chars-histogram cumsum, the
+# per-source share windows, the vocab rank, the sampling-distribution
+# cumsum) were all migrated to `operators/global_order.py` /
+# broadcast-aggregate forms — all value-identical (integer or
+# DECIMAL-exact sums), oracle-green at both scales with unchanged
+# snapshots. The ban is now absolute; a new entry here needs the same
+# named-bound justification the originals carried and should be viewed
+# as temporary.
+_BOUNDED_WINDOW_OK: dict[str, str] = {}
 
 
 def _single_partition_windows(plan: str) -> list[str]:
