@@ -208,6 +208,13 @@ def main() -> None:
     # One-time memo writes (signature index, IVF layout) are absorbed
     # by each query's uncounted warmup run, so timed rows are
     # steady-state.
+    #
+    # r8 ordering fix (VERDICT r7 #4): the driver archives the tail of
+    # the COMBINED stdout+stderr, so the r7 arrangement — spread line
+    # printed to stderr AFTER the result line — evicted the headline
+    # entirely (BENCH_r07.json parsed: null). The spread line must be
+    # emitted BEFORE the result line; the headline JSON is the LAST
+    # thing printed on ANY stream. Flush both to pin interleaving.
     result = {
         "queries": timings,
         "metric": "headline_query_suite_seconds",
@@ -216,8 +223,8 @@ def main() -> None:
         "iters": ITERS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
-    print(json.dumps({"spread_pct": spread}), file=sys.stderr)
+    print(json.dumps({"spread_pct": spread}), file=sys.stderr, flush=True)
+    print(json.dumps(result), flush=True)
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )

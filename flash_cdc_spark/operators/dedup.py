@@ -474,9 +474,19 @@ def signature_index(
         _SIG_LAYOUTS[key] = layout
         spark = built.sparkSession
     else:
+        # getActiveSession() is thread-local in classic PySpark — a
+        # memo hit from a non-main thread (admin HTTP handler,
+        # streaming listener) returns None; fall back to the frame's
+        # owning session, then the builder's, then the global
+        # getOrCreate (never constructs a second session once one
+        # exists; ADVICE r7).
         spark = SparkSession.getActiveSession()
         if spark is None and not callable(sig_df):
             spark = sig_df.sparkSession
+        if spark is None:
+            # cheaper than invoking the builder thunk: returns the
+            # existing default session without constructing plans
+            spark = SparkSession.builder.getOrCreate()
     return spark.read.parquet(_SIG_LAYOUTS[key])
 
 

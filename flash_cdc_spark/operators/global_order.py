@@ -10,32 +10,62 @@ that grows with the corpus (per-customer, per-part, per-order rows at
 This module implements the scale-safe two-phase form as a reusable
 operator, the same decomposition ``q_train_sequence_packing`` pioneered
 for bucketed cumsums but generalized to ANY total order and made
-skew-proof by range partitioning on the FULL composite sort key
-(ties split across partitions by the unique tiebreak column, so a
-value pile-up — a million customers with frequency=1 — cannot recreate
-the single hot task):
+skew-proof by partitioning on the FULL composite sort key (ties split
+across ranges by the unique tiebreak column, so a value pile-up — a
+million customers with frequency=1 — cannot recreate the single hot
+task):
 
-1. ``repartitionByRange(buckets, *order)`` — Spark's range partitioner
-   (seeded, deterministic sampling) splits the total order into
-   ``buckets`` contiguous, parallel ranges.
-2. A within-partition window ``partitionBy(spark_partition_id())``
-   computes each row's running count/sum inside its range (parallel —
-   every partition is its own window group).
-3. Per-partition totals (one tiny ``groupBy`` over ≤ ``buckets`` rows)
-   are turned into prefix offsets with a triangular self-join on the
-   bounded totals relation — deliberately NOT a window, so the final
-   plan contains NO ``Exchange SinglePartition`` feeding a ``Window``
-   anywhere (the invariant ``tests/test_plan_audit.py`` now enforces
-   registry-wide).
-4. Offsets broadcast-join back on the partition id; global rank =
-   within-rank + offset (and likewise for running sums).
+1. **Boundary sampling (driver-side, bounded).** A seeded sample of
+   the order-key columns (~200 rows per bucket, one count job + one
+   sample-collect job over a column-pruned projection) is sorted on
+   the driver and ``buckets - 1`` quantile boundaries are collected as
+   plain Python tuples. The boundaries become LITERALS in the plan, so
+   every downstream consumer computes the identical partition
+   assignment by construction — the determinism that
+   ``repartitionByRange`` cannot give (its sampler is re-seeded per
+   physical evaluation, so two consumers of the same logical exchange
+   can draw different boundaries and silently mis-rank; caught at
+   sf0.1 in r7, regression-pinned below). The r7 fix materialized the
+   whole ranged relation with an eager ``localCheckpoint``; this form
+   replaces that corpus-scale executor-disk write (and its lineage
+   truncation — a lost executor killed the query instead of
+   recomputing) with a bounded driver collect, the same pattern the
+   repo's trained-state memos use. The input IS persisted
+   (MEMORY_AND_DISK) so the count/sample jobs and the two downstream
+   branches evaluate the upstream lineage once, not four times — but
+   unlike ``localCheckpoint`` the lineage is preserved: a lost block
+   recomputes instead of failing the query, and nothing is force-
+   written when it fits in memory.
+2. A range id ``pid = #boundaries strictly before the row`` is
+   attached by a bounded lexicographic-comparison expression
+   (≤ buckets−1 literal tuples, full composite key incl. tiebreak,
+   null-ordering-aware) — a deterministic FUNCTION of the row.
+3. A within-range window ``partitionBy(pid)`` computes each row's
+   running count/sum inside its range (parallel — every range is its
+   own window group; the hash exchange on pid is deterministic, so
+   consumer consistency no longer depends on exchange reuse at all).
+4. Per-range totals (one tiny ``groupBy`` over ≤ ``buckets`` rows,
+   map-side partials) are turned into prefix offsets with a triangular
+   self-join on the bounded totals relation — deliberately NOT a
+   window, so the final plan contains NO ``Exchange SinglePartition``
+   feeding a ``Window`` anywhere (the invariant
+   ``tests/test_plan_audit.py`` enforces registry-wide).
+5. Offsets broadcast-join back on pid; global rank = within-rank +
+   offset (and likewise for running sums).
 
-Correctness does not depend on the range boundaries being balanced —
-only on every row landing in exactly one range and ranges being
-order-contiguous, which the partitioner guarantees; boundary placement
-only affects parallelism. The whole composition is ONE DataFrame plan,
-so the range exchange is planned once and reused across the totals and
-main branches (ReusedExchange), not recomputed.
+Correctness does not depend on the boundaries being balanced — only on
+every row landing in exactly one range and ranges being
+order-contiguous, which the literal comparison guarantees for ANY
+boundary choice; boundary placement only affects parallelism, so the
+sample being approximate (or even skewed) can never change values.
+
+Requirements on ``order``: entries must be plain column names /
+``F.col(...)`` columns, optionally with ``.asc()/.desc()/
+.asc_nulls_last()/...`` modifiers (what every call site uses). Keys
+must be a total order (include a unique tiebreak column — required
+anyway for deterministic rank/cumsum semantics) and must not contain
+floating NaN (Spark orders NaN above +Inf but compares it IEEE-false;
+no registered query orders by a NaN-able key).
 
 ``global_ntile`` layers exact SQL NTILE semantics on top of the rank
 (first ``n mod k`` buckets get ``ceil(n/k)`` rows), so queries keep
@@ -45,7 +75,9 @@ while dropping the global sort.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
+from functools import cmp_to_key, reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -55,6 +87,139 @@ __all__ = ["with_global_order", "global_ntile"]
 _PID = "__go_pid"
 _CNT = "__go_cnt"
 _OFF = "__go_off"
+
+_SAMPLE_PER_BUCKET = 200
+_SORT_SUFFIX = re.compile(r"^(?P<body>.*) (?P<dir>ASC|DESC) NULLS (?P<nulls>FIRST|LAST)$")
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _parse_order(entry: Column | str) -> tuple[Column, bool, bool]:
+    """Normalize one ``order`` entry → (bare key column, descending,
+    nulls_first). Sort direction is recovered from the Column repr
+    (Spark 4 removed ``Column.expr()``); entries carrying a sort
+    modifier must therefore be plain named columns so the bare column
+    can be reconstructed — computed expressions are accepted only
+    unmodified (ascending). Pre-project an aliased column to order
+    descending by an expression."""
+    if isinstance(entry, str):
+        return F.col(entry), False, True
+    s = str(entry)
+    body = s[len("Column<'"):-2] if s.startswith("Column<'") and s.endswith("'>") else s
+    m = _SORT_SUFFIX.match(body)
+    if m is None:
+        # plain column / expression, Spark default: ascending nulls first
+        return entry, False, True
+    name = m.group("body")
+    if name.startswith("`") and name.endswith("`"):
+        name = name[1:-1]
+    elif not _IDENT.match(name):
+        raise ValueError(
+            "with_global_order: order entries with .asc()/.desc() "
+            f"modifiers must be plain named columns, got {body!r}; "
+            "pre-project the expression under an alias first"
+        )
+    return F.col(name), m.group("dir") == "DESC", m.group("nulls") == "FIRST"
+
+
+def _cmp_factory(metas: Sequence[tuple[bool, bool]]):
+    """Driver-side comparator over key tuples matching Spark's sort
+    semantics per column (direction + null ordering)."""
+
+    def cmp(a, b) -> int:
+        for (va, vb), (desc, nulls_first) in zip(zip(a, b), metas):
+            if va is None or vb is None:
+                if va is None and vb is None:
+                    continue
+                if va is None:
+                    r = -1 if nulls_first else 1
+                else:
+                    r = 1 if nulls_first else -1
+            elif va == vb:
+                continue
+            else:
+                r = -1 if va < vb else 1
+                if desc:
+                    r = -r
+            return r
+        return 0
+
+    return cmp
+
+
+def _collect_boundaries(
+    df: DataFrame,
+    keys: Sequence[Column],
+    metas: Sequence[tuple[bool, bool]],
+    buckets: int,
+) -> list[tuple]:
+    """Sample the order keys once, sort on the driver, and return up to
+    ``buckets - 1`` deduplicated quantile boundary tuples (bounded:
+    ~``buckets * 200`` sampled rows regardless of input size)."""
+    keyed = df.select(*[k.alias(f"__go_k{i}") for i, k in enumerate(keys)])
+    n = keyed.count()
+    if n <= 1 or buckets <= 1:
+        return []
+    target = buckets * _SAMPLE_PER_BUCKET
+    if n <= target:
+        rows = [tuple(r) for r in keyed.collect()]
+    else:
+        frac = min(1.0, target / n)
+        rows = [tuple(r) for r in keyed.sample(False, frac, seed=42).collect()]
+        if not rows:  # sampling jitter on small n
+            rows = [tuple(r) for r in keyed.limit(target).collect()]
+    rows = [
+        r
+        for r in rows
+        if not any(isinstance(v, float) and v != v for v in r)
+    ]
+    if not rows:
+        return []
+    cmp = _cmp_factory(metas)
+    rows.sort(key=cmp_to_key(cmp))
+    step = len(rows) / buckets
+    bounds: list[tuple] = []
+    for i in range(1, buckets):
+        cand = rows[min(len(rows) - 1, int(i * step))]
+        if not bounds or cmp(cand, bounds[-1]) != 0:
+            bounds.append(cand)
+    return bounds
+
+
+def _pid_expr(
+    keys: Sequence[Column],
+    metas: Sequence[tuple[bool, bool]],
+    boundaries: Sequence[tuple],
+) -> Column:
+    """pid = number of boundary tuples strictly BEFORE the row under
+    the composite order — a bounded literal-comparison expression
+    (≤ buckets−1 terms), monotone in the order by construction."""
+    if not boundaries:
+        return F.lit(0)
+
+    def after(bound: tuple) -> Column:
+        # lexicographic "row strictly after bound", folded right-to-left
+        acc = F.lit(False)
+        for key, (desc, nulls_first), bv in reversed(
+            list(zip(keys, metas, bound))
+        ):
+            if bv is None:
+                eq = key.isNull()
+                gt = key.isNotNull() if nulls_first else F.lit(False)
+            else:
+                lit = F.lit(bv)
+                eq = key.eqNullSafe(lit)
+                cmp_col = (key < lit) if desc else (key > lit)
+                if nulls_first:
+                    gt = F.coalesce(cmp_col, F.lit(False))
+                else:  # null key sorts after every non-null boundary
+                    gt = key.isNull() | F.coalesce(cmp_col, F.lit(False))
+            acc = gt | (eq & acc)
+        return acc
+
+    return reduce(
+        lambda a, b: a + b,
+        [after(b).cast("int") for b in boundaries],
+    )
 
 
 def with_global_order(
@@ -75,41 +240,37 @@ def with_global_order(
     ``buckets`` bounds the offsets relation (and the parallelism of the
     within-range phase); at cluster scale raise it toward the shuffle
     partition count.
+
+    Construction runs two bounded-output jobs (a count and a
+    ~``buckets*200``-row sample collect) to freeze the range boundaries
+    as literals — see the module docstring for why that, not
+    ``repartitionByRange``/``localCheckpoint``, is the deterministic
+    and fault-tolerant form. The input is persisted (MEMORY_AND_DISK,
+    lineage preserved) so its upstream plan evaluates once across the
+    boundary jobs and both downstream branches.
     """
     if rank_col is None and not sums:
         raise ValueError("request at least one of rank_col / sums")
     sums = dict(sums or {})
 
-    # The ranged+pid frame feeds TWO consumers (the per-range window
-    # and the totals aggregate). Without materialization, each consumer
-    # may evaluate its own copy of the range exchange, and the range
-    # partitioner SAMPLES its boundaries — exact only while the data is
-    # small enough that the sample sees every row. Past that, two
-    # evaluations can draw different boundaries, the partition ids the
-    # offsets were computed for no longer match the ids the window saw,
-    # and ranks silently mis-assign (caught at sf0.1 in r7: the chained
-    # RFM output was wrong AND run-to-run nondeterministic while both
-    # oracle scales — small enough for exact sampling — stayed green).
-    # The eager localCheckpoint pins ONE materialized assignment that
-    # both consumers read; the cost is one executor-disk write of the
-    # relation, comparable to the shuffle itself.
-    # Regression test: tests/test_global_order.py::
-    # test_sampled_boundaries_stay_consistent (100k rows — large enough
-    # that the range sampler actually samples).
-    ranged = (
-        df.repartitionByRange(buckets, *order)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    parsed = [_parse_order(c) for c in order]
+    keys = [p[0] for p in parsed]
+    metas = [(p[1], p[2]) for p in parsed]
+
+    src = df.persist()
+    boundaries = _collect_boundaries(src, keys, metas, buckets)
+    assigned = src.withColumn(_PID, _pid_expr(keys, metas, boundaries))
 
     # Phase 1: within-range running aggregates (parallel window; the
-    # hash exchange on the partition id keeps each range one group).
+    # hash exchange on the range id keeps each range one group, and is
+    # deterministic — pid is a literal function of the row, so both
+    # consumers agree whether or not Catalyst reuses the exchange).
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = ranged
+    within = assigned
     if rank_col is not None:
         within = within.withColumn(rank_col, F.count(F.lit(1)).over(w))
     for out, expr in sums.items():
@@ -121,7 +282,7 @@ def with_global_order(
     aggs = [F.count(F.lit(1)).alias(_CNT)] + [
         F.sum(expr).alias(f"__go_s_{out}") for out, expr in sums.items()
     ]
-    totals = ranged.groupBy(_PID).agg(*aggs)
+    totals = assigned.groupBy(_PID).agg(*aggs)
     a, b = totals.alias("__go_a"), totals.alias("__go_b")
     off_aggs = []
     if rank_col is not None:

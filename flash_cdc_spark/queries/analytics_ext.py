@@ -256,7 +256,8 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_diff('day', max(o_orderdate),
                          (SELECT ref_d FROM ref)) AS recency_days,
                count(*) AS frequency,
-               round(sum(o_totalprice), 2) AS monetary
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+                   AS monetary
         FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -273,7 +274,8 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(f_score AS INT) AS f_score,
            CAST(m_score AS INT) AS m_score,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(avg(monetary), 2) AS avg_monetary,
+           CAST(sum(CAST(monetary AS DECIMAL(38, 2))) AS DOUBLE)
+               / count(*) AS avg_monetary,
            CAST(min(o_custkey) AS BIGINT) AS min_custkey
     FROM scored
     GROUP BY r_score, f_score, m_score
@@ -287,7 +289,11 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every quintile ordering carries ``o_custkey`` as the
     unique tiebreak, so bucket boundaries land identically in both
-    engines; monetary is rounded to 2 dp before scoring and averaging.
+    engines; monetary accumulates in DECIMAL(18,2) (exact,
+    fold-order-free) and the segment average divides the exact decimal
+    total as a double — identical operands, identical quotient bits on
+    both engines (r8 strict-sweep fix; ``round(avg(<double>))`` was a
+    penny dice roll).
 
     Scale (r7 rewrite, VERDICT r6 item #2): customers grow with the
     corpus, so the r6 form's three ``ntile(5) OVER (ORDER BY ...)``
@@ -308,7 +314,12 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.datediff(F.max("ref_d"), F.max("o_orderdate")).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            # DECIMAL-accumulated (exact, fold-order-free) — a raw
+            # double sum rounded to 2 dp is a per-rotation penny dice
+            # roll under the driver's exact hash (r8 strict sweep)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
         )
     )
     n_cust = rfm.agg(F.count(F.lit(1)).alias("__n"))
@@ -328,7 +339,16 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        # avg as exact-decimal sum divided as a double: both engines
+        # divide IDENTICAL operands, so the IEEE quotient is
+        # bit-identical. Deliberately UNROUNDED — small segments of
+        # 2-dp values average onto exact half-penny rationals, where
+        # Spark's BigDecimal HALF_UP and DuckDB's scaled-double round
+        # systematically disagree on the same quotient
+        (
+            F.sum(F.col("monetary").cast("decimal(38,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_monetary"),
         F.min("o_custkey").alias("min_custkey"),
     )
 
@@ -343,7 +363,9 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l_partkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                              * CAST(1 - l_discount AS DECIMAL(18, 2))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem GROUP BY l_partkey
     ),
     cum AS (
@@ -366,7 +388,8 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc_class,
            CAST(count(*) AS BIGINT) AS n_parts,
-           round(sum(revenue), 2) AS class_revenue,
+           CAST(sum(CAST(revenue AS DECIMAL(38, 2))) AS DOUBLE)
+               AS class_revenue,
            CAST(min(l_partkey) AS BIGINT) AS min_partkey
     FROM classed GROUP BY abc_class
     """,
@@ -377,8 +400,12 @@ def q_sales_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parts carrying the first 80% of cumulative revenue, B = the
     next 15%, C = the tail. Reports class sizes and revenue.
 
-    Determinism: per-part revenue is rounded to 2 dp, then the running
-    sum and grand total accumulate in DECIMAL(38,2) — exact,
+    Determinism: per-part revenue accumulates in DECIMAL — inputs cast
+    to DECIMAL(18,2) before the product, so the sum is exact and
+    fold-order-free (a raw double sum rounded to 2 dp lands a penny
+    off DuckDB's sequential fold for ~0.15% of parts — the r7 red
+    row); the running sum and grand total then accumulate the exact
+    2-dp revenues in DECIMAL(38,2) — exact,
     associative arithmetic, so the cumulative revenue is bit-identical
     across engines AND across any parallel fold order (the property
     the two-phase decomposition needs: a double cumsum is only
@@ -398,9 +425,10 @@ def q_sales_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     window in the plan.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
     rev = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .alias("revenue")
+        F.round(F.sum(ep * disc), 2).cast("double").alias("revenue")
     )
     rev_dec = F.col("revenue").cast("decimal(38,2)")
     total = rev.agg(F.sum(rev_dec).alias("__total_rev"))
@@ -421,7 +449,8 @@ def q_sales_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        F.sum(F.col("revenue").cast("decimal(38,2)")).cast("double")
+        .alias("class_revenue"),
         F.min("l_partkey").alias("min_partkey"),
     )
 

@@ -504,16 +504,21 @@ def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_spend",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-           sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey
-                                   ROWS UNBOUNDED PRECEDING)  AS running_spend,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
            o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate, o_orderkey) AS delta_prev
     FROM orders
     """,
 )
 def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total + lag delta per customer order history."""
+    """Running total + lag delta per customer order history. The
+    running sum accumulates in DECIMAL(18,2): windowed double sums are
+    fold-order-dependent (DuckDB evaluates them with a segment tree, a
+    different association than sequential accumulation — r8 strict
+    sweep caught the last-ulp drift)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -521,7 +526,10 @@ def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         "o_totalprice",
-        F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
         (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
     )
 

@@ -97,7 +97,9 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly, count(*) AS n_items
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           count(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#11'
       AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
@@ -118,7 +120,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            # DECIMAL-accumulated money sum (exact, fold-order-free),
+            # divided as a double of identical operands (r8 strict fix)
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -127,7 +135,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(1 - l_discount AS DECIMAL(18, 2))) AS DOUBLE)
+               AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
@@ -150,7 +160,13 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return joined.filter(cond).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

@@ -24,8 +24,9 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")  # alphabetical
     SELECT date_trunc('hour', ts) AS bucket_start,
            event_type,
            count(*)   AS n_events,
-           sum(value) AS total_value,
-           avg(value) AS avg_value,
+           CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) / count(value)
+               AS avg_value,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events
     GROUP BY 1, 2
@@ -33,14 +34,19 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")  # alphabetical
 )
 def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event type — ``F.window`` (identical
-    semantics to the streaming version with a watermark)."""
+    semantics to the streaming version with a watermark). ``value`` is
+    2-dp money, so the total accumulates in DECIMAL (exact,
+    fold-order-free) and the average divides the exact decimal total
+    as a double — bit-identical across engines and fold orders (r8
+    strict-sweep fix; the raw double sum/avg drifted in the last ulp)."""
     e = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
-            F.avg("value").alias("avg_value"),
+            F.sum(vdec).cast("double").alias("total_value"),
+            (F.sum(vdec).cast("double") / F.count("value")).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(

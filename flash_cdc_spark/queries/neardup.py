@@ -891,7 +891,7 @@ def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r.n_copies * (r.n_copies - 1) // 2 AS BIGINT)
                    AS covered_pairs
         FROM reps r JOIN rcount c ON c.rep = r.rep
-        WHERE r.n_copies > 1
+        WHERE r.n_copies > 1 AND c.nh >= 3
     )
     SELECT * FROM cross_pairs UNION ALL SELECT * FROM internal
     """,
@@ -958,9 +958,15 @@ def q_multimodal_video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     rcount = rhash.groupBy("rep").agg(
         F.count(F.lit(1)).cast("int").alias("nh")
     )
+    # the internal (same-fingerprint) branch carries the SAME >=3
+    # shared-frame gate as the cross branch and the doc-level pair
+    # query — a fingerprint group of clips with < 3 distinct frame
+    # hashes must not emit covered_pairs the pair query never counts
+    # (lossless-coverage invariant; ADVICE r7)
     internal = (
         reps.filter(F.col("n_copies") > 1)
         .join(rcount, "rep")
+        .filter(F.col("nh") >= 3)
         .select(
             F.col("rep").alias("rep_a"),
             F.col("rep").alias("rep_b"),

@@ -50,7 +50,10 @@ def test_rfm_matches_naive_ntile_at_sf01(spark, sf01_available):
         .agg(
             F.datediff(F.max("ref_d"), F.max("o_orderdate")).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            # r8: DECIMAL-accumulated, mirroring the query's strict fix
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
         )
     )
     naive = (
@@ -70,7 +73,10 @@ def test_rfm_matches_naive_ntile_at_sf01(spark, sf01_available):
         .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+            (
+                F.sum(F.col("monetary").cast("decimal(38,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_monetary"),
             F.min("o_custkey").alias("min_custkey"),
         )
     )
@@ -95,8 +101,17 @@ def test_equidepth_matches_naive_ntile_at_sf01(spark, sf01_available):
 
 def test_pareto_matches_naive_cumsum_at_sf01(spark, sf01_available):
     li = load_table(spark, SF01, "lineitem")
+    # r8: DECIMAL-accumulated per-part revenue, mirroring the query's
+    # strict fix (the raw double sum was the r7 red driver row)
     rev = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ),
+            2,
+        )
+        .cast("double")
         .alias("revenue")
     )
     cw = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
@@ -118,7 +133,8 @@ def test_pareto_matches_naive_cumsum_at_sf01(spark, sf01_available):
         .groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+            F.sum(F.col("revenue").cast("decimal(38,2)")).cast("double")
+            .alias("class_revenue"),
             F.min("l_partkey").alias("min_partkey"),
         )
     )

@@ -588,6 +588,172 @@ def measure_global_rank(spark: SparkSession, sf_dir: str, reps: int) -> dict:
     }
 
 
+def measure_rfm_chain(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """Chained two-phase global orders (r8, VERDICT r7 #6): the RFM
+    rewrite runs THREE sequential ``with_global_order`` passes over the
+    per-customer relation — the rank probe covers one pass, this one
+    pins the composition and records the overhead curve against the
+    naive single-partition-window chain it replaced, so the crossover
+    argument rests on measured numbers instead of plan shape alone.
+    Both forms compute identical rank checksums (asserted)."""
+    from pyspark.sql import Window
+
+    from flash_cdc_spark.operators.global_order import with_global_order
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    o = base.crossJoin(rep).select(
+        (F.col("o_custkey") * reps + F.col("rep")).alias("o_custkey"),
+        "o_orderdate",
+        "o_totalprice",
+    )
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1998-12-31"), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    orders3 = (
+        ("__r_rk", [F.col("recency_days").desc(), F.col("o_custkey")]),
+        ("__f_rk", [F.col("frequency").asc(), F.col("o_custkey")]),
+        ("__m_rk", [F.col("monetary").asc(), F.col("o_custkey")]),
+    )
+    checks = F.sum(
+        F.col("__r_rk") + F.col("__f_rk") + F.col("__m_rk")
+    ).alias("chk")
+
+    t0 = time.time()
+    ranked = rfm
+    for rk, order in orders3:
+        ranked = with_global_order(ranked, order, rank_col=rk)
+    two_chk = ranked.agg(checks).collect()[0]["chk"]
+    two_sec = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    naive = rfm
+    for rk, order in orders3:
+        naive = naive.withColumn(
+            rk, F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        )
+    naive_chk = naive.agg(checks).collect()[0]["chk"]
+    naive_sec = round(time.time() - t0, 2)
+    assert two_chk == naive_chk, (two_chk, naive_chk)
+    return {
+        "probe": "rfm_chain_3x_global_order",
+        "reps": reps,
+        "n_customers": rfm.count(),
+        "two_phase_sec": two_sec,
+        "naive_window_sec": naive_sec,
+        "ratio_two_phase_over_naive": round(two_sec / max(naive_sec, 1e-9), 2),
+        "checksum": int(two_chk),
+    }
+
+
+def measure_km_cumsum(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """Kaplan-Meier double cumsum at 1x-8x event volume (r8, VERDICT r7
+    #6): corpus -> per-user row -> bounded duration grid, then TWO
+    sequential ``with_global_order`` running sums (risk-set removals,
+    cumulative log survival). The grid stays bounded as events grow,
+    so the expectation on record: total wall tracks the per-user
+    aggregate scan (linear), the chained cumsum stage itself ~flat.
+    The naive two-window form is timed on the same grid for the
+    crossover curve; checksums asserted equal."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from flash_cdc_spark.operators.global_order import with_global_order
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts"
+    )
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    e = base.crossJoin(rep).select(
+        F.concat_ws("#", F.col("user_id"), F.col("rep")).alias("user_id"),
+        "ts",
+    )
+    ref = e.agg(F.max("ts").alias("ref_ts"))
+    users = (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(unix_timestamp(max(ts)) - unix_timestamp(min(ts))) div 3600"
+            ).alias("dur"),
+            (
+                F.max("ts") < F.max("ref_ts") - F.expr("INTERVAL 72 HOURS")
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    per_dur = users.groupBy("dur").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("churned")).cast("bigint").alias("c"),
+    )
+    lnterm = (
+        F.when(F.col("d") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double")
+                    / (F.col("d") + F.col("c")).cast("double")
+                    / 2.0
+                ),
+                9,
+            )
+        )
+        .cast("decimal(38,9)")
+    )
+
+    def checks(df):
+        r = df.agg(
+            F.sum("removed_incl").alias("a"), F.sum("cumln").alias("b")
+        ).collect()[0]
+        return (int(r["a"]), Decimal(r["b"]))
+
+    t0 = time.time()
+    cum = with_global_order(
+        per_dur,
+        [F.col("dur").asc()],
+        sums={"removed_incl": F.col("d") + F.col("c")},
+    ).withColumn("lnterm", lnterm)
+    curve = with_global_order(
+        cum, [F.col("dur").asc()], sums={"cumln": F.col("lnterm")}
+    )
+    two_chk = checks(curve)
+    two_sec = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    wf = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        per_dur.withColumn(
+            "removed_incl", F.sum(F.col("d") + F.col("c")).over(wf)
+        )
+        .withColumn("lnterm", lnterm)
+        .withColumn("cumln", F.sum("lnterm").over(wf))
+    )
+    naive_chk = checks(naive)
+    naive_sec = round(time.time() - t0, 2)
+    assert two_chk == naive_chk, (two_chk, naive_chk)
+    return {
+        "probe": "km_double_cumsum",
+        "reps": reps,
+        "n_events": e.count(),
+        "n_grid_rows": per_dur.count(),
+        "two_phase_sec": two_sec,
+        "naive_window_sec": naive_sec,
+        "ratio_two_phase_over_naive": round(two_sec / max(naive_sec, 1e-9), 2),
+    }
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     if "--sf-dir" in sys.argv:
@@ -616,7 +782,13 @@ def main() -> int:
     if only in (None, "rank"):
         for reps in (1, 2, 4, 8):
             print(json.dumps(measure_global_rank(spark, sf_dir, reps)), flush=True)
-    if only in ("video", "phrase", "rank"):
+    # r8 (VERDICT r7 #6): chained two-phase compositions vs naive
+    if only in (None, "chain"):
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_rfm_chain(spark, sf_dir, reps)), flush=True)
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_km_cumsum(spark, sf_dir, reps)), flush=True)
+    if only in ("video", "phrase", "rank", "chain"):
         spark.stop()
         return 0
     if only in (None, "dedup"):
