@@ -100,105 +100,111 @@ from flash_cdc_spark.queries import contracts_ext  # noqa: E402,F401
 # the COVERAGE.md r8 proposal).
 from flash_cdc_spark.queries import analytics_ext5  # noqa: E402,F401
 
+# r8 additions (past-window; r9 rotation candidates — slots reserved in
+# the COVERAGE.md r9 proposal).
+from flash_cdc_spark.queries import analytics_ext6  # noqa: E402,F401
+
 # ---------------------------------------------------------------------
-# r7 driver window (VERDICT r6, next-round item #1 — the rotation plan
+# r8 driver window (VERDICT r7, next-round item #3 — the rotation plan
 # written in COVERAGE.md last round, executed verbatim).
 #
 # The round driver value-compares only the FIRST 50 registered queries,
 # so which 50 lead the registry is an explicit per-round decision, not
 # a side effect of module import order. This round's composition:
 #
-# * slots 1-48 — the 48 OLDEST r6-new queries by COVERAGE.md ledger
-#   order (rows 72-74, the row-141 sequence-packing rewrite, and rows
-#   173-221 minus the r5 rows and the oracle-less row 182): the
-#   multimodal near-dup trio (image dHash / audio delta-sign / video
-#   frame-hash), the two-phase sequence packing, column profile, URL
-#   canonicalization, trained language ID, BPE train+apply, PQ/ADC +
-#   IVFADC ANN, phrase retrieval, kNN label propagation, PMI
-#   collocations, snapshot diff, JSONL quarantine, MAD outliers,
-#   market-basket pairs, PRF expansion, the warehouse-analytics batch
-#   (Benford, decayed popularity, CUSUM, RFM, Pareto, winsorized,
-#   Theil-Sen, chunk maxP, CDC net-effect/as-of, OLS, Gini, entropy,
-#   weighted sample, equi-depth, skew report), NB classifier, PSI
-#   drift, negative sampling, hard negatives, dwell time, referential
-#   audit, bipartite projection, exact decimal totals, audio
-#   normalize, n-gram novelty, source JSD, epoch allocation, and the
-#   embedding outlier screen. All were local-oracle + snapshot green
-#   in r6; these are their first driver rows. The three r6
-#   single-partition-window deductions (RFM, Pareto, equi-depth) ride
-#   in-window deliberately so their r7 two-phase rewrites show green
-#   in CORRECTNESS_r07.json.
-# * slots 49-50 — batch canaries from the rotation pool (q05/q13 due
-#   back — served r4; q03/q10 served r6, q01/q14/q18 r5).
+# * slots 1-11 — the remaining r6-new queries (COVERAGE.md ledger rows
+#   222-232): burst detection, interleave order, doc keywords, replay
+#   idempotency, contrast stretch, incremental agg, watermark advisor,
+#   profile drift, Wilson ranking, cohort LTV, lexical diversity.
+#   First driver rows; restores the every-oracle-backed-query-
+#   driver-green-at-least-once invariant.
+# * slots 12-20 — the 9 r7-new queries (ledger rows 233-241):
+#   Kaplan-Meier survival, chi-square, SLA percentiles, offset gaps,
+#   dup inflation, QL-Dirichlet retrieval, FORCAST readability,
+#   basket rules, video dup groups. First driver rows.
+# * slots 21-48 — r7/r8-diff keepers: q_null_semantics (r7 semantics
+#   change: partitioned ranks), the lazy-signature-memo consumers,
+#   the two-phase rewrites RFM / Pareto / equi-depth (RFM and Pareto
+#   additionally carry this round's DECIMAL money-sum fixes — the r7
+#   red row's re-proof — and all ride the r8 boundary-literal
+#   global-order refactor), pagerank (r8 DECIMAL contribution fix),
+#   admin filter/paginate (post-restart-route), the changefeed
+#   flagship + Avro decode + streaming e2e, the five streaming sinks,
+#   and the high-traffic dedup/retrieval regressions.
+# * slots 49-50 — batch canaries from the rotation pool (q01/q14 due
+#   back — served r5; q05/q13 served r7, q03/q10 r6).
 #
-# The remaining 11 r6-new queries (ledger rows 222-232,
-# q_events_burst_detection onward) plus this round's diff keepers lead
-# the r8 window — the written proposal is in COVERAGE.md.
+# Pre-rotation gate (r8, VERDICT r7 #2): every window name passes the
+# STRICT (bit-exact) oracle mimic at sf0.01 — the float-tolerant gate
+# structurally cannot see the sub-tolerance money-sum drift that made
+# r7's one red row.
 #
 # Everything rotated out stays continuously checked by the local mimic
 # (tests/test_oracle.py) AND pinned against the committed
 # oracle-fingerprint snapshot (tests/test_oracle_snapshot.py), so a
 # regression in the rotated-out surface still fails pytest loudly.
 WINDOW: list[str] = [
-    # -- r6-new, first driver rows (48; COVERAGE.md ledger order) --
+    # -- r6-new remainder, first driver rows (11; ledger rows 222-232) --
+    "q_events_burst_detection",
+    "q_train_interleave_order",
+    "q_text_doc_keywords",
+    "q_changefeed_replay_idempotency",
+    "q_multimodal_contrast_stretch",
+    "q_maintenance_incremental_agg",
+    "q_events_watermark_advisor",
+    "q_quality_profile_drift",
+    "q_quality_wilson_ranking",
+    "q_sales_cohort_ltv",
+    "q_text_lexical_diversity",
+    # -- r7-new, first driver rows (9; ledger rows 233-241) --
+    "q_survival_kaplan_meier",
+    "q_stats_chi_square",
+    "q_events_sla_percentiles",
+    "q_changefeed_offset_gaps",
+    "q_quality_dup_inflation",
+    "q_retrieval_ql_dirichlet",
+    "q_text_readability_forcast",
+    "q_market_basket_rules",
+    "q_multimodal_video_dup_groups",
+    # -- keepers (28; named in the COVERAGE.md r8 proposal) --
+    "q_null_semantics",
+    "q_dedup_simhash64_pairs",
+    "q_dedup_clusters",
+    "q_dedup_clusters64",
     "q_multimodal_dhash_neardup",
     "q_multimodal_audiohash_neardup",
     "q_multimodal_video_neardup",
-    "q_train_sequence_packing",
-    "q_quality_column_profile",
-    "q_dedup_url_canonical",
-    "q_text_langid_profile",
-    "q_text_bpe_tokenize",
-    "q_text_bpe_train_rounds",
-    "q_sim_ann_pq_adc_topk",
-    "q_retrieval_phrase_match",
-    "q_quality_knn_label_prop",
-    "q_sim_ann_ivfadc_topk",
-    "q_text_pmi_collocations",
-    "q_maintenance_snapshot_diff",
-    "q_ingest_json_quarantine",
-    "q_quality_mad_outliers",
-    "q_market_basket_pairs",
-    "q_retrieval_prf_expansion",
-    "q_events_benford_audit",
-    "q_events_decayed_popularity",
-    "q_events_cusum_changepoint",
+    "q_dedup_prefix_jaccard_join",
+    "q_dedup_containment_pairs",
+    "q_dedup_pagerank_centrality",
     "q_customer_rfm_segments",
     "q_sales_pareto_abc",
-    "q_quality_winsorized_stats",
-    "q_events_theilsen_trend",
-    "q_retrieval_chunk_maxp",
-    "q_changefeed_net_effect",
-    "q_changefeed_asof_state",
-    "q_events_ols_trend",
-    "q_sales_gini_concentration",
-    "q_events_user_entropy",
-    "q_train_weighted_sample",
     "q_stats_equidepth_histogram",
-    "q_maintenance_skew_report",
-    "q_quality_nb_classifier",
-    "q_quality_psi_drift",
-    "q_train_negative_sampling",
-    "q_retrieval_hard_negatives",
-    "q_events_dwell_time",
-    "q_quality_referential_audit",
-    "q_graph_bipartite_projection",
-    "q_quality_exact_decimal_totals",
-    "q_multimodal_audio_normalize",
-    "q_text_ngram_novelty",
-    "q_text_source_jsd",
-    "q_train_epoch_allocation",
-    "q_embedding_outliers",
+    "q_admin_filter_paginate",
+    "q_streaming_changefeed_e2e",
+    "q_changefeed_flagship",
+    "q_envelope_decode_avro",
+    "q_streaming_latest_state",
+    "q_streaming_db_upsert",
+    "q_streaming_dlq_delivery",
+    "q_streaming_feed_outbox",
+    "q_streaming_neardup_dedup",
+    "q_dedup_minhash_lsh",
+    "q_dedup_exact_summary",
+    "q_dedup_semdedup",
+    "q_train_contamination_check",
+    "q_retrieval_bm25_topk",
+    "q_udtf_chunk_digest",
     # -- batch canaries (2; rotation pool in COVERAGE.md) --
-    "q05_local_supplier_volume",
-    "q13_customer_distribution",
+    "q01_pricing_summary",
+    "q14_promo_revenue",
 ]
 
 # This round's batch canaries (tail of WINDOW); exported for the
 # registry-contract test and COVERAGE.md's rotation history.
 CANARIES: list[str] = [
-    "q05_local_supplier_volume",
-    "q13_customer_distribution",
+    "q01_pricing_summary",
+    "q14_promo_revenue",
 ]
 
 
