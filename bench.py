@@ -161,6 +161,13 @@ HEADLINE = [
     "q_retrieval_ql_dirichlet",
     "q_text_readability_forcast",
     "q_quality_dup_inflation",
+    # --- added r8 ---
+    "q_stats_mann_whitney",
+    "q_sales_new_vs_returning",
+    "q_multimodal_audio_silence_trim",
+    "q_embedding_matryoshka_error",
+    "q_graph_jaccard_link_prediction",
+    "q_changefeed_tombstone_audit",
 ]
 
 

@@ -538,6 +538,67 @@ def decode_wav_features(
     return df.select(id_col, binary_col).mapInPandas(_decode, schema=out_schema)
 
 
+def trim_wav_silence(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    threshold: int = 8192,
+) -> DataFrame:
+    """Leading/trailing silence trim over the REAL WAV decode path
+    (``mapInPandas``, Arrow-batched): parse each clip, find the first
+    and last sample with ``|s| >= threshold``, and emit the trim
+    bounds plus exact statistics of the kept region — the speech-prep
+    step that removes dead air before feature extraction. All-silent
+    clips report ``kept = 0`` with NULL RMS (the caller decides to
+    drop or keep them).
+
+    Determinism: lead/trail/kept are integer indices; the kept-region
+    second moment is an exact int64 sum, so ``kept_rms`` is computed
+    from identical integers on both engines. Blobs never leave the
+    executors; output is fixed-width per clip (no shuffle)."""
+    out_schema = (
+        f"{id_col} bigint, n_samples int, lead_trim int, trail_trim int, "
+        "kept int, kept_sumsq bigint"
+    )
+
+    def _trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, leads, trails, kepts, sumsqs = [], [], [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                _rate, channels, bits, raw = parse_wav(bytes(blob))
+                if channels != 1 or bits != 16:
+                    raise ValueError("expected 16-bit mono PCM")
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                loud = np.abs(arr) >= threshold
+                n = arr.size
+                if loud.any():
+                    lead = int(np.argmax(loud))
+                    trail = int(np.argmax(loud[::-1]))
+                    kept = n - lead - trail
+                    seg = arr[lead : n - trail]
+                    sumsq = int((seg * seg).sum())
+                else:
+                    lead, trail, kept, sumsq = n, 0, 0, 0
+                ids.append(int(did))
+                ns.append(n)
+                leads.append(lead)
+                trails.append(trail)
+                kepts.append(kept)
+                sumsqs.append(sumsq)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_samples": ns,
+                    "lead_trim": leads,
+                    "trail_trim": trails,
+                    "kept": kepts,
+                    "kept_sumsq": sumsqs,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_trim, schema=out_schema)
+
+
 # --- Audio perceptual hash over the REAL WAV decode path (r6) ---------
 # 1-D sibling of the image dHash: sample 65 points from the decoded
 # waveform, bit i = s[k_i+1] > s[k_i] (sign of the local delta). The

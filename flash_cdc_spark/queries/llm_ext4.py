@@ -1195,3 +1195,95 @@ def q_events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("seasonal_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Matryoshka truncation quality (r8)
+# ---------------------------------------------------------------------
+
+_MRL_PREFIXES = (8, 16, 32)
+
+
+@query(
+    "q_embedding_matryoshka_error",
+    oracle=f"""
+    WITH per_vec AS (
+        SELECT label,
+               list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS s64,
+               list_aggregate(list_transform(embedding[1:8],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS s8,
+               list_aggregate(list_transform(embedding[1:16],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS s16,
+               list_aggregate(list_transform(embedding[1:32],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS s32
+        FROM embeddings
+    ),
+    cos AS (
+        SELECT label,
+               CAST(round(sqrt(s8 / s64), 6) AS DECIMAL(18, 6)) AS c8,
+               CAST(round(sqrt(s16 / s64), 6) AS DECIMAL(18, 6)) AS c16,
+               CAST(round(sqrt(s32 / s64), 6) AS DECIMAL(18, 6)) AS c32
+        FROM per_vec WHERE s64 > 0
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(c8) AS DOUBLE) / count(*), 6) AS avg_cos8,
+           round(CAST(sum(c16) AS DOUBLE) / count(*), 6) AS avg_cos16,
+           round(CAST(sum(c32) AS DOUBLE) / count(*), 6) AS avg_cos32
+    FROM cos GROUP BY label
+    """,
+)
+def q_embedding_matryoshka_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka truncation quality (Kusupati et al. 2022, MRL): how
+    much of each embedding's direction survives truncation to the
+    first k dims? cos(v, v[:k] zero-padded) = sqrt(energy_k /
+    energy_full), so the per-label average retained cosine at k in
+    {_MRL_PREFIXES} is THE table an ANN-serving team reads before
+    shipping truncated vectors (dims are cheap to drop only if the
+    prefix carries the mass — true for MRL-trained encoders, false for
+    vanilla ones; this measures which you have).
+
+    Determinism: per-vector energies fold SEQUENTIALLY over the array
+    (``F.aggregate`` / ``list_aggregate`` — index order on both
+    engines, no parallel reduction), cosines round to 6 dp and
+    accumulate in DECIMAL across the label group, and the average
+    divides identical decimal-derived doubles.
+
+    Scale: one scan, everything per-row inside codegen until a bounded
+    per-label aggregate. 100 TB cost = one pass over the vectors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = e.select(
+        "label",
+        sq(F.col("embedding")).alias("s64"),
+        *[
+            sq(F.slice(F.col("embedding"), 1, k)).alias(f"s{k}")
+            for k in _MRL_PREFIXES
+        ],
+    ).filter(F.col("s64") > 0)
+    cos = per_vec.select(
+        "label",
+        *[
+            F.round(F.sqrt(F.col(f"s{k}") / F.col("s64")), 6)
+            .cast("decimal(18,6)")
+            .alias(f"c{k}")
+            for k in _MRL_PREFIXES
+        ],
+    )
+    return cos.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.round(
+                F.sum(f"c{k}").cast("double") / F.count(F.lit(1)), 6
+            ).alias(f"avg_cos{k}")
+            for k in _MRL_PREFIXES
+        ],
+    )

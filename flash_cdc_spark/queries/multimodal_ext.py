@@ -131,3 +131,101 @@ def q_multimodal_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms_out", 6).alias("rms_out"),
         "peak_out",
     )
+
+
+# ---------------------------------------------------------------------
+# Silence trim (r8)
+# ---------------------------------------------------------------------
+
+_TRIM_THRESHOLD = 8192
+
+
+@query(
+    "q_multimodal_audio_silence_trim",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id, k.k,
+               ((31 * (d.doc_id * 131) + 17 * k.k) % 65536 - 32768) AS v
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range({MM.WAV_N_SAMPLES})) AS k) k
+    ),
+    bounds AS (
+        SELECT doc_id,
+               coalesce(min(CASE WHEN abs(v) >= {_TRIM_THRESHOLD}
+                                 THEN k END), {MM.WAV_N_SAMPLES})
+                   AS lead_trim,
+               CASE WHEN max(CASE WHEN abs(v) >= {_TRIM_THRESHOLD}
+                                  THEN k END) IS NULL THEN 0
+                    ELSE {MM.WAV_N_SAMPLES} - 1
+                         - max(CASE WHEN abs(v) >= {_TRIM_THRESHOLD}
+                                    THEN k END)
+               END AS trail_trim
+        FROM s GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT b.doc_id, b.lead_trim, b.trail_trim,
+               {MM.WAV_N_SAMPLES} - b.lead_trim - b.trail_trim AS kept,
+               CAST(sum(CASE WHEN s.k >= b.lead_trim
+                              AND s.k < {MM.WAV_N_SAMPLES} - b.trail_trim
+                             THEN v * v ELSE 0 END) AS BIGINT) AS kept_sumsq
+        FROM bounds b JOIN s ON s.doc_id = b.doc_id
+        GROUP BY b.doc_id, b.lead_trim, b.trail_trim
+    )
+    SELECT doc_id,
+           CAST({MM.WAV_N_SAMPLES} AS INT) AS n_samples,
+           CAST(lead_trim AS INT) AS lead_trim,
+           CAST(trail_trim AS INT) AS trail_trim,
+           CAST(kept AS INT) AS kept,
+           CASE WHEN kept > 0
+                THEN round(sqrt(CAST(kept_sumsq AS DOUBLE) / kept), 6)
+           END AS kept_rms
+    FROM kept
+    """,
+)
+def q_multimodal_audio_silence_trim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leading/trailing silence trim over the REAL WAV decode path —
+    the speech-corpus prep step that strips dead air before feature
+    extraction (and drops all-silent clips). Each document's RIFF/WAVE
+    clip is parsed executor-side (``mapInPandas``, Arrow-batched), the
+    first/last sample with ``|s| >= {_TRIM_THRESHOLD}`` bound the kept
+    region, and the report carries the trim bounds plus the kept
+    region's exact RMS. The synth ramp waveform makes every branch
+    non-vacuous at fixture scale: clips land fully-silent (kept = 0,
+    NULL RMS), partially trimmed, and untrimmed, depending on where
+    their 4352-unit ramp sits in the int16 range.
+
+    Determinism: trim bounds and the kept second moment are exact
+    integers from the decoded PCM; RMS divides/sqrt-s identical
+    integers on both engines (IEEE), rounded to 6 dp. The oracle
+    recomputes everything in closed form from the waveform formula —
+    so the real parser, the Arrow round trip, and the trim logic are
+    all on the gate.
+
+    Scale: one ``mapInPandas`` pass, blobs never leave the executors,
+    fixed-width output per clip, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # doc_id*131 spreads each clip's narrow ramp across the full int16
+    # range (bare doc_id parks every clip in the loud negative band,
+    # leaving the trim branches untested — same device as the
+    # normalize query above)
+    wavs = d.select("doc_id").withColumn(
+        "media", MM.synth_wav_udf()(F.col("doc_id") * 131)
+    )
+    out = MM.trim_wav_silence(wavs, "media", threshold=_TRIM_THRESHOLD)
+    kept_rms = F.when(
+        F.col("kept") > 0,
+        F.round(
+            F.sqrt(F.col("kept_sumsq").cast("double") / F.col("kept")), 6
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "lead_trim",
+        "trail_trim",
+        "kept",
+        kept_rms.alias("kept_rms"),
+    )

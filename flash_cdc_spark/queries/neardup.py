@@ -1719,8 +1719,12 @@ def _duck_pagerank_cte(iters: int, damping: float = 0.85) -> str:
     """Unrolled PageRank CTEs over the rep-level 64-bit band-join pair
     graph (expects ``pairs(doc_a, doc_b)`` upstream). Same unrolled-
     iteration oracle device as :func:`operators.ivf.kmeans_cte`: both
-    engines round ranks to 9 dp per iteration so float-reduction order
-    cannot diverge."""
+    engines round each edge CONTRIBUTION to 9 dp and accumulate the
+    per-node sum in DECIMAL(38,9) — exact, associative — so no float
+    reduction order exists anywhere in the iteration (r8 strict sweep:
+    rounding only the per-node RESULT to 9 dp still let the double
+    fold drift a 9th-dp boundary at sf0.01, visible in the 8-dp
+    output)."""
     parts = [
         "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
         "UNION SELECT doc_b, doc_a FROM pairs)",
@@ -1733,7 +1737,8 @@ def _duck_pagerank_cte(iters: int, damping: float = 0.85) -> str:
         parts.append(
             f"r{t} AS (SELECT e.dst AS node, "
             f"round({1 - damping} / (SELECT n FROM nn) "
-            f"+ {damping} * sum(r{t - 1}.r / deg.cnt), 9) AS r "
+            f"+ {damping} * CAST(sum(CAST(round(r{t - 1}.r / deg.cnt, 9) "
+            f"AS DECIMAL(38, 9))) AS DOUBLE), 9) AS r "
             f"FROM edges e JOIN r{t - 1} ON r{t - 1}.node = e.src "
             f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
         )
@@ -1794,9 +1799,10 @@ def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges⋈ranks join (shuffle on src) + one groupBy(dst), with
     ``localCheckpoint`` lineage truncation every other round; the edge
     list comes from the same capped band join as the clusters queries
-    (never all-pairs). Ranks round to 9 dp per iteration on BOTH
-    engines (the kmeans_cte device), so the unrolled-CTE oracle is
-    bit-comparable despite float reductions."""
+    (never all-pairs). Per-edge contributions round to 9 dp and
+    accumulate in DECIMAL(38,9) on BOTH engines (the kmeans_cte device
+    plus the KM decimal-cumsum device), so the unrolled-CTE oracle is
+    bit-comparable with NO float reduction anywhere."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     sigs = signature_index(lambda: simhash64_signatures(d), sf_dir, "simhash64")
     grp = (
@@ -1821,13 +1827,23 @@ def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             edges.join(deg, "src")
             .join(ranks, edges.src == ranks.node)
-            .select("dst", (F.col("r") / F.col("cnt")).alias("c"))
+            .select(
+                "dst",
+                # contribution pre-rounded to 9 dp then DECIMAL-summed:
+                # exact, fold-order-free (r8 strict fix — the double
+                # fold drifted a 9th-dp boundary at sf0.01)
+                F.round(F.col("r") / F.col("cnt"), 9)
+                .cast("decimal(38,9)")
+                .alias("c"),
+            )
         )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
-                    F.lit((1 - damping) / n) + F.lit(damping) * F.sum("c"), 9
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping) * F.sum("c").cast("double"),
+                    9,
                 ).alias("r")
             )
         )
@@ -1921,3 +1937,140 @@ def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").alias("exact_jaccard"),
         F.round(F.abs(F.col("est") - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------
+# Common-neighbor link prediction over the near-dup graph (r8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_graph_jaccard_link_prediction",
+    oracle="WITH " + _DUCK_SIMHASH64_SIG + """
+    , sgrp AS (
+        SELECT sim_hi, sim_lo, min(doc_id) AS doc_id
+        FROM ssig GROUP BY sim_hi, sim_lo
+    ),
+    sbands AS (
+        SELECT doc_id, sim_hi, sim_lo, CAST(b AS INT) AS band_idx,
+               CASE CAST(b AS INT)
+                   WHEN 0 THEN sim_lo & 65535
+                   WHEN 1 THEN sim_lo >> 16
+                   WHEN 2 THEN sim_hi & 65535
+                   ELSE sim_hi >> 16
+               END AS band_val
+        FROM sgrp CROSS JOIN (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {cap}
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM sbands l JOIN sbands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim_hi, r.sim_hi))
+              + bit_count(xor(l.sim_lo, r.sim_lo)) <= 3
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS cnt
+            FROM edges GROUP BY src),
+    cn AS (
+        SELECT e1.dst AS a, e2.dst AS c, CAST(count(*) AS BIGINT) AS common
+        FROM edges e1 JOIN edges e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY e1.dst, e2.dst
+    ),
+    nonedge AS (
+        SELECT cn.a, cn.c, cn.common
+        FROM cn LEFT JOIN edges e ON e.src = cn.a AND e.dst = cn.c
+        WHERE e.src IS NULL
+    ),
+    scored AS (
+        SELECT n.a AS doc_a, n.c AS doc_b, n.common AS common_neighbors,
+               da.cnt AS deg_a, dc.cnt AS deg_b,
+               CAST(n.common AS DOUBLE)
+                   / (da.cnt + dc.cnt - n.common) AS jaccard
+        FROM nonedge n
+        JOIN deg da ON da.src = n.a
+        JOIN deg dc ON dc.src = n.c
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           common_neighbors, deg_a, deg_b, jaccard
+    FROM scored
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH),
+)
+def q_graph_jaccard_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Common-neighbor link prediction over the near-dup graph
+    (Liben-Nowell & Kleinberg 2003): for every 2-hop NON-edge pair —
+    two documents that share at least one near-dup neighbor but were
+    not themselves paired — the neighbor-set Jaccard score
+    |N(a) ∩ N(c)| / |N(a) ∪ N(c)|, top-20. This is the "missed
+    near-dup" candidate list a curation pipeline reviews: banded LSH
+    has false negatives by construction, and high common-neighbor
+    scores are exactly where they hide (graph analytics #4 beside CC,
+    PageRank, and triangles).
+
+    Determinism: common-neighbor and degree counts are integers; the
+    Jaccard divides identical integers as doubles (IEEE); ordering
+    tie-breaks on the pair ids.
+
+    Scale shape: the 2-hop expansion is edges⋈edges on the shared
+    neighbor — bounded by the sum of squared degrees, which the same
+    band-cap device that bounds the pair join keeps sparse (never
+    all-pairs); the non-edge filter is one anti join; top-20 via
+    TakeOrdered (per-partition heaps), no global sort.
+    """
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    sigs = signature_index(lambda: simhash64_signatures(d), sf_dir, "simhash64")
+    grp = (
+        sigs.groupBy("sim_hi", "sim_lo")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = simhash64_candidate_pairs(
+        grp.select("doc_id", "sim_hi", "sim_lo"),
+        max_hamming=3,
+        max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH,
+    ).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("cnt"))
+    e1 = edges.select(F.col("src").alias("b"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    cn = (
+        e1.join(e2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    nonedge = cn.join(
+        edges,
+        (cn["a"] == edges["src"]) & (cn["c"] == edges["dst"]),
+        "left_anti",
+    )
+    deg_a = deg.select(F.col("src").alias("a"), F.col("cnt").alias("deg_a"))
+    deg_c = deg.select(F.col("src").alias("c"), F.col("cnt").alias("deg_b"))
+    scored = (
+        nonedge.join(deg_a, "a")
+        .join(deg_c, "c")
+        .select(
+            F.col("a").cast("bigint").alias("doc_a"),
+            F.col("c").cast("bigint").alias("doc_b"),
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "doc_a", "doc_b"
+    ).limit(20)
