@@ -127,6 +127,30 @@ def test_property_two_phase_matches_naive(spark, vals, buckets, k):
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
 
 
+def test_boundary_memo_hits_on_identical_plan(spark):
+    """Re-constructing the operator over the SAME logical plan must
+    reuse the memoized boundaries (skipping the count/sample jobs),
+    and a different plan must not collide — boundary reuse is
+    balance-only, so results stay identical either way."""
+    from flash_cdc_spark.operators import global_order as go
+
+    go._BOUNDS_MEMO.clear()
+    mk = lambda: spark.range(5000).select(  # noqa: E731
+        F.col("id"), (F.col("id") * 7 % 97).alias("v")
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    r1 = with_global_order(mk(), order, rank_col="rk", buckets=8)
+    assert len(go._BOUNDS_MEMO) == 1
+    r2 = with_global_order(mk(), order, rank_col="rk", buckets=8)
+    assert len(go._BOUNDS_MEMO) == 1  # hit, no second entry
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    other = spark.range(4000).select(
+        F.col("id"), (F.col("id") * 11 % 89).alias("v")
+    )
+    with_global_order(other, order, rank_col="rk", buckets=8)
+    assert len(go._BOUNDS_MEMO) == 2  # different plan, different key
+
+
 def test_sampled_boundaries_stay_consistent(spark):
     """r7 regression: at sizes where the range partitioner actually
     SAMPLES its boundaries (small relations are partitioned exactly, so
