@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flash_cdc_spark.operators.global_order import with_global_order
+from flash_cdc_spark.operators.global_order import (
+    bounded_running_sum,
+    with_global_order,
+)
 from flash_cdc_spark.queries import query
 from flash_cdc_spark.tables import load_table
 
@@ -111,11 +114,15 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to 0 at 6 dp) instead of ln(0).
 
     Scale: the corpus reduces to one row per user (one shuffle), then
-    to one row per distinct DURATION (day-grid-bounded). Both running
-    sums (prior removals -> risk set; cumulative log survival) go
-    through :func:`with_global_order`'s two-phase form, so the plan
-    has NO single-partition window even though the duration grid is
-    small. 100 TB cost = the per-user aggregate scan.
+    to one row per distinct DURATION — bounded by the feed's TIMESPAN
+    in hours (a domain), never by corpus rows. Both running sums
+    (prior removals -> risk set; cumulative log survival) therefore go
+    through :func:`bounded_running_sum` — a broadcast triangular join
+    over the grid, value-identical to the window form because the
+    accumulated terms are integer / DECIMAL (exact under any fold
+    order) — so the plan has NO window at all and pays none of the
+    two-phase operator's fixed construction cost. 100 TB cost = the
+    per-user aggregate scan.
     """
     e = load_table(spark, sf_dir, "events")
     ref = e.agg(F.max("ts").alias("ref_ts"))
@@ -138,7 +145,7 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("churned")).cast("bigint").alias("c"),
     )
     tot = users.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    cum = with_global_order(
+    cum = bounded_running_sum(
         per_dur,
         [F.col("dur").asc()],
         sums={"removed_incl": F.col("d") + F.col("c")},
@@ -161,7 +168,7 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,9)")
     )
     terms = cum.withColumn("lnterm", lnterm)
-    curve = with_global_order(
+    curve = bounded_running_sum(
         terms, [F.col("dur").asc()], sums={"cumln": F.col("lnterm")}
     )
     return (

@@ -174,3 +174,79 @@ def test_sampled_boundaries_stay_consistent(spark):
         )
         assert got.exceptAll(exp).count() == 0
         assert exp.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------
+# bounded_running_sum — the broadcast-triangular sibling for
+# domain-bounded grid relations
+# ---------------------------------------------------------------------
+
+from flash_cdc_spark.operators.global_order import bounded_running_sum
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_bounded_running_sum_matches_naive_window(spark, direction):
+    # Grid-shaped relation (unique key, extra payload column) with a
+    # DECIMAL sum column — the exact shape the operator is for.
+    rows = [(i, (i * 7) % 23 - 5, f"g{i % 4}") for i in range(200)]
+    rel = spark.createDataFrame(rows, "k bigint, v int, tag string").select(
+        "k", "v", "tag", F.col("v").cast("decimal(38,9)").alias("dv")
+    )
+    if direction == "asc":
+        order = [F.col("k").asc()]
+    else:
+        order = [F.col("k").desc()]
+    got = bounded_running_sum(
+        rel, order, rank_col="rk", sums={"cs": F.col("v"), "ds": F.col("dv")}
+    )
+    w = Window.orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp = rel.select(
+        "k",
+        "v",
+        "tag",
+        "dv",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("v").over(wf).alias("cs"),
+        F.sum("dv").over(wf).alias("ds"),
+    )
+    got = got.select(*exp.columns)
+    assert got.schema == exp.schema  # incl. the DECIMAL sum type
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_bounded_running_sum_multikey_and_nulls(spark):
+    # Composite order with a NULLABLE leading key in both null
+    # orderings; the id tiebreak keeps the order total.
+    rows = [(i, None if i % 5 == 0 else (i * 3) % 7, i % 3 + 1)
+            for i in range(60)]
+    rel = spark.createDataFrame(rows, "id bigint, v int, amt int")
+    for order in (
+        [F.col("v").asc_nulls_first(), F.col("id").asc()],
+        [F.col("v").desc_nulls_last(), F.col("id").desc()],
+    ):
+        got = bounded_running_sum(rel, order, sums={"cs": F.col("amt")})
+        wf = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        exp = rel.select("id", F.sum("amt").over(wf).alias("cs"))
+        got = got.select("id", "cs")
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+
+def test_bounded_running_sum_plan_is_window_free(spark):
+    rel = spark.range(50).select(F.col("id"), (F.col("id") % 9).alias("v"))
+    got = bounded_running_sum(rel, [F.col("id")], sums={"cs": F.col("v")})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bounded_running_sum_rejects_clashing_output(spark):
+    rel = spark.range(5).select(F.col("id"), F.lit(1).alias("v"))
+    with pytest.raises(ValueError):
+        bounded_running_sum(rel, [F.col("id")], sums={"v": F.col("v")})
+    with pytest.raises(ValueError):
+        bounded_running_sum(rel, [F.col("id")])

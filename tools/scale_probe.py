@@ -660,12 +660,17 @@ def measure_km_cumsum(spark: SparkSession, sf_dir: str, reps: int) -> dict:
     so the expectation on record: total wall tracks the per-user
     aggregate scan (linear), the chained cumsum stage itself ~flat.
     The naive two-window form is timed on the same grid for the
-    crossover curve; checksums asserted equal."""
+    crossover curve; checksums asserted equal. r8 adds the production
+    form, ``bounded_running_sum`` (broadcast triangular join over the
+    bounded grid — no window, no boundary jobs), timed three-way."""
     from decimal import Decimal
 
     from pyspark.sql import Window
 
-    from flash_cdc_spark.operators.global_order import with_global_order
+    from flash_cdc_spark.operators.global_order import (
+        bounded_running_sum,
+        with_global_order,
+    )
 
     base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "ts"
@@ -743,12 +748,26 @@ def measure_km_cumsum(spark: SparkSession, sf_dir: str, reps: int) -> dict:
     naive_chk = checks(naive)
     naive_sec = round(time.time() - t0, 2)
     assert two_chk == naive_chk, (two_chk, naive_chk)
+
+    t0 = time.time()
+    bnd = bounded_running_sum(
+        per_dur,
+        [F.col("dur").asc()],
+        sums={"removed_incl": F.col("d") + F.col("c")},
+    ).withColumn("lnterm", lnterm)
+    bnd = bounded_running_sum(
+        bnd, [F.col("dur").asc()], sums={"cumln": F.col("lnterm")}
+    )
+    bnd_chk = checks(bnd)
+    bnd_sec = round(time.time() - t0, 2)
+    assert bnd_chk == naive_chk, (bnd_chk, naive_chk)
     return {
         "probe": "km_double_cumsum",
         "reps": reps,
         "n_events": e.count(),
         "n_grid_rows": per_dur.count(),
         "two_phase_sec": two_sec,
+        "bounded_triangular_sec": bnd_sec,
         "naive_window_sec": naive_sec,
         "ratio_two_phase_over_naive": round(two_sec / max(naive_sec, 1e-9), 2),
     }
