@@ -431,6 +431,11 @@ def bounded_running_sum(
     metas = [(p[1], p[2]) for p in parsed]
     nk = len(keys)
 
+    # The plan references df three times (both triangular sides + the
+    # join-back); persisting the BOUNDED grid (MEMORY_AND_DISK, lineage
+    # preserved — same policy as with_global_order's input) makes the
+    # corpus-sized upstream evaluate once, not per reference.
+    df = df.persist()
     vals = df.select(
         *[k.alias(f"__brs_k{i}") for i, k in enumerate(keys)],
         *[expr.alias(f"__brs_v_{out}") for out, expr in sums.items()],

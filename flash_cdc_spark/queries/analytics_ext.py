@@ -307,20 +307,25 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry-wide by ``tests/test_plan_audit.py``.
     """
     o = load_table(spark, sf_dir, "orders")
-    ref = o.agg(F.max("o_orderdate").alias("ref_d"))
-    rfm = (
-        o.crossJoin(F.broadcast(ref))
-        .groupBy("o_custkey")
-        .agg(
-            F.datediff(F.max("ref_d"), F.max("o_orderdate")).alias("recency_days"),
-            F.count(F.lit(1)).alias("frequency"),
-            # DECIMAL-accumulated (exact, fold-order-free) — a raw
-            # double sum rounded to 2 dp is a per-rotation penny dice
-            # roll under the driver's exact hash (r8 strict sweep)
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("monetary"),
-        )
+    # The reference date rides the per-customer aggregate (global max =
+    # max of per-customer maxes), so the orders scan + partial agg is
+    # shared between both branches instead of scanning the corpus twice.
+    percust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        # DECIMAL-accumulated (exact, fold-order-free) — a raw
+        # double sum rounded to 2 dp is a per-rotation penny dice
+        # roll under the driver's exact hash (r8 strict sweep)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    ref = percust.agg(F.max("__last_d").alias("ref_d"))
+    rfm = percust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff(F.col("ref_d"), F.col("__last_d")).alias("recency_days"),
+        "frequency",
+        "monetary",
     )
     n_cust = rfm.agg(F.count(F.lit(1)).alias("__n"))
     ranked = rfm

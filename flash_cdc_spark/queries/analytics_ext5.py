@@ -125,20 +125,25 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user aggregate scan.
     """
     e = load_table(spark, sf_dir, "events")
-    ref = e.agg(F.max("ts").alias("ref_ts"))
-    users = (
-        e.crossJoin(F.broadcast(ref))
-        .groupBy("user_id")
-        .agg(
-            F.expr("(unix_timestamp(max(ts)) - unix_timestamp(min(ts))) div 3600")
-            .alias("dur"),
-            (
-                F.max("ts")
-                < F.max("ref_ts") - F.expr(f"INTERVAL {_CHURN_HOURS} HOURS")
-            )
-            .cast("int")
-            .alias("churned"),
+    # The feed-end reference rides the per-user aggregate (global max =
+    # max of per-user maxes): one corpus scan, shared by both branches,
+    # instead of a second scan just for the reference timestamp.
+    peruser = e.groupBy("user_id").agg(
+        F.min("ts").alias("__first_ts"), F.max("ts").alias("__last_ts")
+    )
+    ref = peruser.agg(F.max("__last_ts").alias("ref_ts"))
+    users = peruser.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.expr(
+            "(unix_timestamp(__last_ts) - unix_timestamp(__first_ts))"
+            " div 3600"
+        ).alias("dur"),
+        (
+            F.col("__last_ts")
+            < F.col("ref_ts") - F.expr(f"INTERVAL {_CHURN_HOURS} HOURS")
         )
+        .cast("int")
+        .alias("churned"),
     )
     per_dur = users.groupBy("dur").agg(
         F.sum("churned").cast("bigint").alias("d"),

@@ -695,7 +695,6 @@ def q_changefeed_tombstone_audit(
         F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_ops"),
         F.lag(is_del).over(w).alias("prev_del"),
     )
-    ref = e.agg(F.max("ts").alias("ref_ts"))
     per_key = ops.groupBy("user_id").agg(
         F.max(F.when(F.col("rn") == 1, F.col("is_del"))).alias(
             "first_is_del"
@@ -712,6 +711,10 @@ def q_changefeed_tombstone_audit(
             ).otherwise(0)
         ).alias("resurrections"),
     )
+    # Reference = max ts anywhere = max of per-key last_ts (each key's
+    # last-ordered op carries its max ts), so the GC horizon rides the
+    # per-key aggregate instead of re-scanning the changelog.
+    ref = per_key.agg(F.max("last_ts").alias("ref_ts"))
     gc_cut = F.col("ref_ts") - F.expr(
         f"INTERVAL {_TOMBSTONE_GC_HOURS} HOURS"
     )
