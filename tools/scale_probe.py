@@ -805,9 +805,10 @@ def main() -> int:
     if only in (None, "chain"):
         for reps in (1, 2, 4, 8):
             print(json.dumps(measure_rfm_chain(spark, sf_dir, reps)), flush=True)
+    if only in (None, "chain", "km"):
         for reps in (1, 2, 4, 8):
             print(json.dumps(measure_km_cumsum(spark, sf_dir, reps)), flush=True)
-    if only in ("video", "phrase", "rank", "chain"):
+    if only in ("video", "phrase", "rank", "chain", "km"):
         spark.stop()
         return 0
     if only in (None, "dedup"):
