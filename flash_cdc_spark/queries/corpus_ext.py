@@ -68,11 +68,15 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct grams per doc are length-bounded; document
     frequency is one partial-aggregatable groupBy on the gram key (the
-    only fact-sized shuffle); the df join is gram-keyed and uniform.
-    A doc's novelty is exact int ratios rounded to 9 dp before the
-    source average. At 100 TB this is the same shape as the Bloom
-    contamination audit — swap the exact df relation for a counting
-    Bloom if the gram table dominates.
+    only fact-sized shuffle). A gram with document frequency 1 belongs
+    to exactly ONE doc, so the unique-gram count attributes through
+    the df aggregate itself (min(doc_id) of a 1-doc gram IS the doc) —
+    no gram-keyed join of the full gram relation back onto the df
+    table (the r8 rewrite dropped that corpus-scale shuffle join; the
+    join that remains is per-DOC sized). A doc's novelty is exact int
+    ratios rounded to 9 dp before the source average. At 100 TB this
+    is the same shape as the Bloom contamination audit — swap the
+    exact df relation for a counting Bloom if the gram table dominates.
     """
     d = load_table(spark, sf_dir, "documents")
     grams = (
@@ -83,17 +87,29 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("docs_with"))
-    per_doc = (
-        grams.join(df_counts, "g")
-        .groupBy("doc_id", "source")
+    uniq = (
+        grams.groupBy("g")
         .agg(
-            F.round(
-                F.sum((F.col("docs_with") == 1).cast("int"))
-                / F.count(F.lit(1)).cast("double"),
-                9,
-            ).alias("novelty")
+            F.count(F.lit(1)).alias("docs_with"),
+            F.min("doc_id").alias("doc1"),
         )
+        .filter(F.col("docs_with") == 1)
+        .groupBy("doc1")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    totals = grams.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    per_doc = totals.join(
+        uniq, totals["doc_id"] == uniq["doc1"], "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.round(
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("bigint")
+            / F.col("n_grams").cast("double"),
+            9,
+        ).alias("novelty"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

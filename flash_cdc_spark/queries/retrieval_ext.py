@@ -702,7 +702,9 @@ def q_retrieval_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col("text")).alias("t"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    coll = tok.agg(F.count("*").cast("bigint").alias("total_toks"))
+    # collection size = sum of per-doc lengths: rides the dl aggregate
+    # instead of a second full token-explode pass (exact integer sum)
+    coll = dl.agg(F.sum("dl").cast("bigint").alias("total_toks"))
     probe = tok.filter(F.col("t").isin(*_QTERMS))
     cf = probe.groupBy("t").agg(F.count("*").cast("bigint").alias("cf"))
     cand = probe.select("doc_id").distinct()
