@@ -199,6 +199,14 @@ def main() -> None:
         trimmed = samples[1:-1] if len(samples) >= 4 else samples
         timings[name] = round(med, 3)
         spread[name] = round(100.0 * (trimmed[-1] - trimmed[0]) / med, 1)
+        # Drop this query's persisted relations (global-order inputs,
+        # bounded grids) before the next group: caches accumulated
+        # across ~100 queries otherwise build JVM memory pressure that
+        # shows up as GC-spike spread on late queries, making medians
+        # depend on bench ORDER. Within-query warmth is preserved (the
+        # warmup + iters above share the cache; disk memos and literal
+        # boundary memos survive clearCache).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # Artifact strategy (r7, VERDICT r6 #4): the round driver archives
