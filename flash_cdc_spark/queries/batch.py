@@ -48,12 +48,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                        AS sum_qty,
-           sum(l_extendedprice)                                   AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+                                                                  AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(1 - l_discount AS DECIMAL(18, 2))) AS DOUBLE)
+                                                                  AS sum_disc_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
+                         * CAST(1 - l_discount AS DECIMAL(18, 2))
+                         AS DECIMAL(18, 4))
+                    * CAST(1 + l_tax AS DECIMAL(18, 2))) AS DOUBLE)
+                                                                  AS sum_charge,
            avg(l_quantity)                                        AS avg_qty,
-           avg(l_extendedprice)                                   AS avg_price,
-           avg(l_discount)                                        AS avg_disc,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+               / count(*)                                         AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18, 2))) AS DOUBLE)
+               / count(*)                                         AS avg_disc,
            count(*)                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -62,20 +71,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-side filter + 6-way aggregate. One shuffle on
-    the (tiny-cardinality) grouping key; partial aggregation map-side."""
+    the (tiny-cardinality) grouping key; partial aggregation map-side.
+
+    Money sums/averages accumulate in DECIMAL (exact, fold-order-free;
+    r8 strict fix, second pass — raw double sums are a run-to-run dice
+    roll under the driver's exact value hash); the quantity columns
+    stay double because integral doubles sum exactly in any order.
+    The three-factor charge product steps through DECIMAL(18,4) so
+    both engines' precision rules keep the arithmetic exact."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(18,2)")
+    disc_price = ep * disc
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price.cast("decimal(18,4)") * tax1)
+            .cast("double")
+            .alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (F.sum(ep).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -84,7 +108,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_forecast_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(l_discount AS DECIMAL(18, 2))) AS DOUBLE)
+               AS revenue,
            count(*)                          AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -105,7 +131,13 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -203,7 +235,9 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(1 - l_discount AS DECIMAL(18, 2))) AS DOUBLE)
+               AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -230,7 +264,16 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix) —
+        # also pins the revenue-DESC top-k order across engines
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -241,7 +284,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(1 - l_discount AS DECIMAL(18, 2))) AS DOUBLE)
+               AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -274,7 +319,15 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
@@ -282,7 +335,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(1 - l_discount AS DECIMAL(18, 2))) AS DOUBLE)
+               AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -310,7 +365,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -345,10 +408,13 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    SELECT 100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18, 2))
+                                  * CAST(1 - l_discount AS DECIMAL(18, 2))
+                             ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                            * CAST(1 - l_discount AS DECIMAL(18, 2)))
+                        AS DOUBLE) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-09-01'
@@ -362,14 +428,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # DECIMAL-accumulated numerator/denominator (exact, fold-order-free;
+    # r8 strict fix); the ratio divides the two exact totals as doubles
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(rev).cast("double")
             ).alias("promo_revenue")
         )
     )

@@ -52,24 +52,36 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_stock",
     oracle="""
     WITH supp_value AS (
-        SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS value
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                        * CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE)
+                   AS value
         FROM lineitem GROUP BY l_suppkey
     )
     SELECT l_suppkey, value
     FROM supp_value
-    WHERE value > (SELECT 0.02 * sum(l_extendedprice * l_quantity) FROM lineitem)
+    WHERE value > (SELECT 0.02 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                                          * CAST(l_quantity AS DECIMAL(18, 2)))
+                                      AS DOUBLE)
+                   FROM lineitem)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: aggregate vs a scalar-subquery fraction of the
-    global aggregate."""
+    global aggregate. DECIMAL-accumulated (exact, fold-order-free; r8
+    strict fix); both sides compare identical doubles derived from the
+    exact decimal totals, so the threshold cannot split across
+    engines."""
     li = _t(spark, sf_dir, "lineitem")
-    val = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    val = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
     total = li.agg(val.alias("t")).first()["t"]
     return (
         li.groupBy("l_suppkey")
-        .agg(val.alias("value"))
-        .filter(F.col("value") > F.lit(0.02) * F.lit(total))
+        .agg(val.cast("double").alias("value"))
+        .filter(F.col("value") > F.lit(0.02) * F.lit(float(total)))
     )
 
 
@@ -284,11 +296,13 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q07_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(l_extendedprice AS DECIMAL(18, 2))
+                   * CAST(1 - l_discount AS DECIMAL(18, 2)) AS volume
         FROM supplier, lineitem, orders, customer, nation n1, nation n2
         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
           AND c_custkey = o_custkey
@@ -333,7 +347,16 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            # DECIMAL-accumulated (exact, fold-order-free): the raw
+            # double sum was a run-to-run dice roll — it passed the r8
+            # pre-flight sweep and failed the re-run on a different
+            # task-completion fold order (r8 strict fix, second pass)
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -342,11 +365,13 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_market_share",
     oracle="""
     SELECT o_year,
-           sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-               / sum(volume) AS mkt_share
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                AS DOUBLE)
+               / CAST(sum(volume) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(l_extendedprice AS DECIMAL(18, 2))
+                   * CAST(1 - l_discount AS DECIMAL(18, 2)) AS volume,
                n2.n_name AS nation
         FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -376,7 +401,11 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
     )
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # DECIMAL-accumulated numerator/denominator (exact, fold-order-free;
+    # r8 strict fix); the share divides the two exact totals as doubles
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -387,8 +416,10 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol)
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(vol).cast("double")
             ).alias("mkt_share")
         )
     )
@@ -788,8 +819,12 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.1 * p_retailprice * l_quantity), 2) AS profit
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                          * CAST(1 - l_discount AS DECIMAL(18, 2))
+                          - CAST(0.1 AS DECIMAL(2, 1))
+                            * (CAST(p_retailprice AS DECIMAL(12, 2))
+                               * CAST(l_quantity AS DECIMAL(4, 0)))), 2)
+                AS DOUBLE) AS profit
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation   ON n_nationkey = s_nationkey
@@ -811,9 +846,17 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     o = _t(spark, sf_dir, "orders")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # DECIMAL-accumulated profit terms (exact, fold-order-free; r8
+    # strict fix): revenue at scale 4, unit cost at scale 3 — the
+    # subtraction and sum stay exact, and the final round-to-cents
+    # happens in DECIMAL (half-away-from-zero on both engines) before
+    # the double cast, never on an engine-folded double
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)") - F.lit("0.1").cast("decimal(2,1)") * (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -823,7 +866,7 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
     )
 
 
@@ -869,13 +912,16 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     oracle="""
     WITH rev AS (
-        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                   * CAST(1 - l_discount AS DECIMAL(18, 2))) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
     WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
     ORDER BY s_suppkey
@@ -893,10 +939,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix): the
+    # argmax compares exact decimals, the output rounds in DECIMAL
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        ).alias("total_revenue")
     )
     best = rev.agg(F.max("total_revenue").alias("mx"))
     s = _t(spark, sf_dir, "supplier")
@@ -904,7 +953,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(best), F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
