@@ -211,7 +211,8 @@ def q_events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
         SELECT c.c_nationkey AS nationkey, o.o_custkey,
-               round(sum(o.o_totalprice), 2) AS s
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18, 2))), 2)
+                    AS DOUBLE) AS s
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey, o.o_custkey
     ),
@@ -224,9 +225,12 @@ def q_events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n2.n_name AS nation,
            CAST(max(r.n) AS BIGINT) AS n_customers,
-           round(2.0 * sum(r.i * r.s) / (max(r.n) * sum(r.s))
+           round(2.0 * CAST(sum(r.i * CAST(r.s AS DECIMAL(18, 2)))
+                            AS DOUBLE)
+                 / (max(r.n) * CAST(sum(CAST(r.s AS DECIMAL(18, 2)))
+                                    AS DOUBLE))
                  - (max(r.n) + 1.0) / max(r.n), 6) AS gini,
-           round(sum(r.s), 2) AS total_spend
+           CAST(sum(CAST(r.s AS DECIMAL(18, 2))) AS DOUBLE) AS total_spend
     FROM ranked r JOIN nation n2 ON r.nationkey = n2.n_nationkey
     GROUP BY n2.n_name
     """,
@@ -249,10 +253,17 @@ def q_sales_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    # DECIMAL-accumulated spend (exact, fold-order-free; r8 strict
+    # fix): s is exact 2-dp, the rank-formula sums re-accumulate it in
+    # DECIMAL, and the gini divides doubles derived from exact totals
     spend = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("s")
+        )
     )
     w = Window.partitionBy("c_nationkey").orderBy("s", "o_custkey")
     nw = Window.partitionBy("c_nationkey")
@@ -262,8 +273,10 @@ def q_sales_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("i"),
         F.count(F.lit(1)).over(nw).alias("n"),
     )
+    sdec = F.col("s").cast("decimal(18,2)")
     gini = (
-        2.0 * F.sum(F.col("i") * F.col("s")) / (F.max("n") * F.sum("s"))
+        2.0 * F.sum(F.col("i") * sdec).cast("double")
+        / (F.max("n") * F.sum(sdec).cast("double"))
         - (F.max("n") + 1.0) / F.max("n")
     )
     return (
@@ -272,7 +285,7 @@ def q_sales_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").alias("n_customers"),
             F.round(gini, 6).alias("gini"),
-            F.round(F.sum("s"), 2).alias("total_spend"),
+            F.sum(sdec).cast("double").alias("total_spend"),
         )
     )
 
@@ -425,7 +438,8 @@ def q_train_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_rows,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi,
-           round(avg(o_totalprice), 4) AS mean_in_bucket
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+               / count(*) AS mean_in_bucket
     FROM b GROUP BY bucket
     """,
 )
@@ -463,7 +477,13 @@ def q_stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
-        F.round(F.avg("o_totalprice"), 4).alias("mean_in_bucket"),
+        # mean = exact decimal total divided as a double, UNROUNDED
+        # (r8 strict rule: a raw double avg is fold-order-sensitive and
+        # round(quotient) splits engines on exact half-boundaries)
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_in_bucket"),
     )
 
 

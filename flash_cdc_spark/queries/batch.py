@@ -169,7 +169,8 @@ def q_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
            count(*)          AS n_orders,
-           sum(o_totalprice) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+                             AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -179,7 +180,10 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").alias("total_price"),
+        # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -525,7 +529,9 @@ def q_anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18, 2)))
+                                   AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
@@ -533,8 +539,18 @@ def q_scalar_subquery_rich_dormant(spark: SparkSession, sf_dir: str) -> DataFram
     """TPC-H Q22 shape: scalar subquery threshold + anti join."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    # threshold = exact decimal total divided as a double (r8 strict
+    # fix: a raw double avg is fold-order-sensitive and could flip
+    # customers sitting on the threshold between engines)
     avg_bal = (
-        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a")).first()["a"]
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+        .first()["a"]
     )
     return (
         c.filter(F.col("c_acctbal") > F.lit(avg_bal))
@@ -616,7 +632,9 @@ def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_brand, p_partkey, p_retailprice,
                dense_rank() OVER (PARTITION BY p_brand
                                   ORDER BY p_retailprice DESC) AS price_rank,
-               avg(p_retailprice) OVER (PARTITION BY p_brand)  AS brand_avg
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18, 2)))
+                        OVER (PARTITION BY p_brand) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY p_brand)      AS brand_avg
         FROM part
     )
     WHERE price_rank <= 2
@@ -633,7 +651,13 @@ def q_window_brand_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_retailprice",
             F.dense_rank().over(wr).alias("price_rank"),
-            F.avg("p_retailprice").over(wa).alias("brand_avg"),
+            # brand mean = exact decimal window total / count (r8
+            # strict fix; the raw window avg fold was a dice roll)
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).over(wa)
+                .cast("double")
+                / F.count(F.lit(1)).over(wa)
+            ).alias("brand_avg"),
         )
         .filter(F.col("price_rank") <= 2)
         .select(
@@ -726,7 +750,8 @@ def q_admin_masked_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                count(*)          AS n_orders,
                max(o_orderstatus) AS last_status,
-               sum(o_totalprice)  AS total_spend
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+                                 AS total_spend
         FROM orders GROUP BY o_custkey
     ) o ON c_custkey = o.o_custkey
     """,
@@ -741,7 +766,10 @@ def q_admin_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.max("o_orderstatus").alias("last_status"),
-            F.sum("o_totalprice").alias("total_spend"),
+            # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
         )
     )
     return status_join(
@@ -764,10 +792,10 @@ def q_admin_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                                                      AS last_order,
-           sum(o_totalprice) OVER
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) OVER
                (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
                 RANGE BETWEEN 31536000000 PRECEDING AND CURRENT ROW)
-                                                     AS trailing_year_spend
+                AS DOUBLE)                           AS trailing_year_spend
     FROM orders
     WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
            w_time  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -796,7 +824,12 @@ def q_window_frames_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey")
         .over(w_time.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .alias("last_order"),
-        F.sum("o_totalprice").over(w_range).alias("trailing_year_spend"),
+        # DECIMAL windowed sum (r8 strict fix: DuckDB folds windowed
+        # doubles with a segment tree, a different fold association)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_range)
+        .cast("double")
+        .alias("trailing_year_spend"),
     )
 
 

@@ -1017,9 +1017,12 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT substr(c_name, 10, 2) AS cntrycode,
            count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2) AS DOUBLE)
+               AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18, 2)))
+                                   AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY cntrycode
@@ -1037,8 +1040,12 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
     )
+    # threshold = exact decimal total divided as a double (r8 strict fix)
     avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(avg_pos), F.col("c_acctbal") > F.col("avg_bal"))
@@ -1046,7 +1053,10 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
         )
     )
 

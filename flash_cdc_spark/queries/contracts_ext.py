@@ -31,8 +31,16 @@ from flash_cdc_spark.tables import load_table
     prof AS (
         SELECT half,
                count(*) AS n,
-               round(avg(o_totalprice), 9) AS price_mean,
-               round(stddev_samp(o_totalprice), 9) AS price_std,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2)))
+                          AS DOUBLE) / count(*), 9) AS price_mean,
+               round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))
+                                   * CAST(o_totalprice AS DECIMAL(18, 2)))
+                               AS DOUBLE)
+                           - CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2)))
+                                  AS DOUBLE)
+                             * CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2)))
+                                    AS DOUBLE) / count(*))
+                          / (count(*) - 1)), 9) AS price_std,
                count(DISTINCT o_orderpriority) AS prio_distinct,
                count(DISTINCT o_custkey) AS cust_distinct,
                round(avg(CAST(o_orderstatus = 'F' AS INT)), 9)
@@ -83,11 +91,40 @@ def q_quality_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("half")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 9).alias("price_mean"),
-            F.round(F.stddev_samp("o_totalprice"), 9).alias("price_std"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__sx"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias("__sx2"),
             F.countDistinct("o_orderpriority").alias("prio_distinct"),
             F.countDistinct("o_custkey").alias("cust_distinct"),
             F.round(F.avg("isf"), 9).alias("fulfilled_share"),
+        )
+        # mean/std from EXACT decimal Σx and Σx² (2-dp money squares to
+        # 4-dp — exact in DECIMAL), then identical-operand IEEE math:
+        # bit-deterministic on both engines under any fold order (r8
+        # strict fix; the raw avg/stddev_samp folds were dice rolls)
+        .select(
+            "half",
+            "n",
+            "prio_distinct",
+            "cust_distinct",
+            "fulfilled_share",
+            F.round(F.col("__sx").cast("double") / F.col("n"), 9).alias(
+                "price_mean"
+            ),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("__sx2").cast("double")
+                        - F.col("__sx").cast("double")
+                        * F.col("__sx").cast("double")
+                        / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                ),
+                9,
+            ).alias("price_std"),
         )
     )
     b = prof.filter(F.col("half") == "before").alias("b")
@@ -182,7 +219,8 @@ def q_quality_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend AS (
         SELECT f.cohort,
                CAST(year(o.o_orderdate) AS INT) - f.cohort AS age_years,
-               round(sum(o.o_totalprice), 2) AS revenue,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18, 2))), 2)
+                    AS DOUBLE) AS revenue,
                count(DISTINCT o.o_custkey) AS active_customers
         FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
         GROUP BY f.cohort, age_years
@@ -194,9 +232,9 @@ def q_quality_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(z.cohort_size AS BIGINT) AS cohort_size,
            CAST(s.active_customers AS BIGINT) AS active_customers,
            s.revenue,
-           round(sum(s.revenue) OVER (PARTITION BY s.cohort
-                                      ORDER BY s.age_years)
-                 / z.cohort_size, 2) AS cum_ltv_per_customer
+           CAST(sum(CAST(s.revenue AS DECIMAL(18, 2))) OVER
+                    (PARTITION BY s.cohort ORDER BY s.age_years)
+                AS DOUBLE) / z.cohort_size AS cum_ltv_per_customer
     FROM spend s JOIN sizes z ON s.cohort = z.cohort
     """,
 )
@@ -227,7 +265,10 @@ def q_sales_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("o_custkey").alias("active_customers"),
         )
     )
@@ -247,8 +288,13 @@ def q_sales_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_size",
             "active_customers",
             "revenue",
-            F.round(
-                F.sum("revenue").over(cum) / F.col("cohort_size"), 2
+            # DECIMAL windowed running sum, quotient left UNROUNDED
+            # (round(quotient, 2) splits engines on exact half-cent
+            # boundaries the small cohort grid does hit; r8 strict fix)
+            (
+                F.sum(F.col("revenue").cast("decimal(18,2)")).over(cum)
+                .cast("double")
+                / F.col("cohort_size")
             ).alias("cum_ltv_per_customer"),
         )
     )

@@ -42,7 +42,8 @@ N_SALTS = 16
     SELECT segment,
            count(*)                          AS n_rows,
            sum(l_quantity)                   AS sum_qty,
-           round(sum(l_extendedprice), 2)    AS sum_price
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18, 2))), 2)
+                AS DOUBLE)                       AS sum_price
     FROM fact JOIN dim2 USING (hot_key)
     GROUP BY segment
     """,
@@ -80,5 +81,8 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
     )
