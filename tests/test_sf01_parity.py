@@ -93,7 +93,10 @@ def test_equidepth_matches_naive_ntile_at_sf01(spark, sf01_available):
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(F.avg("o_totalprice"), 4).alias("mean_in_bucket"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_in_bucket"),
         )
     )
     assert _rows(QUERIES["q_stats_equidepth_histogram"](spark, SF01)) == _rows(naive)
