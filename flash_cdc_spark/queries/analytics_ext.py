@@ -163,12 +163,20 @@ def q_events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_events_cusum_changepoint",
     oracle="""
-    WITH stats AS (
+    WITH moments AS (
         SELECT event_type,
-               round(avg(value), 9) AS mu,
-               round(stddev_samp(value), 9) AS sigma,
+               CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS s,
+               CAST(sum(CAST(value AS DECIMAL(18, 2))
+                        * CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS q,
                count(*) AS n
         FROM events GROUP BY event_type
+    ),
+    stats AS (
+        SELECT event_type,
+               round(s / n, 9) AS mu,
+               round(sqrt((q - s * (s / n)) / (n - 1)), 9) AS sigma,
+               n
+        FROM moments
     ),
     cum AS (
         SELECT e.event_id, e.ts, e.event_type, s.n,
@@ -200,10 +208,14 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Page 1954's statistic in its offline form). Reports that event
     and the peak value — a large |peak| means the series mean shifted.
 
-    Determinism: mu/sigma are rounded to 9 dp before standardization
-    (the repo-wide device), and the running sum is ordered by the
-    unique key (ts, event_id), so both engines fold identical doubles
-    in identical order — the prefix sums match bit-for-bit.
+    Determinism: mu/sigma derive from EXACT decimal moments (value is a
+    2-dp money-like double, so sum and sum-of-squares are exact in
+    DECIMAL; the remaining double arithmetic is the identical
+    expression tree on both engines), rounded to 9 dp before
+    standardization (the repo-wide device), and the running sum is
+    ordered by the unique key (ts, event_id), so both engines fold
+    identical doubles in identical order — the prefix sums match
+    bit-for-bit.
 
     Scale: the running sum totally orders each type's events inside
     one window partition. Types are few, so at 100 TB the production
@@ -212,10 +224,26 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistic is unchanged because prefix sums compose additively.
     """
     e = load_table(spark, sf_dir, "events")
-    stats = e.groupBy("event_type").agg(
-        F.round(F.avg("value"), 9).alias("mu"),
-        F.round(F.stddev_samp("value"), 9).alias("sigma"),
+    # mu/sigma from EXACT decimal moments under the 9-dp contract — the
+    # raw double avg/stddev_samp the rounding used to wrap was still a
+    # fold-order dice roll at bit level (r8 strict-rule residual class)
+    vdec = F.col("value").cast("decimal(18,2)")
+    moments = e.groupBy("event_type").agg(
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("q"),
         F.count(F.lit(1)).alias("n"),
+    )
+    stats = moments.select(
+        "event_type",
+        F.round(F.col("s") / F.col("n"), 9).alias("mu"),
+        F.round(
+            F.sqrt(
+                (F.col("q") - F.col("s") * (F.col("s") / F.col("n")))
+                / (F.col("n") - 1)
+            ),
+            9,
+        ).alias("sigma"),
+        "n",
     )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     cum = (
@@ -532,7 +560,8 @@ def q_quality_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
         SELECT event_type,
                epoch_ms(date_trunc('hour', ts)) / 3600000.0 AS x,
-               round(avg(value), 9) AS v
+               round(CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE)
+                     / count(*), 9) AS v
         FROM events GROUP BY event_type, date_trunc('hour', ts)
     ),
     slopes AS (
@@ -569,7 +598,15 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 9).alias("v")).select(
+    ).agg(
+        # exact decimal total / count under the 9-dp contract — the raw
+        # double avg was fold-order-sensitive (r8 strict-rule residual)
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("v")
+    ).select(
         "event_type",
         (F.unix_millis("h") / 3.6e6).alias("x"),
         "v",

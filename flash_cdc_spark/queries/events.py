@@ -71,7 +71,8 @@ def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT h - INTERVAL (o) HOUR AS win_start, value
         FROM buckets CROSS JOIN (SELECT unnest([0,1,2,3,4,5]) AS o)
     )
-    SELECT win_start, count(*) AS n_events, sum(value) AS total_value
+    SELECT win_start, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
     FROM offsets
     GROUP BY win_start
     """,
@@ -83,7 +84,14 @@ def q_events_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # value is a 2-dp money-like double: DECIMAL accumulation is
+            # exact, so the sum is fold-order-independent (strict rule)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
         .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
     )
 
@@ -108,7 +116,7 @@ def q_events_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)   AS n_events,
            min(ts)    AS session_start,
            max(ts)    AS session_end,
-           sum(value) AS session_value
+           CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS session_value
     FROM sess
     GROUP BY user_id, session_seq
     """,
@@ -134,7 +142,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum("value").alias("session_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "session_value"
+        ),
     )
 
 
@@ -283,7 +293,7 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d-%H-%M') AS bucket_start,
            event_type,
            count(*)   AS n_events,
-           sum(value) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value,
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
@@ -452,7 +462,8 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(v.event_id)                        AS n_nearby,
            CAST(count(CASE WHEN v.user_id = e.user_id THEN 1 END) AS BIGINT)
                AS n_same_user,
-           round(coalesce(sum(v.value), 0.0), 2)    AS nearby_value
+           round(coalesce(CAST(sum(CAST(v.value AS DECIMAL(18, 2))) AS DOUBLE),
+                          0.0), 2)                  AS nearby_value
     FROM (SELECT * FROM events WHERE event_type = 'error') e
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON v.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
@@ -502,7 +513,9 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_error = matched.groupBy("error_id").agg(
         F.count(F.lit(1)).alias("n_nearby"),
         F.sum((F.col("v_user") == F.col("e_user")).cast("bigint")).alias("n_same_user"),
-        F.round(F.sum("value"), 2).alias("nearby_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("nearby_value"),
     )
     # LEFT semantics: errors with no nearby views still appear (0 rows)
     return (

@@ -816,11 +816,19 @@ def q_streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_events_anomaly_zscore",
     oracle="""
-    WITH stats AS (
+    WITH moments AS (
         SELECT event_type,
-               avg(value)        AS mu,
-               stddev_samp(value) AS sigma
+               CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS s,
+               CAST(sum(CAST(value AS DECIMAL(18, 2))
+                        * CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS q,
+               count(*) AS n
         FROM events GROUP BY event_type
+    ),
+    stats AS (
+        SELECT event_type,
+               s / n AS mu,
+               sqrt((q - s * (s / n)) / (n - 1)) AS sigma
+        FROM moments
     )
     SELECT e.event_id, e.event_type,
            round(e.value, 2)                        AS value,
@@ -844,8 +852,24 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL the z-score while DuckDB's IEEE divide yields ±inf, the kind
     of engine divergence a constant-valued type would surface."""
     e = load_table(spark, sf_dir, "events")
-    stats = e.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    # mu/sigma from EXACT decimal moments (value is a 2-dp money-like
+    # double, so sum and sum-of-squares are exact in DECIMAL and the
+    # remaining double arithmetic is the identical expression tree on
+    # both engines) — a raw avg/stddev_samp over doubles is fold-order-
+    # sensitive at bit level, the r8 strict-rule residual class.
+    vdec = F.col("value").cast("decimal(18,2)")
+    moments = e.groupBy("event_type").agg(
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stats = moments.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("q") - F.col("s") * (F.col("s") / F.col("n")))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
@@ -1297,7 +1321,9 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_ts_profile_similarity",
     oracle="""
     WITH cells AS (
-        SELECT user_id, hour(ts) AS hod, round(avg(value), 9) AS v
+        SELECT user_id, hour(ts) AS hod,
+               round(CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE)
+                     / count(*), 9) AS v
         FROM events GROUP BY user_id, hour(ts)
     ),
     users AS (SELECT DISTINCT user_id FROM cells),
@@ -1362,7 +1388,15 @@ def q_events_ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFram
     cells = (
         ev.select("user_id", F.hour("ts").alias("hod"), "value")
         .groupBy("user_id", "hod")
-        .agg(F.round(F.avg("value"), 9).alias("v"))
+        # exact decimal total / count, rounded at the 9-dp cell contract:
+        # deterministic regardless of fold order (r8 strict rule)
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("v")
+        )
     )
     users = cells.select("user_id").distinct()
     hods = spark.range(24).select(F.col("id").cast("int").alias("hod"))

@@ -1138,12 +1138,20 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, event_type, value, hour(ts) AS hod
         FROM events
     ),
-    stats AS (
+    moments AS (
         SELECT event_type, hod,
-               round(avg(value), 9) AS mu,
-               round(stddev_samp(value), 9) AS sigma,
+               CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS s,
+               CAST(sum(CAST(value AS DECIMAL(18, 2))
+                        * CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS q,
                count(*) AS n
         FROM keyed GROUP BY event_type, hod
+    ),
+    stats AS (
+        SELECT event_type, hod,
+               round(s / n, 9) AS mu,
+               round(sqrt((q - s * (s / n)) / (n - 1)), 9) AS sigma,
+               n
+        FROM moments
     )
     SELECT k.event_id, k.event_type,
            CAST(k.hod AS INT) AS hod,
@@ -1175,13 +1183,30 @@ def q_events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.hour("ts").alias("hod"),
     )
-    # mu/sigma rounded to 9 dp BEFORE the z threshold — the repo-wide
-    # stability device (ADVICE r5): cross-engine summation-order drift
-    # must not flip borderline |z| > 2.5 rows in or out of the result.
-    stats = keyed.groupBy("event_type", "hod").agg(
-        F.round(F.avg("value"), 9).alias("mu"),
-        F.round(F.stddev_samp("value"), 9).alias("sigma"),
+    # mu/sigma from EXACT decimal moments, rounded to 9 dp BEFORE the z
+    # threshold — the raw double avg/stddev the 9-dp device used to wrap
+    # was still a fold-order dice roll at bit level (r8 strict-rule
+    # residual class): decimal sum / sum-of-squares are exact for the
+    # 2-dp value column, and the remaining double arithmetic is the
+    # identical expression tree on both engines.
+    vdec = F.col("value").cast("decimal(18,2)")
+    moments = keyed.groupBy("event_type", "hod").agg(
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("q"),
         F.count(F.lit(1)).alias("n"),
+    )
+    stats = moments.select(
+        "event_type",
+        "hod",
+        F.round(F.col("s") / F.col("n"), 9).alias("mu"),
+        F.round(
+            F.sqrt(
+                (F.col("q") - F.col("s") * (F.col("s") / F.col("n")))
+                / (F.col("n") - 1)
+            ),
+            9,
+        ).alias("sigma"),
+        "n",
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (

@@ -21,7 +21,8 @@ from flash_cdc_spark.tables import load_table
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(min(event_id) AS BIGINT)          AS min_event_id,
            CAST(max(event_id) AS BIGINT)          AS max_event_id,
-           round(sum(value), 2)                   AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE), 2)
+                                                  AS sum_value,
            CAST(1 AS INT)                         AS files_reduced
     FROM events
     """,
@@ -57,7 +58,10 @@ def q_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("user_id").alias("n_users"),
                 F.min("event_id").alias("min_event_id"),
                 F.max("event_id").alias("max_event_id"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+                    2,
+                ).alias("sum_value"),
             )
             .withColumn(
                 "files_reduced",

@@ -41,7 +41,10 @@ def continuous_rollup(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # DECIMAL accumulation in the streaming state: value is a 2-dp
+            # money-like double, so the running sum is exact regardless of
+            # micro-batch/partial-agg fold order (repo-wide strict rule)
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -49,7 +52,7 @@ def continuous_rollup(
             F.date_format(F.col("w.start"), "yyyy-MM-dd-HH-mm").alias("bucket_start"),
             "event_type",
             "n_events",
-            "total_value",
+            F.col("total_value_dec").cast("double").alias("total_value"),
             "min_value",
             "max_value",
         )
