@@ -1,13 +1,24 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line to stdout:
-    {"queries": {name: sec, ...}, "metric": "...",
-     "value": <total_sec>, "unit": "sec", "iters": N, "sf": <sf>}
-spread_pct goes to stderr, and the complete result (medians + spreads
-+ headline) is written to BENCH_LOCAL.json at the repo root — commit
-it each round so per-query medians survive any driver-side truncation
-of the stdout capture (VERDICT r6 #4).
+Output protocol (r9, per VERDICT r8 #4 — the r7/r8 result line embedded
+the full ~103-entry per-query dict and outsized the driver's 2000-char
+stdout-tail capture, so BENCH_r07/r08.json recorded ``parsed: null``):
+the LAST line printed on any stream is a COMPACT headline JSON —
+    {"metric": "...", "value": <batch_total_sec>, "unit": "sec",
+     "iters": N, "sf": <sf>, "n_queries": K,
+     "streaming_value": <streaming_total_sec>}
+— small enough to always fit the tail. The full result (per-query
+medians + spreads + headline) goes to BENCH_LOCAL.json at the repo
+root — commit it each round; a human-readable full-result line still
+prints to stderr BEFORE the headline.
+
+Metric split (r9, per VERDICT r8 #6): ``value`` sums the BATCH queries
+only; the streaming-executed suite entries (real micro-batch jobs whose
+cost is stream scheduling, not data volume) are summed separately as
+``streaming_value`` so their fixed costs can't mask batch-plan
+regressions. Pre-r9 BENCH_LOCAL baselines summed both (the two
+streaming entries ≈ 8 s of the r8 112 s total).
 
 Measurement protocol (r3, per VERDICT r2 'Next round' #6 — r1/r2 were
 single-shot and showed ±20-25% swings on sub-2s queries):
@@ -44,6 +55,16 @@ from flash_cdc_spark.tables import default_sf_dir  # noqa: E402
 # the iterative/stateful queries and spread_pct >20% on sub-second
 # ones); override with SPARK_GRAFT_BENCH_ITERS for quick local loops.
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+
+# HEADLINE entries that execute a REAL Structured Streaming job (micro-
+# batch scheduling dominates their wall time, not data volume): timed
+# with the same protocol but summed into a separate streaming_value so
+# fixed stream-scheduling costs never mask batch-plan regressions
+# (VERDICT r8 #6).
+STREAMING_QUERIES = {
+    "q_streaming_latest_state",
+    "q_streaming_dlq_delivery",
+}
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -208,44 +229,58 @@ def main() -> None:
         # boundary memos survive clearCache).
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
-    # Artifact strategy (r7, VERDICT r6 #4): the round driver archives
-    # only the TAIL of the stdout line, and by r6 the line had grown
-    # past the captured tail — the first ~38 per-query medians were
-    # lost even with the r6 key reordering. Two changes close it for
-    # good: (1) spread_pct leaves the stdout line entirely (stderr,
-    # below), roughly halving the line; (2) the COMPLETE result —
-    # medians, spreads, headline — is also written to BENCH_LOCAL.json
-    # next to this script and committed each round, so every median is
-    # recoverable from the repo even if the driver capture truncates.
-    # Key order on stdout stays medians-first / headline-last so a
-    # truncated capture drops the oldest medians, never the headline.
-    # One-time memo writes (signature index, IVF layout) are absorbed
-    # by each query's uncounted warmup run, so timed rows are
+    batch_total = round(
+        sum(t for n, t in timings.items() if n not in STREAMING_QUERIES), 3
+    )
+    streaming_total = round(
+        sum(t for n, t in timings.items() if n in STREAMING_QUERIES), 3
+    )
+    # Artifact strategy (r9, VERDICT r8 #4 — third iteration): the
+    # driver archives only the TAIL (~2000 chars) of the COMBINED
+    # stdout+stderr. r7 put the spread line after the result (headline
+    # evicted); r8 ordered spread-before-result but the result line
+    # still embedded the full ~103-entry per-query dict (~5 KB) and
+    # started mid-line in the capture — parsed: null both rounds. Now
+    # the LAST line on any stream is a COMPACT headline (no per-query
+    # dict, always fits); medians + spreads live in BENCH_LOCAL.json
+    # (committed) and also print to stderr BEFORE the headline for
+    # humans. One-time memo writes (signature index, IVF layout) are
+    # absorbed by each query's uncounted warmup run, so timed rows are
     # steady-state.
-    #
-    # r8 ordering fix (VERDICT r7 #4): the driver archives the tail of
-    # the COMBINED stdout+stderr, so the r7 arrangement — spread line
-    # printed to stderr AFTER the result line — evicted the headline
-    # entirely (BENCH_r07.json parsed: null). The spread line must be
-    # emitted BEFORE the result line; the headline JSON is the LAST
-    # thing printed on ANY stream. Flush both to pin interleaving.
-    result = {
-        "queries": timings,
+    headline = {
         "metric": "headline_query_suite_seconds",
-        "value": total,
+        "value": batch_total,
         "unit": "sec",
         "iters": ITERS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "streaming_value": streaming_total,
     }
-    print(json.dumps({"spread_pct": spread}), file=sys.stderr, flush=True)
-    print(json.dumps(result), flush=True)
+    full_result = {
+        **headline,
+        "queries": timings,
+        "spread_pct": spread,
+        "streaming_queries": sorted(STREAMING_QUERIES & set(timings)),
+        "protocol_notes": (
+            "value = batch-query medians only; streaming-executed entries "
+            "sum into streaming_value (r9 split, VERDICT r8 #6). Cache is "
+            "cleared between query groups since r8 — medians are not "
+            "comparable with pre-r8 BENCH_LOCAL baselines, and pre-r9 "
+            "'value' summed batch AND streaming entries."
+        ),
+    }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     with open(local_path, "w") as f:
-        json.dump({**result, "spread_pct": spread}, f, indent=1, sort_keys=True)
+        json.dump(full_result, f, indent=1, sort_keys=True)
         f.write("\n")
+    # Full result → stderr (humans / BENCH_LOCAL mirrors it); the LAST
+    # line on ANY stream is the COMPACT headline (driver tail capture
+    # is ~2000 chars of combined stdout+stderr — VERDICT r8 #4).
+    print(json.dumps({"spread_pct": spread}), file=sys.stderr, flush=True)
+    print(json.dumps({"queries": timings}), file=sys.stderr, flush=True)
+    print(json.dumps(headline), flush=True)
     spark.stop()
 
 
