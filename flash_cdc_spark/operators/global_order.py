@@ -76,6 +76,7 @@ while dropping the global sort.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from collections.abc import Mapping, Sequence
 from functools import cmp_to_key, reduce
@@ -83,7 +84,12 @@ from functools import cmp_to_key, reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_order", "bounded_running_sum", "global_ntile"]
+__all__ = [
+    "with_global_order",
+    "bounded_running_sum",
+    "global_ntile",
+    "release_persisted_inputs",
+]
 
 _PID = "__go_pid"
 _CNT = "__go_cnt"
@@ -100,6 +106,76 @@ _SAMPLE_PER_BUCKET = 200
 # signature-index memo philosophy applied to the one operator that
 # runs jobs at plan-construction time.
 _BOUNDS_MEMO: dict[tuple, list] = {}
+
+# Persisted-input registry (ADVICE r8): both operators persist their
+# input because the plan references it several times. Handles are
+# deduplicated on the canonicalized analyzed plan — repeated
+# construction of the same query (the Kaplan-Meier query builds two
+# bounded grids per run; bench iterations rebuild every query) shares
+# ONE cached relation instead of pinning a new copy per call — and are
+# tracked so long-lived library sessions can release every block via
+# :func:`release_persisted_inputs` instead of accumulating them for
+# the session lifetime.
+_PERSISTED: dict[str, DataFrame] = {}
+_PERSISTED_ANON: list[DataFrame] = []
+
+# Plan nodes whose string form HIDES the underlying data: a
+# LocalRelation / materialized-RDD scan prints only its output schema,
+# so two different in-memory datasets with the same shape canonicalize
+# to the SAME string. Deduplicating on such a plan would silently serve
+# the FIRST dataset's rows for the second (caught by the two-phase
+# hypothesis property test) — these persist anonymously instead:
+# tracked for release, never shared.
+_NON_DEDUP_NODES = ("LocalRelation", "LogicalRDD", "ExistingRDD")
+
+
+def _persist_shared(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK, lineage preserved), reusing an
+    already-persisted handle for an identical canonicalized plan —
+    only when every leaf's data is identified BY the plan string (file
+    scans, ranges); in-memory leaves persist anonymously (see
+    ``_NON_DEDUP_NODES``). A registry hit whose cache entry was
+    dropped externally (e.g. a global ``spark.catalog.clearCache()``)
+    is re-persisted, not trusted stale."""
+    key = None
+    try:
+        canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        if not any(tok in canon for tok in _NON_DEDUP_NODES):
+            key = hashlib.md5(canon.encode()).hexdigest()
+    except Exception:
+        key = None
+    if key is None:
+        handle = df.persist()
+        _PERSISTED_ANON.append(handle)
+        return handle
+    hit = _PERSISTED.get(key)
+    if hit is not None:
+        try:
+            if hit.is_cached:
+                return hit
+        except Exception:
+            pass  # stale session handle — fall through and re-persist
+        _PERSISTED.pop(key, None)
+    handle = df.persist()
+    _PERSISTED[key] = handle
+    return handle
+
+
+def release_persisted_inputs() -> int:
+    """Unpersist every input relation the global-order operators have
+    cached in this session and clear the registry; returns the number
+    of handles released. Safe to call at any time — subsequent operator
+    calls simply re-persist."""
+    released = 0
+    for handle in list(_PERSISTED.values()) + _PERSISTED_ANON:
+        try:
+            handle.unpersist()
+            released += 1
+        except Exception:
+            pass  # session already stopped; nothing to release
+    _PERSISTED.clear()
+    _PERSISTED_ANON.clear()
+    return released
 
 
 def _memo_key(df: DataFrame, order_reprs: tuple, buckets: int):
@@ -287,7 +363,7 @@ def with_global_order(
     keys = [p[0] for p in parsed]
     metas = [(p[1], p[2]) for p in parsed]
 
-    src = df.persist()
+    src = _persist_shared(df)
     memo_key = _memo_key(df, tuple(str(c) for c in order), buckets)
     if memo_key is not None and memo_key in _BOUNDS_MEMO:
         boundaries = _BOUNDS_MEMO[memo_key]
@@ -383,6 +459,8 @@ def bounded_running_sum(
     *,
     rank_col: str | None = None,
     sums: Mapping[str, Column] | None = None,
+    validate: bool | None = None,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact global running sums / rank over a relation that is BOUNDED
     BY CONSTRUCTION — the cheap sibling of :func:`with_global_order`
@@ -399,7 +477,10 @@ def bounded_running_sum(
     the two-phase form, and at cluster scale the O(g²) comparison work
     stays negligible because g is domain-bounded.
 
-    Contract (caller-verified, like the offsets relation's bound):
+    Contract (caller-verified by default; pass ``validate=True`` or set
+    ``FLASH_CDC_VALIDATE_BOUNDED=1`` to enforce both clauses at runtime
+    — one cheap job on the persisted grid that raises on a corpus-sized
+    or duplicate-key input instead of degrading silently):
 
     - ``df`` must be domain-bounded — a few thousand rows at ANY corpus
       scale. The join emits g·(g+1)/2 rows; at g = 10⁴ that is 5·10⁷
@@ -433,13 +514,40 @@ def bounded_running_sum(
 
     # The plan references df three times (both triangular sides + the
     # join-back); persisting the BOUNDED grid (MEMORY_AND_DISK, lineage
-    # preserved — same policy as with_global_order's input) makes the
+    # preserved — same policy as with_global_order's input, shared and
+    # releasable through the module persist registry) makes the
     # corpus-sized upstream evaluate once, not per reference.
-    df = df.persist()
+    df = _persist_shared(df)
     vals = df.select(
         *[k.alias(f"__brs_k{i}") for i, k in enumerate(keys)],
         *[expr.alias(f"__brs_v_{out}") for out, expr in sums.items()],
     )
+
+    # Optional contract guard (ADVICE r8): the boundedness and total-
+    # order contracts are otherwise caller-verified, and a violation
+    # degrades SILENTLY — a corpus-sized grid becomes a quadratic
+    # broadcast join (driver OOM), duplicate keys turn the ROWS frame
+    # into tie-inclusive RANGE-like sums. Debug mode fails loudly
+    # instead; both checks are one cheap job on the persisted grid.
+    if validate is None:
+        validate = bool(os.environ.get("FLASH_CDC_VALIDATE_BOUNDED"))
+    if validate:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"bounded_running_sum grid has {n} rows (> max_rows="
+                f"{max_rows}): the input is not domain-bounded — use "
+                "with_global_order for corpus-growing relations"
+            )
+        n_keys = vals.select(
+            *[f"__brs_k{i}" for i in range(nk)]
+        ).distinct().count()
+        if n_keys != n:
+            raise ValueError(
+                f"bounded_running_sum order keys are not unique "
+                f"({n_keys} distinct of {n} rows): 'order' must be a "
+                "TOTAL order, or running sums would double-count ties"
+            )
     a, b = vals.alias("__brs_a"), vals.alias("__brs_b")
     ak = [F.col(f"__brs_a.__brs_k{i}") for i in range(nk)]
     bk = [F.col(f"__brs_b.__brs_k{i}") for i in range(nk)]

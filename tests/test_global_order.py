@@ -216,24 +216,85 @@ def test_bounded_running_sum_matches_naive_window(spark, direction):
     assert exp.exceptAll(got).count() == 0
 
 
-def test_bounded_running_sum_multikey_and_nulls(spark):
-    # Composite order with a NULLABLE leading key in both null
-    # orderings; the id tiebreak keeps the order total.
+@pytest.mark.parametrize(
+    "lead",
+    ["asc_nulls_first", "asc_nulls_last", "desc_nulls_first", "desc_nulls_last"],
+)
+def test_bounded_running_sum_multikey_and_nulls(spark, lead):
+    # Composite order with a NULLABLE leading key in ALL FOUR
+    # direction/null-ordering combinations (each exercises a distinct
+    # _lex_before branch — ADVICE r8); the id tiebreak keeps the order
+    # total.
     rows = [(i, None if i % 5 == 0 else (i * 3) % 7, i % 3 + 1)
             for i in range(60)]
     rel = spark.createDataFrame(rows, "id bigint, v int, amt int")
-    for order in (
-        [F.col("v").asc_nulls_first(), F.col("id").asc()],
-        [F.col("v").desc_nulls_last(), F.col("id").desc()],
-    ):
-        got = bounded_running_sum(rel, order, sums={"cs": F.col("amt")})
-        wf = Window.orderBy(*order).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+    tie = F.col("id").desc() if lead.startswith("desc") else F.col("id").asc()
+    order = [getattr(F.col("v"), lead)(), tie]
+    got = bounded_running_sum(rel, order, sums={"cs": F.col("amt")})
+    wf = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = rel.select("id", F.sum("amt").over(wf).alias("cs"))
+    got = got.select("id", "cs")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_bounded_running_sum_contract_guard(spark):
+    # validate=True fails loudly on each contract violation and passes
+    # a conforming grid through unchanged.
+    rel = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    ok = bounded_running_sum(
+        rel, [F.col("id")], sums={"cs": F.col("v")}, validate=True
+    )
+    assert ok.count() == 100
+    with pytest.raises(ValueError, match="not domain-bounded"):
+        bounded_running_sum(
+            rel, [F.col("id")], sums={"cs": F.col("v")},
+            validate=True, max_rows=50,
         )
-        exp = rel.select("id", F.sum("amt").over(wf).alias("cs"))
-        got = got.select("id", "cs")
-        assert got.exceptAll(exp).count() == 0
-        assert exp.exceptAll(got).count() == 0
+    dup = rel.select((F.col("id") % 10).alias("k"), "v")  # 10 distinct keys
+    with pytest.raises(ValueError, match="not unique"):
+        bounded_running_sum(
+            dup, [F.col("k")], sums={"cs": F.col("v")}, validate=True
+        )
+
+
+def test_persisted_input_registry_dedups_and_releases(spark):
+    from flash_cdc_spark.operators import global_order as go
+
+    go.release_persisted_inputs()
+    rel = spark.range(80).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    before = len(go._PERSISTED)
+    bounded_running_sum(rel, [F.col("id")], sums={"a": F.col("v")}).count()
+    # identical input plan → the second call reuses the cached handle
+    bounded_running_sum(rel, [F.col("id")], sums={"b": F.col("v")}).count()
+    assert len(go._PERSISTED) == before + 1
+    released = go.release_persisted_inputs()
+    assert released >= 1
+    assert not go._PERSISTED
+    # a released (or externally clearCache'd) entry is re-persisted,
+    # not trusted stale
+    bounded_running_sum(rel, [F.col("id")], sums={"c": F.col("v")}).count()
+    assert len(go._PERSISTED) == 1
+    go.release_persisted_inputs()
+
+
+def test_persisted_registry_never_dedups_in_memory_data(spark):
+    # Two DIFFERENT in-memory datasets with the same schema print the
+    # same canonicalized plan (LocalRelation/LogicalRDD hide their
+    # rows) — sharing the persisted handle would serve the FIRST
+    # dataset's rows for the second. They must persist anonymously.
+    from flash_cdc_spark.operators import global_order as go
+
+    go.release_persisted_inputs()
+    d1 = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    d2 = spark.createDataFrame([(1, 99), (2, 77)], "id bigint, v bigint")
+    bounded_running_sum(d1, [F.col("id")], sums={"cs": F.col("v")}).count()
+    r2 = bounded_running_sum(d2, [F.col("id")], sums={"cs": F.col("v")})
+    got = [r.cs for r in r2.orderBy("id").collect()]
+    assert got == [99, 176], got
+    go.release_persisted_inputs()
 
 
 def test_bounded_running_sum_plan_is_window_free(spark):
