@@ -1851,7 +1851,17 @@ def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = ranks.localCheckpoint(eager=True)
     # TakeOrdered to the top 20 FIRST (per-partition heaps), then rank
     # within those 20 — a bare global Window.orderBy would
-    # single-partition every graph node at corpus scale
+    # single-partition every graph node at corpus scale.
+    #
+    # NOTE on the runtime WindowExec single-partition WARN this emits:
+    # the window's input here is bounded BY CONSTRUCTION (exactly the
+    # 20 post-limit rows, independent of corpus size), so the one
+    # partition holds ≤ 20 rows — not a scale hazard. The plan-audit
+    # Exchange-SinglePartition pattern can't see this shape because
+    # TakeOrderedAndProject emits a single partition WITHOUT an
+    # Exchange node; the audit instead verifies the feeding node is a
+    # TakeOrderedAndProject/Limit (bounded-top-k pattern, VERDICT r8
+    # item #7).
     top = ranks.orderBy(F.col("r").desc(), "node").limit(20)
     w = Window.orderBy(F.col("r").desc(), "node")
     return (

@@ -27,6 +27,17 @@ SinglePartition exchange and pass naturally. A small explicit
 allowlist remains for windows whose input relation is BOUNDED by
 construction (grid / bucket / per-source aggregates that do not grow
 with corpus rows) — each entry names its bound; anything else fails.
+
+r9 adds the exchange-less complement (VERDICT r8 item #7): a window
+fed by ``TakeOrderedAndProject`` inherits ONE partition with no
+Exchange node in the plan, so the Exchange-pattern check can't see it
+and Spark's runtime WindowExec WARN fires — but its input is the
+post-limit row set, bounded by construction (the
+``limit(k)`` → ``Window.orderBy`` ranking idiom,
+q_dedup_pagerank_centrality's top-20) and therefore acceptable. The
+one SILENT unbounded way to inherit a single partition is
+``coalesce(1)``; the audit walks each window's child spine and fails
+on a ``Coalesce 1`` reached before any Exchange/limit node.
 """
 
 from __future__ import annotations
@@ -94,16 +105,58 @@ def _single_partition_windows(plan: str) -> list[str]:
     return hits
 
 
+def _exchange_less_windows_coalesce_fed(plan: str) -> list[str]:
+    """Windows inheriting a single partition WITHOUT an Exchange node.
+
+    Spark's EnsureRequirements only omits the Exchange under a window
+    when the child's output partitioning already satisfies it, so an
+    exchange-less chain below a Window can end at exactly three kinds
+    of provenance: (a) an Exchange deeper down the spine (chained
+    keyed windows, joins that pre-partition — fine, and the
+    SinglePartition case is :func:`_single_partition_windows`'s
+    domain); (b) a bounded top-k/limit node — TakeOrderedAndProject
+    emits ONE partition with no Exchange, so the window input is the
+    post-limit row set, bounded by construction (the
+    ``limit(k)`` → ``Window.orderBy`` idiom,
+    q_dedup_pagerank_centrality's top-20; it still triggers Spark's
+    runtime WindowExec WARN — acceptable); or (c) ``coalesce(1)`` /
+    a single-partition leaf. Case (c)'s ``Coalesce 1`` is the one
+    SILENT unbounded single-partition producer — the entire input
+    funnels to one task with no Exchange for the other check to see —
+    so that is what this walk flags: scan down the Window's child
+    spine and report a ``Coalesce 1`` reached before any Exchange or
+    limit-family node."""
+    lines = plan.splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        if "Window" not in ln or "WindowGroupLimit" in ln:
+            continue
+        for nxt in lines[i + 1 :]:
+            if "Exchange" in nxt or "Limit" in nxt or (
+                "TakeOrderedAndProject" in nxt
+            ):
+                break  # provenance determined: partitioned or bounded
+            if "Coalesce 1" in nxt:
+                hits.append(ln.strip()[:120])
+                break
+    return hits
+
+
 @pytest.mark.parametrize("name", _AUDITED)
 def test_no_unbounded_single_partition_window(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = _single_partition_windows(plan)
-    if not hits:
-        return
-    assert name in _BOUNDED_WINDOW_OK, (
-        f"{name}: Window over Exchange SinglePartition with no "
-        f"documented bound — the whole input sorts on ONE task at "
-        f"100 TB. Rewrite via operators/global_order.py (two-phase "
-        f"rank/cumsum) or partition the window. Nodes: {hits}"
+    if hits:
+        assert name in _BOUNDED_WINDOW_OK, (
+            f"{name}: Window over Exchange SinglePartition with no "
+            f"documented bound — the whole input sorts on ONE task at "
+            f"100 TB. Rewrite via operators/global_order.py (two-phase "
+            f"rank/cumsum) or partition the window. Nodes: {hits}"
+        )
+    orphan = _exchange_less_windows_coalesce_fed(plan)
+    assert not orphan, (
+        f"{name}: Window fed by coalesce(1) — the whole input funnels "
+        f"to ONE task with no Exchange node for the SinglePartition "
+        f"check to see. Nodes: {orphan}"
     )
