@@ -773,6 +773,176 @@ def measure_km_cumsum(spark: SparkSession, sf_dir: str, reps: int) -> dict:
     }
 
 
+def measure_jaccard_2hop(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """2-hop expansion growth for the Jaccard link-prediction query
+    (r9, VERDICT r8 #5): the hazard is the edges⋈edges self-join on
+    the shared neighbor — Σ deg(v)² pairs, which the band cap must
+    keep sparse as the corpus grows. Replicate the documents corpus
+    (same exact-dup + near-dup structure as the dedup probes), rebuild
+    the signature-group band graph fresh (no memo), and record edge
+    and 2-hop candidate counts + wall. Pass reading: 2hop_pairs per
+    GRAPH NODE roughly flat (the cap bounds per-bucket degree, so
+    Σdeg² grows linearly with nodes, never quadratically)."""
+    from flash_cdc_spark.operators.dedup import (
+        simhash64_candidate_pairs,
+        simhash64_signatures,
+    )
+
+    docs = synth_corpus(spark, sf_dir, reps).localCheckpoint(eager=True)
+    t0 = time.time()
+    sigs = simhash64_signatures(docs)
+    grp = (
+        sigs.groupBy("sim_hi", "sim_lo")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = simhash64_candidate_pairs(
+        grp.select("doc_id", "sim_hi", "sim_lo"),
+        max_hamming=3,
+        max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH,
+    ).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    n_edges = edges.count()
+    n_nodes = edges.select("src").distinct().count()
+    e1 = edges.select(F.col("src").alias("b"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    two_hop = (
+        e1.join(e2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .count()
+    )
+    wall = round(time.time() - t0, 2)
+    return {
+        "probe": "jaccard_2hop",
+        "reps": reps,
+        "n_docs": docs.count(),
+        "n_graph_nodes": n_nodes,
+        "n_edges": n_edges,
+        "two_hop_pairs": two_hop,
+        "two_hop_pairs_per_node": round(two_hop / max(n_nodes, 1), 2),
+        "wall_sec": wall,
+    }
+
+
+def measure_mann_whitney(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """Mann-Whitney scale probe (r9, VERDICT r8 #5): the statistic's
+    only non-scan stage is the two-phase exclusive prefix count over
+    the per-VALUE contraction — the value domain (distinct n_chars)
+    does not grow under replication, so the expectation on record is:
+    wall tracks the corpus scan (linear, cheap), the bounded-relation
+    cumsum stage flat, and the z-score IDENTICAL at every scale up to
+    the √reps factor implied by the statistic's own definition
+    (replicating both samples reps× multiplies u−nn/2 by reps² and
+    sigma by reps^1.5)."""
+    from flash_cdc_spark.queries.analytics_ext6 import (
+        _MW_SRC_A,
+        _MW_SRC_B,
+        q_stats_mann_whitney,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    docs = base.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        "source",
+        "n_chars",
+    )
+    import tempfile
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=f"mwprobe_{reps}x_")
+    try:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        t0 = time.time()
+        row = q_stats_mann_whitney(spark, d).collect()[0]
+        wall = round(time.time() - t0, 2)
+        nv = (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .filter(F.col("source").isin(_MW_SRC_A, _MW_SRC_B))
+            .select("n_chars")
+            .distinct()
+            .count()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "probe": "mann_whitney",
+        "reps": reps,
+        "n_docs": n,
+        "n_distinct_values": nv,
+        "z_score": row["z_score"],
+        "wall_sec": wall,
+    }
+
+
+def measure_tombstone_audit(
+    spark: SparkSession, sf_dir: str, reps: int, skewed: bool
+) -> dict:
+    """Tombstone-audit scale probe (r9, VERDICT r8 #5): the query's one
+    heavy stage is the key-partitioned lifecycle window. Two axes:
+
+    - balanced (``skewed=False``): reps× events AND reps× keys — the
+      natural CDC growth; per-key depth constant, wall should track
+      the scan near-linearly.
+    - skewed (``skewed=True``): reps× events on the SAME key space —
+      per-key op depth grows reps×, the worst case for a key-
+      partitioned window (a key's whole lifecycle must sort within
+      one task; AQE cannot split a window partition). The curve on
+      record quantifies that slope; the honest 100 TB posture is that
+      per-key CDC depth is bounded by retention/compaction policy
+      (the audit itself reports the GC-eligible tombstones that keep
+      it bounded), not by the engine.
+    """
+    from flash_cdc_spark.queries.analytics_ext6 import (
+        q_changefeed_tombstone_audit,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    uid = (
+        F.col("user_id")
+        if skewed
+        else (F.col("user_id") + F.col("rep") * F.lit(10_000_000))
+    )
+    ev = base.crossJoin(rep).select(
+        uid.alias("user_id"),
+        "event_type",
+        (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias(
+            "event_id"
+        ),
+        "ts",
+        "value",
+    )
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"tombprobe_{'s' if skewed else 'b'}{reps}x_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        n = spark.read.parquet(f"{d}/events.parquet").count()
+        t0 = time.time()
+        row = q_changefeed_tombstone_audit(spark, d).collect()[0]
+        wall = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "probe": "tombstone_audit",
+        "axis": "skewed_depth" if skewed else "balanced",
+        "reps": reps,
+        "n_events": n,
+        "n_keys": row["n_keys"],
+        "max_key_depth_factor": reps if skewed else 1,
+        "wall_sec": wall,
+    }
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     if "--sf-dir" in sys.argv:
@@ -808,7 +978,21 @@ def main() -> int:
     if only in (None, "chain", "km"):
         for reps in (1, 2, 4, 8):
             print(json.dumps(measure_km_cumsum(spark, sf_dir, reps)), flush=True)
-    if only in ("video", "phrase", "rank", "chain", "km"):
+    # r9 (VERDICT r8 #5): the three r8-new queries with plausible cliffs
+    if only in (None, "r9"):
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_jaccard_2hop(spark, sf_dir, reps)), flush=True)
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_mann_whitney(spark, sf_dir, reps)), flush=True)
+        for skewed in (False, True):
+            for reps in (1, 2, 4, 8):
+                print(
+                    json.dumps(
+                        measure_tombstone_audit(spark, sf_dir, reps, skewed)
+                    ),
+                    flush=True,
+                )
+    if only in ("video", "phrase", "rank", "chain", "km", "r9"):
         spark.stop()
         return 0
     if only in (None, "dedup"):
