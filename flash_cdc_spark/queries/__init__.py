@@ -153,30 +153,62 @@ from flash_cdc_spark.queries import analytics_ext6  # noqa: E402,F401
 # oracle-fingerprint snapshot (tests/test_oracle_snapshot.py), so a
 # regression in the rotated-out surface still fails pytest loudly.
 WINDOW: list[str] = [
-    # -- r6-new remainder, first driver rows (11; ledger rows 222-232) --
-    "q_events_burst_detection",
-    "q_train_interleave_order",
-    "q_text_doc_keywords",
-    "q_changefeed_replay_idempotency",
-    "q_multimodal_contrast_stretch",
-    "q_maintenance_incremental_agg",
-    "q_events_watermark_advisor",
-    "q_quality_profile_drift",
-    "q_quality_wilson_ranking",
-    "q_sales_cohort_ltv",
-    "q_text_lexical_diversity",
-    # -- r7-new, first driver rows (9; ledger rows 233-241) --
-    "q_survival_kaplan_meier",
-    "q_stats_chi_square",
+    # -- r8-new, first driver rows (10; ledger rows 242-251; the exact
+    #    slots the COVERAGE.md r9 proposal reserved) --
+    "q_sales_new_vs_returning",
+    "q_stats_mann_whitney",
+    "q_quality_lognormal_fit",
+    "q_train_shard_manifest",
+    "q_events_interarrival_burstiness",
+    "q_text_code_detection",
+    "q_changefeed_tombstone_audit",
+    "q_multimodal_audio_silence_trim",
+    "q_embedding_matryoshka_error",
+    "q_graph_jaccard_link_prediction",
+    # -- keepers: the five long-greens the r8 amendment displaced --
+    "q_dedup_minhash_lsh",
+    "q_dedup_exact_summary",
+    "q_dedup_semdedup",
+    "q_train_contamination_check",
+    "q_retrieval_bm25_topk",
+    # -- keepers: plan changed in r8 after the r8 window froze --
+    "q_text_ngram_novelty",
+    # -- keepers: changed-code-first — the 10 queries whose query AND
+    #    oracle moved to DECIMAL-exact events.value aggregates in r9
+    #    (STRICT_SWEEP.md residual list + the two same-class sites the
+    #    sweep grep surfaced: ts_profile cells, streaming rollup) --
+    "q_events_sliding_6h",
+    "q_events_sessionize",
+    "q_events_range_join",
+    "q_streaming_rollup",
+    "q_events_anomaly_zscore",
+    "q_events_ts_profile_similarity",
+    "q_maintenance_compaction",
+    "q_events_cusum_changepoint",
+    "q_events_theilsen_trend",
+    "q_events_seasonal_anomalies",
+    # -- keepers: two-phase global-order riders (operator gained the
+    #    shared persist registry + contract guard this round) --
+    "q_customer_rfm_segments",
+    "q_sales_pareto_abc",
+    "q_stats_equidepth_histogram",
     "q_events_sla_percentiles",
-    "q_changefeed_offset_gaps",
-    "q_quality_dup_inflation",
-    "q_retrieval_ql_dirichlet",
-    "q_text_readability_forcast",
-    "q_market_basket_rules",
-    "q_multimodal_video_dup_groups",
-    # -- keepers (28; named in the COVERAGE.md r8 proposal) --
+    "q_survival_kaplan_meier",
     "q_null_semantics",
+    # -- keepers: streaming sinks --
+    "q_streaming_latest_state",
+    "q_streaming_db_upsert",
+    "q_streaming_dlq_delivery",
+    "q_streaming_feed_outbox",
+    "q_streaming_neardup_dedup",
+    "q_streaming_changefeed_e2e",
+    # -- keepers: changefeed surface --
+    "q_changefeed_flagship",
+    "q_envelope_decode_avro",
+    "q_admin_filter_paginate",
+    # -- keepers: signature-memo consumers (containment_pairs and
+    #    pagerank_centrality yield their slots this round to the
+    #    changed-code set; both stay snapshot-pinned + mimic-checked) --
     "q_dedup_simhash64_pairs",
     "q_dedup_clusters",
     "q_dedup_clusters64",
@@ -184,36 +216,17 @@ WINDOW: list[str] = [
     "q_multimodal_audiohash_neardup",
     "q_multimodal_video_neardup",
     "q_dedup_prefix_jaccard_join",
-    "q_dedup_containment_pairs",
-    "q_dedup_pagerank_centrality",
-    "q_customer_rfm_segments",
-    "q_sales_pareto_abc",
-    "q_stats_equidepth_histogram",
-    "q_admin_filter_paginate",
-    "q_streaming_changefeed_e2e",
-    "q_changefeed_flagship",
-    "q_envelope_decode_avro",
-    "q_streaming_latest_state",
-    "q_streaming_db_upsert",
-    "q_streaming_dlq_delivery",
-    "q_streaming_feed_outbox",
-    "q_streaming_neardup_dedup",
-    "q_events_tumbling_hour",
-    "q_window_running_spend",
-    "q07_volume_shipping",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q_udtf_chunk_digest",
-    # -- batch canaries (2; rotation pool in COVERAGE.md) --
-    "q01_pricing_summary",
-    "q14_promo_revenue",
+    # -- batch canaries (2; rotation pool in COVERAGE.md: q18/q03 due
+    #    — q01/q14 served r8, q05/q13 r7, q03/q10 r6, q18 last in r5) --
+    "q18_large_orders",
+    "q03_shipping_priority",
 ]
 
 # This round's batch canaries (tail of WINDOW); exported for the
 # registry-contract test and COVERAGE.md's rotation history.
 CANARIES: list[str] = [
-    "q01_pricing_summary",
-    "q14_promo_revenue",
+    "q18_large_orders",
+    "q03_shipping_priority",
 ]
 
 
