@@ -189,6 +189,12 @@ HEADLINE = [
     "q_embedding_matryoshka_error",
     "q_graph_jaccard_link_prediction",
     "q_changefeed_tombstone_audit",
+    # --- added r9 ---
+    "q_stats_ks_test",
+    "q_stats_spearman_corr",
+    "q_train_curriculum_order",
+    "q_dedup_editdist_verify",
+    "q_multimodal_scene_cuts",
 ]
 
 

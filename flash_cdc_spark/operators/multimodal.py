@@ -975,3 +975,85 @@ def stretch_pgm_contrast(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_stretch, schema=out_schema)
+
+
+# --- Scene-structured video: synth + per-frame luminance (r9) ---------
+# Videos with a real SCENE boundary: frames within a scene drift gently
+# (+2 mean luma per frame), the boundary jumps the base brightness —
+# the structure a shot/scene-cut detector must find. The luma profile
+# is closed-form in (doc_id, frame), so the detector's input is
+# oracle-checkable end to end through the REAL concatenated-PGM parse.
+
+SCENE_FRAMES = 6
+
+
+def scene_boundary(did: int) -> int:
+    return 2 + did % 3
+
+
+def synth_scene_video_udf(
+    width: int = PGM_WIDTH,
+    height: int = PGM_HEIGHT,
+    n_frames: int = SCENE_FRAMES,
+):
+    """Two-scene video synthesizer: scene 1 (frames 0..b-1, b =
+    2 + doc_id%3) renders base0 + x + 2y + 2f; scene 2 (frames b..)
+    restarts the drift at a much brighter base1. All pixel values stay
+    < 256 by construction (no mod wrap), so per-frame mean luminance
+    is exactly base + 2*(f - scene_start) + K/npx — integral total,
+    closed form for the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_id: pd.Series) -> pd.Series:
+        def mk(did: int) -> bytes:
+            did = int(did)
+            b = scene_boundary(did)
+            base0 = 40 + (did % 7) * 3
+            base1 = 160 + (did % 5) * 2
+            hdr = f"P5\n{width} {height}\n255\n".encode()
+            out = []
+            for f in range(n_frames):
+                base, fs = (base0, 0) if f < b else (base1, b)
+                out.append(
+                    hdr
+                    + bytes(
+                        base + x + 2 * y + 2 * (f - fs)
+                        for y in range(height)
+                        for x in range(width)
+                    )
+                )
+            return b"".join(out)
+
+        return doc_id.map(mk)
+
+    return _synth
+
+
+def video_frame_luma(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame luminance totals via ``mapInPandas`` over the REAL
+    concatenated-PGM parse: one output row per (video, frame) with the
+    exact integer raster sum and pixel count. Executor-side frame
+    explosion, same shape as :func:`video_frame_hashes` — the blob
+    never moves."""
+    out_schema = f"{id_col} bigint, frame_idx int, luma_sum bigint, n_px int"
+
+    def _luma(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                for f, frame in enumerate(parse_pgm_stream(bytes(blob))):
+                    w, h, _maxval, raster = parse_pgm(frame)
+                    total = int(
+                        np.frombuffer(raster, dtype=np.uint8)
+                        .astype(np.int64)
+                        .sum()
+                    )
+                    rows.append((int(did), f, total, w * h))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "luma_sum", "n_px"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_luma, schema=out_schema)

@@ -11,7 +11,7 @@ synthesized waveform is closed-form in (doc_id, k).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators import multimodal as MM
@@ -228,4 +228,95 @@ def q_multimodal_audio_silence_trim(
         "trail_trim",
         "kept",
         kept_rms.alias("kept_rms"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Scene-cut detection over the real video parse (r9)
+# ---------------------------------------------------------------------
+
+_SCENE_K = 3552  # sum of (x + 2y) over the 16x12 grid — exact constant
+_SCENE_NPX = MM.PGM_WIDTH * MM.PGM_HEIGHT
+_SCENE_CUT_T = 30  # mean-luma jump threshold (integral compare)
+
+
+@query(
+    "q_multimodal_scene_cuts",
+    oracle=f"""
+    WITH frames AS (
+        SELECT d.doc_id, CAST(f.f AS INT) AS frame_idx,
+               2 + d.doc_id % 3 AS b,
+               40 + (d.doc_id % 7) * 3 AS base0,
+               160 + (d.doc_id % 5) * 2 AS base1
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range({MM.SCENE_FRAMES})) AS f) f
+    ),
+    luma AS (
+        SELECT doc_id, frame_idx,
+               {_SCENE_NPX} * (CASE WHEN frame_idx < b
+                                    THEN base0 + 2 * frame_idx
+                                    ELSE base1 + 2 * (frame_idx - b) END)
+               + {_SCENE_K} AS luma_sum
+        FROM frames
+    ),
+    deltas AS (
+        SELECT doc_id, frame_idx, luma_sum,
+               luma_sum - lag(luma_sum)
+                   OVER (PARTITION BY doc_id ORDER BY frame_idx) AS dlt
+        FROM luma
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_frames,
+           CAST(sum(CASE WHEN abs(dlt) > {_SCENE_CUT_T} * {_SCENE_NPX}
+                         THEN 1 ELSE 0 END) AS INT) AS n_cuts,
+           CAST(min(CASE WHEN abs(dlt) > {_SCENE_CUT_T} * {_SCENE_NPX}
+                         THEN frame_idx END) AS INT) AS first_cut_frame,
+           max(CASE WHEN abs(dlt) > {_SCENE_CUT_T} * {_SCENE_NPX}
+                    THEN CAST(dlt AS DOUBLE) / {_SCENE_NPX} END)
+               AS cut_lift
+    FROM deltas GROUP BY doc_id
+    """,
+)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection through the REAL video parse: one two-scene
+    concatenated-PGM clip per document is synthesized executor-side,
+    split by actually parsing every frame header
+    (``parse_pgm_stream``), and per-frame luminance totals come from
+    the raster bytes. A cut is a mean-luma jump above the threshold —
+    the classic luma-delta shot-boundary detector (the first stage of
+    any video dedup/curation pipeline; keyframe selection samples at
+    these boundaries). The oracle recomputes the luma profile from the
+    synth's closed form — a header-walk bug, frame mis-split, or
+    off-by-one in the raster sum all mismatch.
+
+    Determinism: raster sums are exact integers; the cut compare stays
+    integral (|Δsum| > T·npx); cut_lift divides identical integers.
+
+    Scale shape: blobs synthesize and decode executor-side in Arrow
+    batches (frame explosion inside the batch — the video never moves
+    whole); the per-video lag/aggregate partitions on doc_id (6 rows
+    per key, Exchange hashpartitioning — never a global window).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = d.withColumn(
+        "media", MM.synth_scene_video_udf()(F.col("doc_id"))
+    )
+    lum = MM.video_frame_luma(vids)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = lum.select(
+        "doc_id",
+        "frame_idx",
+        "n_px",
+        (F.col("luma_sum") - F.lag("luma_sum").over(w)).alias("dlt"),
+    )
+    is_cut = F.abs(F.col("dlt")) > F.lit(_SCENE_CUT_T) * F.col("n_px")
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum(F.when(is_cut, 1).otherwise(0)).cast("int").alias("n_cuts"),
+        F.min(F.when(is_cut, F.col("frame_idx")))
+        .cast("int")
+        .alias("first_cut_frame"),
+        F.max(
+            F.when(is_cut, F.col("dlt").cast("double") / F.col("n_px"))
+        ).alias("cut_lift"),
     )

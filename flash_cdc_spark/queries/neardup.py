@@ -2084,3 +2084,114 @@ def q_graph_jaccard_link_prediction(
     return scored.orderBy(
         F.col("jaccard").desc(), "doc_a", "doc_b"
     ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Candidate VERIFY stage: exact edit distance over banded candidates
+# --------------------------------------------------------------------------
+
+_EDITDIST_PREFIX = 200  # verify on a fixed text prefix: bounded DP cost
+
+
+@query(
+    "q_dedup_editdist_verify",
+    oracle="WITH " + _DUCK_SIMHASH64_SIG + """
+    , sbands AS (
+        SELECT doc_id, sim_hi, sim_lo, CAST(b AS INT) AS band_idx,
+               CASE CAST(b AS INT)
+                   WHEN 0 THEN sim_lo & 65535
+                   WHEN 1 THEN sim_lo >> 16
+                   WHEN 2 THEN sim_hi & 65535
+                   ELSE sim_hi >> 16
+               END AS band_val
+        FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS b)
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {cap}
+    ),
+    scand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM sbands l JOIN sbands r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim_hi, r.sim_hi))
+              + bit_count(xor(l.sim_lo, r.sim_lo)) <= 3
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               levenshtein(substr(ta.text, 1, {pfx}),
+                           substr(tb.text, 1, {pfx})) AS edit_dist,
+               length(substr(ta.text, 1, {pfx})) AS len_a,
+               length(substr(tb.text, 1, {pfx})) AS len_b
+        FROM scand c
+        JOIN documents ta ON ta.doc_id = c.doc_a
+        JOIN documents tb ON tb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(edit_dist AS INT)           AS edit_dist,
+           CAST(len_a AS INT)               AS len_a,
+           CAST(len_b AS INT)               AS len_b,
+           1.0 - CAST(edit_dist AS DOUBLE)
+                 / greatest(len_a, len_b, 1) AS edit_sim,
+           CAST(CASE WHEN edit_dist * 5 <= greatest(len_a, len_b, 1)
+                     THEN 1 ELSE 0 END AS INT) AS verified
+    FROM verified
+    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH, pfx=_EDITDIST_PREFIX),
+)
+def q_dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verification stage for banded near-dup candidates — the
+    step every production dedup pipeline runs between candidate
+    generation and clustering (LSH has false positives by design;
+    Levenshtein on a fixed prefix is the cheap exact filter that kills
+    them before they merge clusters). For each SimHash64 candidate
+    pair: character edit distance over the first 200 chars, the
+    normalized similarity 1 − d/max(len), and the verified flag at the
+    ≥ 0.8 similarity bar (d·5 ≤ maxlen — kept integral so the
+    threshold compare never touches a float).
+
+    Determinism: Levenshtein is integer DP (cross-engine parity pinned
+    since r1 by q_levenshtein_name_pairs); edit_sim divides identical
+    integers as doubles.
+
+    Scale: candidates come from the same banded, width-capped
+    signature join as q_dedup_simhash64_pairs (never all-pairs); the
+    verify joins fetch exactly TWO prefix strings per candidate pair
+    (broadcast-sized relation at any corpus scale thanks to the band
+    cap) and the DP cost is bounded by the fixed 200-char prefix —
+    O(candidates · prefix²) total, embarrassingly parallel.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = signature_index(lambda: simhash64_signatures(d), sf_dir, "simhash64")
+    pairs = simhash64_candidate_pairs(
+        sigs, max_hamming=3, max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH
+    ).select("doc_a", "doc_b")
+    pfx = _EDITDIST_PREFIX
+    ta = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, pfx).alias("text_a"),
+    )
+    tb = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, pfx).alias("text_b"),
+    )
+    v = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("int").alias("edit_dist"),
+            F.length("text_a").cast("int").alias("len_a"),
+            F.length("text_b").cast("int").alias("len_b"),
+        )
+    )
+    maxlen = F.greatest("len_a", "len_b", F.lit(1))
+    return v.select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        "len_a",
+        "len_b",
+        (F.lit(1.0) - F.col("edit_dist").cast("double") / maxlen).alias(
+            "edit_sim"
+        ),
+        (F.col("edit_dist") * 5 <= maxlen).cast("int").alias("verified"),
+    )
