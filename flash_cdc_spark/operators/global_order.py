@@ -141,7 +141,7 @@ def _persist_shared(df: DataFrame) -> DataFrame:
     try:
         canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
         if not any(tok in canon for tok in _NON_DEDUP_NODES):
-            key = hashlib.md5(canon.encode()).hexdigest()
+            key = _plan_digest(df)
     except Exception:
         key = None
     if key is None:
@@ -178,19 +178,37 @@ def release_persisted_inputs() -> int:
     return released
 
 
-def _memo_key(df: DataFrame, order_reprs: tuple, buckets: int):
-    """Stable key for the boundary memo: the md5 of the CANONICALIZED
-    analyzed plan (expression ids normalized, data paths included —
-    two constructions of the same query digest identically) plus the
-    order/bucket spec. Returns None when the canonical form is
-    unavailable (e.g. Spark Connect) — memoization is then skipped."""
+def _plan_digest(df: DataFrame) -> str | None:
+    """md5 of the CANONICALIZED analyzed plan string PLUS the sorted
+    backing file list. The canonical string alone is NOT a data
+    identity: a ``LogicalRelation`` prints ``Relation[cols] parquet``
+    with NO path, so the same query shape over two scale factors
+    collides (caught in r9 by the sf0.1 parity tier — the persist
+    registry served sf0.001 rows to an sf0.1 query; the boundary memo
+    had the same collision, harmless for values but silently reusing
+    toy-scale boundaries at scale). ``inputFiles()`` restores the
+    missing data identity for every file-backed leaf; non-file leaves
+    whose data the plan string also hides are handled separately
+    (``_NON_DEDUP_NODES``). Returns None when the canonical form is
+    unavailable (e.g. Spark Connect)."""
     try:
         canon = (
             df._jdf.queryExecution().analyzed().canonicalized().toString()
         )
+        files = "\n".join(sorted(df.inputFiles()))
     except Exception:
         return None
-    digest = hashlib.md5(canon.encode()).hexdigest()
+    return hashlib.md5((canon + "\x00" + files).encode()).hexdigest()
+
+
+def _memo_key(df: DataFrame, order_reprs: tuple, buckets: int):
+    """Stable key for the boundary memo: the plan digest (canonical
+    plan + backing files — see :func:`_plan_digest`) plus the
+    order/bucket spec. Returns None when the canonical form is
+    unavailable — memoization is then skipped."""
+    digest = _plan_digest(df)
+    if digest is None:
+        return None
     return (digest, order_reprs, buckets)
 _SORT_SUFFIX = re.compile(r"^(?P<body>.*) (?P<dir>ASC|DESC) NULLS (?P<nulls>FIRST|LAST)$")
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")

@@ -280,6 +280,35 @@ def test_persisted_input_registry_dedups_and_releases(spark):
     go.release_persisted_inputs()
 
 
+def test_persisted_registry_distinguishes_scale_factors(spark):
+    # A LogicalRelation prints "Relation[cols] parquet" with NO path,
+    # so the same query shape over two scale factors collides on the
+    # canonical plan STRING alone — the r9 full-suite parity failures:
+    # the registry served sf0.001 rows to the sf0.1 queries. The digest
+    # folds inputFiles() in; both the persist registry and the boundary
+    # memo must keep the scales apart.
+    from flash_cdc_spark.operators import global_order as go
+    from flash_cdc_spark.tables import load_table
+
+    go.release_persisted_inputs()
+
+    def ranked(sf_dir):
+        per_cust = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return with_global_order(
+            per_cust, [F.col("o_custkey").asc()], rank_col="r"
+        )
+
+    n_small = ranked("/root/testdata/sf0.001").count()
+    n_big = ranked("/root/testdata/sf0.01").count()
+    assert n_small == 150 and n_big == 1500  # NOT the shared plan's rows
+    assert len(go._PERSISTED) == 2  # one cached relation per scale
+    go.release_persisted_inputs()
+
+
 def test_persisted_registry_never_dedups_in_memory_data(spark):
     # Two DIFFERENT in-memory datasets with the same schema print the
     # same canonicalized plan (LocalRelation/LogicalRDD hide their
