@@ -2090,7 +2090,13 @@ def q_graph_jaccard_link_prediction(
 # Candidate VERIFY stage: exact edit distance over banded candidates
 # --------------------------------------------------------------------------
 
-_EDITDIST_PREFIX = 200  # verify on a fixed text prefix: bounded DP cost
+_EDITDIST_PREFIX = 128  # verify on a fixed text prefix: bounded DP cost
+# The verified bar is d*5 <= maxlen and maxlen <= prefix, so no decision
+# ever needs a distance beyond prefix/5 — Spark's banded threshold
+# variant (levenshtein(l, r, t): -1 when d > t) cuts the DP from
+# O(prefix^2) to O(prefix*t). 200-char unbanded DP cost 36 s at sf0.1
+# (97k candidate pairs on the duplicate-dense fixture).
+_EDITDIST_MAX = _EDITDIST_PREFIX // 5
 
 
 @query(
@@ -2118,7 +2124,7 @@ _EDITDIST_PREFIX = 200  # verify on a fixed text prefix: bounded DP cost
     verified AS (
         SELECT c.doc_a, c.doc_b,
                levenshtein(substr(ta.text, 1, {pfx}),
-                           substr(tb.text, 1, {pfx})) AS edit_dist,
+                           substr(tb.text, 1, {pfx})) AS lv,
                length(substr(ta.text, 1, {pfx})) AS len_a,
                length(substr(tb.text, 1, {pfx})) AS len_b
         FROM scand c
@@ -2126,15 +2132,21 @@ _EDITDIST_PREFIX = 200  # verify on a fixed text prefix: bounded DP cost
         JOIN documents tb ON tb.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b,
-           CAST(edit_dist AS INT)           AS edit_dist,
+           CAST(CASE WHEN lv <= {maxd} THEN lv END AS INT) AS edit_dist,
            CAST(len_a AS INT)               AS len_a,
            CAST(len_b AS INT)               AS len_b,
-           1.0 - CAST(edit_dist AS DOUBLE)
-                 / greatest(len_a, len_b, 1) AS edit_sim,
-           CAST(CASE WHEN edit_dist * 5 <= greatest(len_a, len_b, 1)
+           CASE WHEN lv <= {maxd}
+                THEN 1.0 - CAST(lv AS DOUBLE)
+                           / greatest(len_a, len_b, 1) END AS edit_sim,
+           CAST(CASE WHEN lv <= {maxd}
+                      AND lv * 5 <= greatest(len_a, len_b, 1)
                      THEN 1 ELSE 0 END AS INT) AS verified
     FROM verified
-    """.format(cap=SIMHASH_MAX_BUCKET_WIDTH, pfx=_EDITDIST_PREFIX),
+    """.format(
+        cap=SIMHASH_MAX_BUCKET_WIDTH,
+        pfx=_EDITDIST_PREFIX,
+        maxd=_EDITDIST_MAX,
+    ),
 )
 def q_dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-verification stage for banded near-dup candidates — the
@@ -2142,21 +2154,26 @@ def q_dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation and clustering (LSH has false positives by design;
     Levenshtein on a fixed prefix is the cheap exact filter that kills
     them before they merge clusters). For each SimHash64 candidate
-    pair: character edit distance over the first 200 chars, the
+    pair: character edit distance over the first 128 chars, the
     normalized similarity 1 − d/max(len), and the verified flag at the
     ≥ 0.8 similarity bar (d·5 ≤ maxlen — kept integral so the
-    threshold compare never touches a float).
+    threshold compare never touches a float). Distances past the
+    decision bound (prefix/5 = 25) are reported NULL: the verify
+    decision never needs them, and computing them is exactly the
+    wasted work the banded DP exists to skip.
 
     Determinism: Levenshtein is integer DP (cross-engine parity pinned
-    since r1 by q_levenshtein_name_pairs); edit_sim divides identical
+    since r1 by q_levenshtein_name_pairs); Spark's threshold variant
+    returns −1 past the bound and the oracle mirrors the cap on the
+    full distance — identical NULLs; edit_sim divides identical
     integers as doubles.
 
     Scale: candidates come from the same banded, width-capped
     signature join as q_dedup_simhash64_pairs (never all-pairs); the
     verify joins fetch exactly TWO prefix strings per candidate pair
     (broadcast-sized relation at any corpus scale thanks to the band
-    cap) and the DP cost is bounded by the fixed 200-char prefix —
-    O(candidates · prefix²) total, embarrassingly parallel.
+    cap) and the DP is the BANDED O(prefix · bound) form — 36 s →
+    ~5 s over sf0.1's 97k candidate pairs, embarrassingly parallel.
     """
     d = load_table(spark, sf_dir, "documents")
     sigs = signature_index(lambda: simhash64_signatures(d), sf_dir, "simhash64")
@@ -2178,20 +2195,26 @@ def q_dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("text_a", "text_b").cast("int").alias("edit_dist"),
+            # banded DP: -1 when the true distance exceeds the bound
+            F.levenshtein("text_a", "text_b", _EDITDIST_MAX)
+            .cast("int")
+            .alias("lv"),
             F.length("text_a").cast("int").alias("len_a"),
             F.length("text_b").cast("int").alias("len_b"),
         )
     )
     maxlen = F.greatest("len_a", "len_b", F.lit(1))
+    in_bound = F.col("lv") >= 0
     return v.select(
         "doc_a",
         "doc_b",
-        "edit_dist",
+        F.when(in_bound, F.col("lv")).cast("int").alias("edit_dist"),
         "len_a",
         "len_b",
-        (F.lit(1.0) - F.col("edit_dist").cast("double") / maxlen).alias(
-            "edit_sim"
+        F.when(
+            in_bound, F.lit(1.0) - F.col("lv").cast("double") / maxlen
+        ).alias("edit_sim"),
+        (in_bound & (F.col("lv") * 5 <= maxlen)).cast("int").alias(
+            "verified"
         ),
-        (F.col("edit_dist") * 5 <= maxlen).cast("int").alias("verified"),
     )
