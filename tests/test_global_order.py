@@ -340,3 +340,180 @@ def test_bounded_running_sum_rejects_clashing_output(spark):
         bounded_running_sum(rel, [F.col("id")], sums={"v": F.col("v")})
     with pytest.raises(ValueError):
         bounded_running_sum(rel, [F.col("id")])
+
+
+def test_multi_global_rank_matches_single_axis_calls(spark):
+    """Each axis rank from the shared-sample multi-axis form must be
+    bit-identical to the chained with_global_order form it replaces
+    (the r10 rfm restructure), and the join-back on the unique key
+    must preserve the row set exactly."""
+    from flash_cdc_spark.operators.global_order import multi_global_rank
+
+    rel = spark.range(3000).select(
+        F.col("id"),
+        (F.col("id") * 7 % 11).alias("a"),  # tie-heavy
+        (F.col("id") * 13 % 97).alias("b"),
+        ((F.col("id") * 31 % 53) - 20).alias("c"),
+    )
+    axes = {
+        "ra": [F.col("a").desc(), F.col("id")],
+        "rb": [F.col("b").asc(), F.col("id")],
+        "rc": [F.col("c").asc(), F.col("id")],
+    }
+    got = multi_global_rank(rel, axes, key="id", buckets=16)
+    assert got.count() == 3000
+    chained = rel
+    for rk, order in axes.items():
+        chained = with_global_order(chained, order, rank_col=rk, buckets=16)
+    cols = ["id", "ra", "rb", "rc"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, chained.select(*cols).collect())
+    )
+
+
+def test_multi_global_rank_shares_one_persist_and_one_sample(spark):
+    """Three axes over the same base relation: ONE persist-registry
+    entry, three boundary-memo entries derived from ONE shared sample
+    pass (a re-call is a full memo hit)."""
+    from flash_cdc_spark.operators import global_order as go
+    from flash_cdc_spark.operators.global_order import multi_global_rank
+    from flash_cdc_spark.tables import load_table
+
+    go.release_persisted_inputs()
+    go._BOUNDS_MEMO.clear()
+
+    def build():
+        base = (
+            load_table(spark, "/root/testdata/sf0.001", "orders")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("f"), F.max("o_totalprice").alias("m"))
+        )
+        return multi_global_rank(
+            base,
+            {
+                "rf": [F.col("f").asc(), F.col("o_custkey")],
+                "rm": [F.col("m").desc(), F.col("o_custkey")],
+            },
+            key="o_custkey",
+            buckets=8,
+        )
+
+    r1 = build()
+    assert len(go._PERSISTED) == 1  # one shared input entry
+    assert len(go._BOUNDS_MEMO) == 2  # per-axis boundaries, one sample
+    r2 = build()
+    assert len(go._PERSISTED) == 1 and len(go._BOUNDS_MEMO) == 2
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    go.release_persisted_inputs()
+
+
+def test_persisted_registry_distinguishes_output_names(spark):
+    """ADVICE r9 (medium): canonicalization erases alias names, so two
+    structurally identical projections that differ only in column
+    NAMING must not share a persisted handle — the second caller would
+    get the first caller's schema (missing/SWAPPED column bindings)."""
+    from flash_cdc_spark.operators import global_order as go
+    from flash_cdc_spark.tables import load_table
+
+    go.release_persisted_inputs()
+    base = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    d1 = base.select(
+        F.col("o_orderkey").alias("x"), F.col("o_custkey").alias("y")
+    )
+    d2 = base.select(  # name-swapped projection, same canonical plan
+        F.col("o_orderkey").alias("y"), F.col("o_custkey").alias("x")
+    )
+    r1 = with_global_order(d1, [F.col("x").asc()], rank_col="r")
+    r2 = with_global_order(d2, [F.col("x").asc()], rank_col="r")
+    assert len(go._PERSISTED) == 2  # schema-distinct registry entries
+    # d2's x is o_custkey: its rank-1 row must carry the MIN custkey,
+    # not d1's min orderkey binding.
+    top2 = r2.filter(F.col("r") == 1).select("x").collect()[0][0]
+    min_cust = base.agg(F.min("o_custkey")).collect()[0][0]
+    assert top2 == min_cust
+    top1 = r1.filter(F.col("r") == 1).select("x").collect()[0][0]
+    min_ok = base.agg(F.min("o_orderkey")).collect()[0][0]
+    assert top1 == min_ok
+    go.release_persisted_inputs()
+
+
+def test_digest_survives_cache_substitution(spark):
+    """r10 regression pin: ``DataFrame.inputFiles()`` reads the
+    OPTIMIZED plan, so once a subplan is persisted the file scan is
+    replaced by InMemoryRelation and the list comes back EMPTY — the
+    r9 inputFiles-based digest then (a) hashed a re-build of the same
+    query differently (re-persisting cached data) and (b) hashed two
+    CACHED plans over DIFFERENT scale dirs identically: the r9
+    cross-scale wrong-data collision resurrected through the cache
+    path. The analyzed-plan leaf identity must be stable across
+    persists and keep the scales apart."""
+    from flash_cdc_spark.operators import global_order as go
+    from flash_cdc_spark.tables import load_table
+
+    go.release_persisted_inputs()
+
+    def mk(sf):
+        return (
+            load_table(spark, f"/root/testdata/{sf}", "orders")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+
+    a1 = go._plan_digest(mk("sf0.001"), include_schema=True)
+    b1 = go._plan_digest(mk("sf0.01"), include_schema=True)
+    go._persist_shared(mk("sf0.001")).count()
+    go._persist_shared(mk("sf0.01")).count()
+    # rebuilt plans now resolve against the cache — digests must not move
+    assert go._plan_digest(mk("sf0.001"), include_schema=True) == a1
+    assert go._plan_digest(mk("sf0.01"), include_schema=True) == b1
+    assert a1 != b1
+    # and the registry must still hold exactly one handle per scale
+    assert len(go._PERSISTED) == 2
+    go._persist_shared(mk("sf0.001"))
+    go._persist_shared(mk("sf0.01"))
+    assert len(go._PERSISTED) == 2  # hits, not re-persists
+    go.release_persisted_inputs()
+
+
+@pytest.mark.parametrize("k", [1, 3, 5, 7])
+def test_multi_exact_ntile_matches_naive_ntile(spark, rel, k):
+    """Exact cut-key NTILE (r10, the rfm restructure's operator) must
+    be bit-identical to naive ntile(k) OVER (ORDER BY ...) on every
+    axis — including tie-heavy values and descending order — with zero
+    Window nodes in the executed plan."""
+    from flash_cdc_spark.operators.global_order import multi_exact_ntile
+
+    got = multi_exact_ntile(
+        rel,
+        {
+            "nta": ([F.col("v").asc(), F.col("id").asc()], k),
+            "ntd": ([F.col("v").desc(), F.col("id").desc()], k),
+        },
+        buckets=16,
+    )
+    wa = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    wd = Window.orderBy(F.col("v").desc(), F.col("id").desc())
+    exp = rel.select(
+        "id", F.ntile(k).over(wa).alias("nta"), F.ntile(k).over(wd).alias("ntd")
+    )
+    cols = ["id", "nta", "ntd"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, exp.select(*cols).collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
+def test_multi_exact_ntile_small_n_degenerates_like_ntile(spark):
+    """n < k: NTILE assigns bucket = rank; the cut-key form must too
+    (duplicate cuts from empty buckets skip bucket ids exactly as
+    NTILE does)."""
+    from flash_cdc_spark.operators.global_order import multi_exact_ntile
+
+    rel = spark.createDataFrame([(1, 30), (2, 10), (3, 20)], "id int, v int")
+    got = multi_exact_ntile(rel, {"nt": ([F.col("v"), F.col("id")], 5)})
+    assert sorted((r.id, r.nt) for r in got.collect()) == [
+        (1, 3), (2, 1), (3, 2)
+    ]
