@@ -198,20 +198,39 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Fixed-cost sentinel job (~0.2 s idle on local[32]): a pure-CPU
+    range aggregation with no I/O, no shuffle variance, and no
+    dependence on bench state. Timed between every query group so
+    'ambient contention' is a MEASUREMENT in the artifact, not a
+    narrative (VERDICT r9 #2): when a query's median regresses but the
+    neighbouring calibration samples are flat, the regression is real;
+    when calibration inflates alongside it, the machine was busy."""
+    start = time.perf_counter()
+    spark.range(200_000_000).selectExpr(
+        "count(if(id % 7 = 0, 1, NULL))"
+    ).collect()
+    return time.perf_counter() - start
+
+
 def main() -> None:
     sf_dir = default_sf_dir()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="flash-cdc-bench")
+    load_before = os.getloadavg()
     # warm the JVM + parquet reader path so query 1 doesn't absorb
     # one-time startup cost (codegen, reader init, FS metadata)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from flash_cdc_spark.operators.global_order import release_persisted_inputs
     from flash_cdc_spark.tables import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
     load_table(spark, sf_dir, "events").count()
+    _calibrate(spark)  # warm the sentinel's codegen path once
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    calibration: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
 
@@ -226,14 +245,19 @@ def main() -> None:
         trimmed = samples[1:-1] if len(samples) >= 4 else samples
         timings[name] = round(med, 3)
         spread[name] = round(100.0 * (trimmed[-1] - trimmed[0]) / med, 1)
-        # Drop this query's persisted relations (global-order inputs,
-        # bounded grids) before the next group: caches accumulated
-        # across ~100 queries otherwise build JVM memory pressure that
-        # shows up as GC-spike spread on late queries, making medians
-        # depend on bench ORDER. Within-query warmth is preserved (the
-        # warmup + iters above share the cache; disk memos and literal
-        # boundary memos survive clearCache).
+        # Release the global-order persist registry EXPLICITLY (VERDICT
+        # r9 #5) so registry and cache stay in sync — clearCache alone
+        # left stale handles that were detected-and-re-persisted on the
+        # next hit — then drop everything else this query pinned.
+        # Caches accumulated across ~100 queries otherwise build JVM
+        # memory pressure that shows up as GC-spike spread on late
+        # queries, making medians depend on bench ORDER. Within-query
+        # warmth is preserved (the warmup + iters above share the
+        # cache; disk memos and literal boundary/cut memos survive).
+        release_persisted_inputs()
         spark.catalog.clearCache()
+        # Ambient-load sentinel between groups (VERDICT r9 #2).
+        calibration[name] = round(_calibrate(spark), 3)
 
     batch_total = round(
         sum(t for n, t in timings.items() if n not in STREAMING_QUERIES), 3
@@ -253,6 +277,9 @@ def main() -> None:
     # humans. One-time memo writes (signature index, IVF layout) are
     # absorbed by each query's uncounted warmup run, so timed rows are
     # steady-state.
+    load_after = os.getloadavg()
+    calib_vals = sorted(calibration.values())
+    calib_med = round(statistics.median(calib_vals), 3) if calib_vals else None
     headline = {
         "metric": "headline_query_suite_seconds",
         "value": batch_total,
@@ -261,18 +288,33 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "streaming_value": streaming_total,
+        "calib_med": calib_med,
+        "calib_p95": (
+            round(calib_vals[int(0.95 * (len(calib_vals) - 1))], 3)
+            if calib_vals
+            else None
+        ),
     }
     full_result = {
         **headline,
         "queries": timings,
         "spread_pct": spread,
+        "calibration_sec": calibration,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
         "streaming_queries": sorted(STREAMING_QUERIES & set(timings)),
         "protocol_notes": (
             "value = batch-query medians only; streaming-executed entries "
             "sum into streaming_value (r9 split, VERDICT r8 #6). Cache is "
             "cleared between query groups since r8 — medians are not "
             "comparable with pre-r8 BENCH_LOCAL baselines, and pre-r9 "
-            "'value' summed batch AND streaming entries."
+            "'value' summed batch AND streaming entries. Since r10 a "
+            "fixed-cost calibration job (~0.2 s idle) is timed after "
+            "every query group (calibration_sec, keyed by the preceding "
+            "query) and the global-order persist registry is released "
+            "explicitly between groups: a query regression with flat "
+            "neighbouring calibration samples is real; one that inflates "
+            "with them is ambient machine load."
         ),
     }
     local_path = os.path.join(

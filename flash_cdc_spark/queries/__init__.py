@@ -107,6 +107,9 @@ from flash_cdc_spark.queries import analytics_ext6  # noqa: E402,F401
 # r9 additions (past-window; r10 rotation candidates).
 from flash_cdc_spark.queries import analytics_ext7  # noqa: E402,F401
 
+# r10 additions (past-window; r11 rotation candidates).
+from flash_cdc_spark.queries import analytics_ext8  # noqa: E402,F401
+
 # ---------------------------------------------------------------------
 # r8 driver window (VERDICT r7, next-round item #3 — the rotation plan
 # written in COVERAGE.md last round, executed verbatim).

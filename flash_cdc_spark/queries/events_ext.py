@@ -827,7 +827,7 @@ def q_streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT event_type,
                s / n AS mu,
-               sqrt((q - s * (s / n)) / (n - 1)) AS sigma
+               sqrt(greatest(0, (q - s * (s / n)) / (n - 1))) AS sigma
         FROM moments
     )
     SELECT e.event_id, e.event_type,
@@ -866,9 +866,17 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = moments.select(
         "event_type",
         (F.col("s") / F.col("n")).alias("mu"),
+        # radicand clamped at 0 on BOTH engines (ADVICE r9): floating
+        # cancellation on a near-constant group can make it a tiny
+        # negative, where DuckDB's sqrt hard-errors while Spark returns
+        # NaN (and NaN > 0 is TRUE under Spark's ordering) — the clamp
+        # gives sigma = 0, excluded identically by the sigma > 0 gate.
         F.sqrt(
-            (F.col("q") - F.col("s") * (F.col("s") / F.col("n")))
-            / (F.col("n") - 1)
+            F.greatest(
+                F.lit(0.0),
+                (F.col("q") - F.col("s") * (F.col("s") / F.col("n")))
+                / (F.col("n") - 1),
+            )
         ).alias("sigma"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")

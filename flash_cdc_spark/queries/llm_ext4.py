@@ -1149,7 +1149,7 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT event_type, hod,
                round(s / n, 9) AS mu,
-               round(sqrt((q - s * (s / n)) / (n - 1)), 9) AS sigma,
+               round(sqrt(greatest(0, (q - s * (s / n)) / (n - 1))), 9) AS sigma,
                n
         FROM moments
     )
@@ -1199,10 +1199,18 @@ def q_events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hod",
         F.round(F.col("s") / F.col("n"), 9).alias("mu"),
+        # radicand clamped at 0 on BOTH engines (ADVICE r9): floating
+        # cancellation on a near-constant group can make it a tiny
+        # negative, where DuckDB's sqrt hard-errors while Spark returns
+        # NaN (and NaN > 0 is TRUE under Spark's ordering) — the clamp
+        # gives sigma = 0, excluded identically by the sigma > 0 gate.
         F.round(
             F.sqrt(
-                (F.col("q") - F.col("s") * (F.col("s") / F.col("n")))
-                / (F.col("n") - 1)
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("q") - F.col("s") * (F.col("s") / F.col("n")))
+                    / (F.col("n") - 1),
+                )
             ),
             9,
         ).alias("sigma"),

@@ -35,7 +35,19 @@ def continuous_rollup(
 ) -> StreamingQuery:
     """Start the rollup query; the result table at ``out_path`` is
     partitioned by (bucket_start, event_type) and always reflects the latest
-    revision of every emitted window."""
+    revision of every emitted window.
+
+    .. warning:: **Checkpoint compatibility (r9 → r10).** The r9 move
+       from ``sum(double)`` to ``sum(decimal)`` changed the
+       STATE-STORE schema of this aggregation. A deployment resuming a
+       checkpoint written before that change fails Spark's state
+       schema compatibility check (or, on versions without the check,
+       would misread state). Discard pre-r9 checkpoints — point
+       ``checkpoint`` at a fresh location and let the watermark
+       rebuild open windows from the replayed source; closed windows
+       already written to ``out_path`` are unaffected (idempotent
+       partition overwrite by window revision).
+    """
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

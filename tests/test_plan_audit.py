@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -123,18 +124,34 @@ def _exchange_less_windows_coalesce_fed(plan: str) -> list[str]:
     a single-partition leaf. Case (c)'s ``Coalesce 1`` is the one
     SILENT unbounded single-partition producer — the entire input
     funnels to one task with no Exchange for the other check to see —
-    so that is what this walk flags: scan down the Window's child
-    spine and report a ``Coalesce 1`` reached before any Exchange or
-    limit-family node."""
+    so that is what this walk flags: follow the Window's FIRST-CHILD
+    spine (tracked by tree indentation — ADVICE r9: a flat scan was
+    terminated early by Exchange/Limit nodes printed from SIBLING
+    branches, a false negative for exactly the case the audit exists
+    for) and report a ``Coalesce 1`` reached before any Exchange or
+    limit-family node. Limit-family nodes match by NAME
+    (Global/Local/CollectLimit, TakeOrderedAndProject) so a
+    ``WindowGroupLimit`` line no longer satisfies the scan."""
+
+    def depth(line: str) -> int:
+        # tree-connector prefix length: "   +- ", ":  +- ", ":- " etc.
+        return re.match(r"^[\s:+\-|]*", line).end()
+
+    limit_like = re.compile(
+        r"\b(?:GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)"
+    )
     lines = plan.splitlines()
     hits = []
     for i, ln in enumerate(lines):
         if "Window" not in ln or "WindowGroupLimit" in ln:
             continue
+        cur = depth(ln)
         for nxt in lines[i + 1 :]:
-            if "Exchange" in nxt or "Limit" in nxt or (
-                "TakeOrderedAndProject" in nxt
-            ):
+            nd = depth(nxt)
+            if nd <= cur:
+                break  # spine ended (leaf reached / sibling branch)
+            cur = nd  # descend exactly one first-child step
+            if "Exchange" in nxt or limit_like.search(nxt):
                 break  # provenance determined: partitioned or bounded
             if "Coalesce 1" in nxt:
                 hits.append(ln.strip()[:120])
@@ -160,3 +177,46 @@ def test_no_unbounded_single_partition_window(spark, sf_dir, name):
         f"to ONE task with no Exchange node for the SinglePartition "
         f"check to see. Nodes: {orphan}"
     )
+
+
+def test_coalesce_walk_tracks_the_window_child_spine():
+    """ADVICE r9 synthetic fixtures: (a) an Exchange printed from a
+    SIBLING branch must not terminate the walk before the Coalesce 1
+    on the window's actual child spine (the r9 flat scan's false
+    negative); (b) WindowGroupLimit must not satisfy the limit-family
+    stop; (c) a genuine Exchange on the spine still clears the
+    window."""
+    flagged = """AdaptiveSparkPlan isFinalPlan=false
++- Window [row_number() ...], [k], [id ASC]
+   +- Sort [k ASC], false, 0
+      +- SortMergeJoin [k], [k2], Inner
+         :- Coalesce 1
+         :  +- Exchange hashpartitioning(z, 32), ENSURE_REQUIREMENTS
+         :     +- Scan parquet [z]
+         +- Exchange hashpartitioning(k2, 32), ENSURE_REQUIREMENTS
+            +- Scan parquet [k2]"""
+    assert _exchange_less_windows_coalesce_fed(flagged), (
+        "Coalesce 1 on the window's left-child spine must be flagged"
+    )
+    grouplimit_only = """AdaptiveSparkPlan isFinalPlan=false
++- Window [rank() ...], [k], [id ASC]
+   +- WindowGroupLimit [k], [id ASC], rank(id), 5, Final
+      +- Sort [k ASC], false, 0
+         +- Coalesce 1
+            +- Scan parquet [k, id]"""
+    assert _exchange_less_windows_coalesce_fed(grouplimit_only), (
+        "a WindowGroupLimit line must not count as a bounding limit"
+    )
+    clean = """AdaptiveSparkPlan isFinalPlan=false
++- Window [row_number() ...], [k], [id ASC]
+   +- Sort [k ASC], false, 0
+      +- Exchange hashpartitioning(k, 32), ENSURE_REQUIREMENTS
+         +- Coalesce 1
+            +- Scan parquet [k, id]"""
+    assert not _exchange_less_windows_coalesce_fed(clean)
+    bounded = """AdaptiveSparkPlan isFinalPlan=false
++- Window [row_number() ...], [], [s DESC]
+   +- TakeOrderedAndProject(limit=20, orderBy=[s DESC], output=[s])
+      +- Coalesce 1
+         +- Scan parquet [s]"""
+    assert not _exchange_less_windows_coalesce_fed(bounded)
