@@ -111,96 +111,77 @@ from flash_cdc_spark.queries import analytics_ext7  # noqa: E402,F401
 from flash_cdc_spark.queries import analytics_ext8  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
-# r8 driver window (VERDICT r7, next-round item #3 — the rotation plan
-# written in COVERAGE.md last round, executed verbatim).
+# r10 driver window (VERDICT r9 #3 — the rotation plan written in
+# COVERAGE.md last round, executed with two documented amendments).
 #
 # The round driver value-compares only the FIRST 50 registered queries,
 # so which 50 lead the registry is an explicit per-round decision, not
-# a side effect of module import order. This round's composition:
+# a side effect of module import order. Composition: slots 1-5 the
+# r9-new queries (first driver rows — the entire rotation debt), slots
+# 6-10 the r10-new queries (amendment #1: debt was small enough that
+# this window absorbs BOTH waves, closing the round at debt zero),
+# then changed-code-first keepers (every global-order consumer — the
+# operator was restructured this round — plus the radicand-clamp
+# trio), the standing high-traffic sets, the two signature-memo
+# long-greens whose return the proposal promised, and (amendment #2)
+# an oldest-served-cohort block: six rows last driver-green in r7 take
+# the slots of keepers that were just green in r9. Canaries q10/q05
+# per the pool order.
 #
-# * slots 1-11 — the remaining r6-new queries (COVERAGE.md ledger rows
-#   222-232): burst detection, interleave order, doc keywords, replay
-#   idempotency, contrast stretch, incremental agg, watermark advisor,
-#   profile drift, Wilson ranking, cohort LTV, lexical diversity.
-#   First driver rows; restores the every-oracle-backed-query-
-#   driver-green-at-least-once invariant.
-# * slots 12-20 — the 9 r7-new queries (ledger rows 233-241):
-#   Kaplan-Meier survival, chi-square, SLA percentiles, offset gaps,
-#   dup inflation, QL-Dirichlet retrieval, FORCAST readability,
-#   basket rules, video dup groups. First driver rows.
-# * slots 21-48 — r7/r8-diff keepers: q_null_semantics (r7 semantics
-#   change: partitioned ranks), the lazy-signature-memo consumers,
-#   the two-phase rewrites RFM / Pareto / equi-depth (RFM and Pareto
-#   additionally carry this round's DECIMAL money-sum fixes — the r7
-#   red row's re-proof — and all ride the r8 boundary-literal
-#   global-order refactor), pagerank (r8 DECIMAL contribution fix),
-#   admin filter/paginate (post-restart-route), the changefeed
-#   flagship + Avro decode + streaming e2e, the five streaming sinks,
-#   and the high-traffic dedup/retrieval regressions.
-#   ONE AMENDMENT to the written proposal (documented in COVERAGE.md):
-#   the r8 strict sweep changed five MORE queries than the proposal
-#   anticipated (q_events_tumbling_hour, q_window_running_spend,
-#   q07/q17/q19 — DECIMAL money-sum fixes, STRICT_SWEEP.md), so those
-#   five take the keeper slots of five unchanged long-green
-#   regressions (minhash_lsh, exact_summary, semdedup,
-#   contamination_check, bm25_topk — all still snapshot-pinned every
-#   pytest run): changed code needs driver re-proof more than
-#   unchanged code needs an extra green row.
-# * slots 49-50 — batch canaries from the rotation pool (q01/q14 due
-#   back — served r5; q05/q13 served r7, q03/q10 r6).
-#
-# Pre-rotation gate (r8, VERDICT r7 #2): every window name passes the
-# STRICT (bit-exact) oracle mimic at sf0.01 — the float-tolerant gate
-# structurally cannot see the sub-tolerance money-sum drift that made
-# r7's one red row.
+# Pre-rotation gate (since r8, tightened in r9): every window name
+# passes the STRICT (bit-exact) oracle mimic at sf0.01 on BOTH
+# adversarial partitioning tiers (7 and 13 cores) at window freeze.
 #
 # Everything rotated out stays continuously checked by the local mimic
 # (tests/test_oracle.py) AND pinned against the committed
-# oracle-fingerprint snapshot (tests/test_oracle_snapshot.py), so a
+# oracle-fingerprint snapshots (tests/test_oracle_snapshot.py), so a
 # regression in the rotated-out surface still fails pytest loudly.
 WINDOW: list[str] = [
-    # -- r8-new, first driver rows (10; ledger rows 242-251; the exact
-    #    slots the COVERAGE.md r9 proposal reserved) --
-    "q_sales_new_vs_returning",
-    "q_stats_mann_whitney",
-    "q_quality_lognormal_fit",
-    "q_train_shard_manifest",
-    "q_events_interarrival_burstiness",
-    "q_text_code_detection",
-    "q_changefeed_tombstone_audit",
-    "q_multimodal_audio_silence_trim",
-    "q_embedding_matryoshka_error",
-    "q_graph_jaccard_link_prediction",
-    # -- keepers: the five long-greens the r8 amendment displaced --
-    "q_dedup_minhash_lsh",
-    "q_dedup_exact_summary",
-    "q_dedup_semdedup",
-    "q_train_contamination_check",
-    "q_retrieval_bm25_topk",
-    # -- keepers: plan changed in r8 after the r8 window froze --
-    "q_text_ngram_novelty",
-    # -- keepers: changed-code-first — the 10 queries whose query AND
-    #    oracle moved to DECIMAL-exact events.value aggregates in r9
-    #    (STRICT_SWEEP.md residual list + the two same-class sites the
-    #    sweep grep surfaced: ts_profile cells, streaming rollup) --
-    "q_events_sliding_6h",
-    "q_events_sessionize",
-    "q_events_range_join",
-    "q_streaming_rollup",
-    "q_events_anomaly_zscore",
-    "q_events_ts_profile_similarity",
-    "q_maintenance_compaction",
-    "q_events_cusum_changepoint",
-    "q_events_theilsen_trend",
-    "q_events_seasonal_anomalies",
-    # -- keepers: two-phase global-order riders (operator gained the
-    #    shared persist registry + contract guard this round) --
+    # ------------------------------------------------------------------
+    # r10 driver window (VERDICT r9 #3, executed per the COVERAGE.md
+    # r10 proposal, with one widening: the five r10-NEW queries also
+    # take first-row slots — rotation debt was only the 5 r9-new, so
+    # the window absorbs BOTH waves and the round closes at debt ZERO).
+    # Pre-rotation gate: every name below passed the STRICT bit-exact
+    # oracle mimic at sf0.01 on the 7- and 13-core adversarial
+    # partitioning tiers at window freeze.
+    # ------------------------------------------------------------------
+    # -- r9-new, first driver rows (5; ledger rows 252-256; the exact
+    #    slots the COVERAGE.md r10 proposal reserved) --
+    "q_stats_ks_test",
+    "q_stats_spearman_corr",
+    "q_train_curriculum_order",
+    "q_dedup_editdist_verify",
+    "q_multimodal_scene_cuts",
+    # -- r10-new, first driver rows (5; ledger rows 257-261) --
+    "q_sales_gini_coefficient",
+    "q_stats_kendall_tau",
+    "q_events_hourly_autocorr",
+    "q_events_markov_transitions",
+    "q_text_zipf_slope",
+    # -- keepers, changed-code-first: every global-order consumer (the
+    #    operator was restructured in r10 — exact-ntile cut selection,
+    #    single-F.expr boundary predicates, analyzed-plan leaf identity
+    #    in the persist/memo digests, shared multi-axis sampling; rfm
+    #    is the VERDICT r9 #1 rewrite itself). ks/spearman/curriculum/
+    #    gini/zipf above are consumers too. --
     "q_customer_rfm_segments",
     "q_sales_pareto_abc",
     "q_stats_equidepth_histogram",
-    "q_events_sla_percentiles",
     "q_survival_kaplan_meier",
+    "q_events_sla_percentiles",
+    "q_stats_mann_whitney",
+    "q_train_length_matched_sample",
+    "q_train_negative_sampling",
+    "q_train_sequence_packing",
+    # -- keepers, changed-code-first: the radicand-clamp trio (ADVICE
+    #    r9 — sigma = sqrt(greatest(0, ...)) in query AND oracle) --
+    "q_events_anomaly_zscore",
+    "q_events_cusum_changepoint",
+    "q_events_seasonal_anomalies",
+    # -- keepers: high-traffic regression surface --
     "q_null_semantics",
+    "q_streaming_rollup",
     # -- keepers: streaming sinks --
     "q_streaming_latest_state",
     "q_streaming_db_upsert",
@@ -212,9 +193,7 @@ WINDOW: list[str] = [
     "q_changefeed_flagship",
     "q_envelope_decode_avro",
     "q_admin_filter_paginate",
-    # -- keepers: signature-memo consumers (containment_pairs and
-    #    pagerank_centrality yield their slots this round to the
-    #    changed-code set; both stay snapshot-pinned + mimic-checked) --
+    # -- keepers: signature-memo consumers --
     "q_dedup_simhash64_pairs",
     "q_dedup_clusters",
     "q_dedup_clusters64",
@@ -222,17 +201,33 @@ WINDOW: list[str] = [
     "q_multimodal_audiohash_neardup",
     "q_multimodal_video_neardup",
     "q_dedup_prefix_jaccard_join",
-    # -- batch canaries (2; rotation pool in COVERAGE.md: q18/q03 due
-    #    — q01/q14 served r8, q05/q13 r7, q03/q10 r6, q18 last in r5) --
-    "q18_large_orders",
-    "q03_shipping_priority",
+    # -- keepers: the two signature-memo long-greens the r9
+    #    changed-code set displaced (their return was promised in the
+    #    written r10 proposal) --
+    "q_dedup_containment_pairs",
+    "q_dedup_pagerank_centrality",
+    # -- keepers: oldest-served cohort (last driver rows r7) — the
+    #    five r9-green long-greens (minhash_lsh, exact_summary,
+    #    semdedup, contamination_check, bm25_topk) and the r9-green
+    #    events keepers yield to rows three rounds stale; all stay
+    #    snapshot-pinned + mimic-checked --
+    "q_quality_nb_classifier",
+    "q_quality_psi_drift",
+    "q_graph_bipartite_projection",
+    "q_events_dwell_time",
+    "q_quality_referential_audit",
+    "q_text_source_jsd",
+    # -- batch canaries (2; rotation pool in COVERAGE.md: q10/q05 due —
+    #    q18/q03 served r9, q01/q14 r8, q05/q13 r7, q10 last in r6) --
+    "q10_returned_items",
+    "q05_local_supplier_volume",
 ]
 
 # This round's batch canaries (tail of WINDOW); exported for the
 # registry-contract test and COVERAGE.md's rotation history.
 CANARIES: list[str] = [
-    "q18_large_orders",
-    "q03_shipping_priority",
+    "q10_returned_items",
+    "q05_local_supplier_volume",
 ]
 
 

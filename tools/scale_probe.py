@@ -943,6 +943,93 @@ def measure_tombstone_audit(
     }
 
 
+def measure_editdist_verify(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """Edit-distance verify probe (r10, VERDICT r9 #6): candidate-PAIR
+    growth under the band cap is the quadratic hazard — the corpus is
+    replicated with synth_corpus's worst-case mix (half the replicas
+    byte-identical → maximal band collisions), and the record shows
+    candidate pairs per doc and the verify wall. Expectation: the
+    SimHash band cap absorbs the exact-dup pileup, so pairs/doc stays
+    bounded and wall tracks pairs (the banded DP is O(prefix·bound)
+    per pair, embarrassingly parallel)."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.queries.neardup import q_dedup_editdist_verify
+
+    docs = synth_corpus(spark, sf_dir, reps).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    )
+    d = tempfile.mkdtemp(prefix=f"edprobe_{reps}x_")
+    try:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        t0 = time.time()
+        out = q_dedup_editdist_verify(spark, d)
+        n_pairs = out.count()
+        n_verified = out.filter(F.col("verified")).count()
+        wall = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "probe": "editdist_verify",
+        "reps": reps,
+        "n_docs": n,
+        "candidate_pairs": n_pairs,
+        "pairs_per_doc": round(n_pairs / n, 3),
+        "verified_pairs": n_verified,
+        "wall_sec": wall,
+    }
+
+
+def measure_spearman(spark: SparkSession, sf_dir: str, reps: int) -> dict:
+    """Spearman probe (r10, VERDICT r9 #6): the statistic's only
+    non-scan stage is the per-VALUE contraction (distinct n_chars /
+    distinct word counts) feeding the two-phase midrank cumsum — the
+    value domains do not grow under replication, so the expectation on
+    record is: contraction sizes FLAT, wall tracking the linear corpus
+    scan, and rho IDENTICAL at every scale (uniform k× replication
+    maps every midrank affinely, m' = k·m − (k−1)/2, and Pearson over
+    ranks is affine-invariant)."""
+    import shutil
+    import tempfile
+
+    from flash_cdc_spark.queries.analytics_ext7 import q_stats_spearman_corr
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    docs = base.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    d = tempfile.mkdtemp(prefix=f"spprobe_{reps}x_")
+    try:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        t0 = time.time()
+        row = q_stats_spearman_corr(spark, d).collect()[0]
+        wall = round(time.time() - t0, 2)
+        nx = (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .select("n_chars")
+            .distinct()
+            .count()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "probe": "spearman",
+        "reps": reps,
+        "n_docs": n,
+        "distinct_x": nx,
+        "rho": float(row["rho"]),
+        "wall_sec": wall,
+    }
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     if "--sf-dir" in sys.argv:
@@ -992,7 +1079,13 @@ def main() -> int:
                     ),
                     flush=True,
                 )
-    if only in ("video", "phrase", "rank", "chain", "km", "r9"):
+    # r10 (VERDICT r9 #6): the two r9-new queries with nontrivial shape
+    if only in (None, "r10"):
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_editdist_verify(spark, sf_dir, reps)), flush=True)
+        for reps in (1, 2, 4, 8):
+            print(json.dumps(measure_spearman(spark, sf_dir, reps)), flush=True)
+    if only in ("video", "phrase", "rank", "chain", "km", "r9", "r10"):
         spark.stop()
         return 0
     if only in (None, "dedup"):
