@@ -967,7 +967,7 @@ def measure_editdist_verify(spark: SparkSession, sf_dir: str, reps: int) -> dict
         t0 = time.time()
         out = q_dedup_editdist_verify(spark, d)
         n_pairs = out.count()
-        n_verified = out.filter(F.col("verified")).count()
+        n_verified = out.filter(F.col("verified") == 1).count()
         wall = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -1025,7 +1025,7 @@ def measure_spearman(spark: SparkSession, sf_dir: str, reps: int) -> dict:
         "reps": reps,
         "n_docs": n,
         "distinct_x": nx,
-        "rho": float(row["rho"]),
+        "rho": float(row["spearman_rho"]),
         "wall_sec": wall,
     }
 
