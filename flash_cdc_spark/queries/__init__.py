@@ -31,6 +31,18 @@ def query(name: str, oracle: str | None = None, defer: bool = False):
     (the driver skips the value compare for it — see ``defer``)."""
 
     def deco(fn):
+        # A duplicate name would SILENTLY shadow the earlier query (dict
+        # overwrite) — the later-imported module would win and the
+        # earlier query would vanish from the registry while its ledger
+        # row lived on (this actually happened in r10: two new
+        # registrations reused r4-era names and replaced those queries
+        # unnoticed until a registry-vs-ledger reconciliation). Fail at
+        # import time instead.
+        if name in QUERIES or any(name == n for n, _, _ in _DEFERRED):
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {QUERIES.get(name)})"
+            )
         if defer:
             _DEFERRED.append((name, fn, oracle))
         else:

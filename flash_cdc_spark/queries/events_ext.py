@@ -552,51 +552,6 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_events_markov_transitions",
-    oracle="""
-    WITH seq AS (
-        SELECT user_id, event_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS next_type
-        FROM events
-    )
-    SELECT event_type AS from_type, next_type AS to_type,
-           CAST(count(*) AS BIGINT) AS n,
-           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY event_type)
-                                 AS DOUBLE), 6) AS p
-    FROM seq WHERE next_type IS NOT NULL
-    GROUP BY event_type, next_type
-    """,
-)
-def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order behavioral Markov matrix: per-user event-type
-    transition counts (lead over the user's time-ordered stream) and
-    row-normalized transition probabilities — the session-modeling /
-    next-event-prediction feature every product-analytics stack derives
-    from an events table.
-
-    Scale shape: ONE shuffle on user_id for the lead window (per-user
-    streams are human-bounded), then the aggregate lands on the tiny
-    (from, to) type grid; the normalizing window runs over that grid —
-    25 rows at any corpus scale."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).filter(F.col("to_type").isNotNull())
-    grid = Window.partitionBy("from_type")
-    return (
-        seq.groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "p",
-            F.round(F.col("n") / F.sum("n").over(grid).cast("double"), 6),
-        )
-    )
-
-
-@query(
     "q_streaming_latest_state",
     oracle="""
     SELECT user_id, event_type, event_id,

@@ -411,69 +411,3 @@ def q_train_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (n_hit > 0).cast("int").alias("is_contaminated"),
     )
-
-
-@query(
-    "q_train_sequence_packing",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, source,
-               len(string_split(text, ' ')) AS n_tokens,
-               md5(CAST(doc_id AS VARCHAR)) AS ord_key
-        FROM documents WHERE length(text) > 0
-    ),
-    packed AS (
-        SELECT source, doc_id, n_tokens,
-               CAST(floor(
-                   (sum(n_tokens) OVER w - n_tokens) / 2048.0
-               ) AS BIGINT) AS seq_id
-        FROM toks
-        WINDOW w AS (PARTITION BY source ORDER BY ord_key, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT source, seq_id,
-           CAST(count(*) AS BIGINT)      AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-    FROM packed GROUP BY source, seq_id
-    """,
-)
-def q_train_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing — the pre-training batching step that
-    concatenates shuffled documents into fixed-budget (2048-token)
-    training sequences: each doc is assigned the sequence in which it
-    STARTS under contiguous packing (running token count / budget, the
-    split-across-boundary scheme production packers use, not bin
-    packing — greedy first-fit is inherently sequential and packs no
-    tighter at corpus scale). Document order inside a pack unit is a
-    deterministic hash shuffle (md5 of doc_id — reproducible across
-    runs and engines, never rand()).
-
-    Scale shape: the running sum windows PARTITION BY source — packing
-    is embarrassingly parallel across pack units, no global sort; at
-    100 TB the unit would be (source, shard) with shards sized to keep
-    each window's rows in one task. One shuffle on source(+shard), one
-    on the (source, seq_id) rollup."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("ord_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.select(
-        "source",
-        "doc_id",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0)
-        .cast("bigint")
-        .alias("seq_id"),
-    )
-    return packed.groupBy("source", "seq_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-    )

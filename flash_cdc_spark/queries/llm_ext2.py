@@ -450,63 +450,6 @@ def q_train_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_text_zipf_slope",
-    oracle="""
-    WITH tok AS (
-        SELECT tok
-        FROM (
-            SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
-            FROM documents
-        ) WHERE tok <> ''
-    ),
-    freq AS (
-        SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok
-    ),
-    ranked AS (
-        SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rnk FROM freq
-    )
-    SELECT CAST(count(*) AS BIGINT)                          AS vocab_size,
-           round(regr_slope(ln(CAST(tf AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
-               AS zipf_slope,
-           round(regr_r2(ln(CAST(tf AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
-               AS zipf_r2
-    FROM ranked
-    """,
-)
-def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf's-law fit of the corpus token distribution: OLS slope of
-    log(frequency) on log(rank) (a natural corpus ~ −1) plus R² — the
-    standard sanity probe that a scraped corpus has natural-language
-    statistics rather than templated/boilerplate ones (which bend the
-    rank-frequency curve).
-
-    Scale shape: one shuffle builds the frequency table; the rank is
-    vocab-sized (not corpus-sized) and since r7 comes from the
-    two-phase `with_global_order` (no single-partition sort even for
-    the vocabulary — the allowlist entry this removed), and
-    regr_slope/regr_r2 are partial-aggregable JVM builtins, so the fit
-    itself is one map-side-combined pass."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("tok")
-        )
-        .filter(F.col("tok") != "")
-    )
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    ranked = with_global_order(
-        freq, [F.col("tf").desc(), F.col("tok").asc()], rank_col="rnk"
-    ).select("tf", "rnk")
-    lg_tf = F.log(F.col("tf").cast("double"))
-    lg_rk = F.log(F.col("rnk").cast("double"))
-    return ranked.agg(
-        F.count(F.lit(1)).alias("vocab_size"),
-        F.round(F.regr_slope(lg_tf, lg_rk), 6).alias("zipf_slope"),
-        F.round(F.regr_r2(lg_tf, lg_rk), 6).alias("zipf_r2"),
-    )
-
-
-@query(
     "q_train_dataset_card",
     oracle="""
     WITH tok AS (

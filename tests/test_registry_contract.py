@@ -155,3 +155,44 @@ def test_entry_module_contract():
     # returned dicts are copies — driver mutation can't corrupt the registry
     qs.pop(next(iter(qs)))
     assert len(e.queries()) == len(QUERIES)
+
+
+def test_duplicate_registration_raises():
+    """A reused query name must fail at import time, not silently
+    shadow the earlier query: in r10 two new registrations reused
+    r4-era names and the dict overwrite dropped those queries from the
+    registry while their ledger rows lived on. The guard makes the
+    registry source-of-truth loud."""
+    import pytest
+
+    from flash_cdc_spark.queries import query
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @query("q01_pricing_summary", oracle="SELECT 1")
+        def dup(spark, sf_dir):  # pragma: no cover - never registered
+            raise AssertionError
+
+
+def test_source_has_no_shadowed_registrations():
+    """Every @query("name", ...) site in the package registers a LIVE
+    query — no source file may contain a definition that a later import
+    silently replaced (three such dead defs were found and deleted in
+    r10; the import-time guard prevents new ones, this pins the scan)."""
+    import os
+    import re
+    from collections import Counter
+
+    import flash_cdc_spark.queries as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    names: Counter[str] = Counter()
+    for fname in sorted(os.listdir(root)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(root, fname)) as fh:
+            src = fh.read()
+        for m in re.finditer(r'@query\(\s*\n?\s*"(q[0-9a-z_]+)"', src):
+            names[m.group(1)] += 1
+    dups = {n: c for n, c in names.items() if c > 1}
+    assert not dups, f"shadowed @query registrations in source: {dups}"
