@@ -79,13 +79,15 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact df relation for a counting Bloom if the gram table dominates.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = (
-        d.select(
-            "doc_id",
-            "source",
-            F.explode(shingles_col(tokens_col("text"), n=5)).alias("g"),
-        )
-        .distinct()
+    # shingles_col already array_distincts per doc, so the exploded
+    # (doc_id, source, g) rows are globally distinct by construction —
+    # the r6 version's DataFrame .distinct() here was a full shuffle of
+    # the gram stream for nothing (guide §2.4: remove shuffles outright)
+    docs = d.select(
+        "doc_id", "source", shingles_col(tokens_col("text"), n=5).alias("sh")
+    )
+    grams = docs.select(
+        "doc_id", "source", F.explode("sh").alias("g")
     )
     uniq = (
         grams.groupBy("g")
@@ -97,8 +99,12 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc1")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    totals = grams.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    # per-doc gram count = the distinct-shingle array size — map-side,
+    # replacing the r6 groupBy over the exploded stream (guide §2.3:
+    # aggregate before you shuffle / don't shuffle what a row already
+    # knows). explode drops empty arrays, so filter size > 0 to match.
+    totals = docs.filter(F.size("sh") > 0).select(
+        "doc_id", "source", F.size("sh").cast("bigint").alias("n_grams")
     )
     per_doc = totals.join(
         uniq, totals["doc_id"] == uniq["doc1"], "left"

@@ -391,17 +391,35 @@ def q_train_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)),
         )
 
-    grams = docs.select(
+    # Gram hashes as a per-doc ARRAY (md5 inside the transform), so the
+    # per-doc dedup the r5 version did with a full-stream DataFrame
+    # .distinct() — one corpus-scale shuffle of (doc_id, bucket, gh)
+    # rows — happens map-side via array_distinct (guide §2.4).
+    ghs = docs.select(
         "doc_id",
         "bucket",
-        F.explode(
-            let_bound(F.col("ws"), _grams8)
-        ).alias("gram"),
+        F.transform(let_bound(F.col("ws"), _grams8), F.md5).alias("ghs"),
     )
-    g = grams.select("doc_id", "bucket", F.md5("gram").alias("gh")).distinct()
-    train_g = g.filter(F.col("bucket") < 90).select("gh").distinct()
-    ev = g.filter(F.col("bucket") >= 95).select("doc_id", "gh")
-    hits = ev.join(train_g.withColumn("hit", F.lit(1)), "gh", "left")
+    # EVAL side (the bounded benchmark slice): per-doc distinct grams.
+    ev = ghs.filter(F.col("bucket") >= 95).select(
+        "doc_id", F.explode(F.array_distinct("ghs")).alias("gh")
+    )
+    # TRAIN side, semi-join prefiltered (guide §3.2): the probe only
+    # needs train grams that occur in the eval slice, so the broadcast
+    # eval-gram set drops ~everything from the train stream BEFORE the
+    # distinct — the full train gram relation is never shuffled (the
+    # eval side of a contamination audit is the benchmark suite,
+    # bounded by construction at any corpus scale).
+    ev_keys = ev.select("gh").distinct()
+    train_g = (
+        ghs.filter(F.col("bucket") < 90)
+        .select(F.explode("ghs").alias("gh"))
+        .join(F.broadcast(ev_keys), "gh", "semi")
+        .distinct()
+    )
+    hits = ev.join(
+        F.broadcast(train_g.withColumn("hit", F.lit(1))), "gh", "left"
+    )
     n_hit = F.count("hit")
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams"),

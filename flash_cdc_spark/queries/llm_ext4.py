@@ -261,25 +261,33 @@ def q_train_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)),
         )
 
-    grams = docs.select(
-        "doc_id",
-        "bucket",
-        F.explode(
-            let_bound(F.col("ws"), _grams8)
-        ).alias("gram"),
-    ).distinct()
-    with_pos = grams.select(
-        "doc_id",
-        "bucket",
-        "gram",
-        F.explode(_bloom_positions_col(F.col("gram"))).alias("pos"),
-    )
+    # TRAIN side: the bit table only needs DISTINCT positions, which
+    # are invariant to gram multiplicity — so no per-doc gram dedup and
+    # no full-stream DataFrame .distinct() (the r5 version shuffled the
+    # whole (doc_id, bucket, gram) stream once just to dedup it, then
+    # again for the positions; guide §2.4). The only train-side shuffle
+    # left is the partial-aggregated distinct over ≤ 2^20 position ints.
     bits = (
-        with_pos.filter(F.col("bucket") < 90).select("pos").distinct()
+        docs.filter(F.col("bucket") < 90)
+        .select(F.explode(let_bound(F.col("ws"), _grams8)).alias("gram"))
+        .select(F.explode(_bloom_positions_col(F.col("gram"))).alias("pos"))
+        .distinct()
     )
-    ev = with_pos.filter(F.col("bucket") >= 95)
+    # EVAL side (the bounded slice): per-doc gram dedup happens
+    # map-side via array_distinct instead of the full-stream shuffle.
+    ev = docs.filter(F.col("bucket") >= 95).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(let_bound(F.col("ws"), _grams8))
+        ).alias("gram"),
+    )
     probe = (
-        ev.join(
+        ev.select(
+            "doc_id",
+            "gram",
+            F.explode(_bloom_positions_col(F.col("gram"))).alias("pos"),
+        )
+        .join(
             F.broadcast(bits.withColumn("set_bit", F.lit(1))), "pos", "left"
         )
         .groupBy("doc_id", "gram")

@@ -188,6 +188,40 @@ def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+    if cached is not None:
+        # r10 apply-path rewrite (guide §2.4/§4.1): with the trained
+        # weights memoized driver-side (4 floats), the margin is a
+        # row-local dot product over the standardized features — the
+        # melted 4-rows-per-doc explode, its localCheckpoint, the
+        # broadcast-weight join + groupBy(doc_id) shuffle and the
+        # final doc_id join all disappear; scoring is one projection
+        # over the scalar features. Value-identical: z_i keeps the
+        # same 9-dp rounding, m keeps the same 9-dp rounding over the
+        # same four z_i·w_i terms (the r6 sum's add order inside each
+        # 4-row group was already partial-agg-arbitrary), and p is the
+        # same expression.
+        wmap = dict(cached)
+        zi = {
+            i: F.round(
+                (F.col(f"x{i}") - F.col(f"mu{i}")) / F.col(f"s{i}"), 9
+            )
+            for i in (1, 2, 3)
+        }
+        m = F.round(
+            F.lit(wmap[0])
+            + zi[1] * F.lit(wmap[1])
+            + zi[2] * F.lit(wmap[2])
+            + zi[3] * F.lit(wmap[3]),
+            9,
+        )
+        return scalars.crossJoin(F.broadcast(stats)).select(
+            "doc_id",
+            "lang",
+            "y",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 9
+            ).alias("p"),
+        )
     melted = scalars.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         "y",
@@ -719,26 +753,23 @@ def q_text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram relation is the only big thing; both the profile build and
     the scoring join are linear, and the model stays tiny."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    tris = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array_distinct(
-                let_bound(
-                    F.lower("text"),
-                    lambda t: F.transform(
-                        F.sequence(F.lit(1), F.length(t) - 2),
-                        lambda i: t.substr(i, F.lit(3)),
-                    ),
-                )
-            )
-        ).alias("tri"),
+    tri_arr = F.array_distinct(
+        let_bound(
+            F.lower("text"),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: t.substr(i, F.lit(3)),
+            ),
+        )
     )
     # trained-model memo (the BPE-merge/IVF-center pattern): the
     # profile is #langs × K rows — metadata-sized — and training it
     # re-scans the full trigram stream; collect once per corpus so
     # repeat searches pay only the scoring pass
     if sf_dir not in _LANGID_PROFILE:
+        tris = d.select(
+            "doc_id", "lang", F.explode(tri_arr).alias("tri")
+        )
         wk = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tri")
         _LANGID_PROFILE[sf_dir] = [
             (r["cand"], r["tri"])
@@ -751,22 +782,42 @@ def q_text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()
             )
         ]
-    profile = spark.createDataFrame(
-        _LANGID_PROFILE[sf_dir], "cand string, tri string"
+    # Scoring is MAP-ONLY (r10, guide §2.4/§2.3): the trained profile
+    # is ≤ #langs × K literal trigrams, so each document's per-language
+    # overlap |doc tris ∩ profile_lang| is one array_intersect against
+    # a literal array — no trigram explode, no profile join, no
+    # (doc × lang) shuffle, no per-doc rank window. The argmax with the
+    # window's exact tie order (hits DESC, cand ASC) is the coalesce-
+    # over-langs-ascending fold: the FIRST lang (ascending) reaching
+    # the max wins. Docs with zero hits for every language were absent
+    # from the r6 join output — filter best >= 1 to match. The only
+    # shuffle left is the #langs²-bounded confusion aggregate.
+    by_lang: dict[str, list[str]] = {}
+    for cand, tri in _LANGID_PROFILE[sf_dir]:
+        by_lang.setdefault(cand, []).append(tri)
+    langs = sorted(by_lang)
+    hit_cols = [
+        F.size(
+            F.array_intersect(
+                F.col("_tris"), F.array(*[F.lit(t) for t in by_lang[lg]])
+            )
+        ).alias(f"_h{i}")
+        for i, lg in enumerate(langs)
+    ]
+    scored = d.select(F.col("lang").alias("true_lang"), tri_arr.alias("_tris")).select(
+        "true_lang", *hit_cols
     )
-    scores = (
-        tris.join(F.broadcast(profile), "tri")
-        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    hits = [F.col(f"_h{i}") for i in range(len(langs))]
+    best = hits[0] if len(hits) == 1 else F.greatest(*hits)
+    predicted = F.coalesce(
+        *[F.when(h == best, F.lit(lg)) for h, lg in zip(hits, langs)]
     )
-    wp = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "cand")
-    predicted = (
-        scores.withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") == 1)
-        .select("true_lang", F.col("cand").alias("predicted_lang"))
-    )
-    return predicted.groupBy("true_lang", "predicted_lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    return (
+        scored.withColumn("_best", best)
+        .filter(F.col("_best") >= 1)
+        .select("true_lang", predicted.alias("predicted_lang"))
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
 
 
@@ -840,42 +891,89 @@ def q_quality_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-cardinality² confusion aggregate."""
     e = load_table(spark, sf_dir, "embeddings")
     from flash_cdc_spark.operators import similarity as SIM
+    from flash_cdc_spark.operators.dedup import let_bound
 
     v = SIM.as_double_vec("embedding")
     vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
-    seeds = vecs.filter(F.col("vec_id") < _KNN_SEEDS).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("label").alias("seed_label"),
-        F.col("v").alias("sv"),
-        F.col("nrm").alias("snrm"),
+    # r10 rewrite (guide §2.4, §4.1): the seed set rides along as ONE
+    # broadcast row holding the 100 seed structs, so the k·n scoring,
+    # the top-k selection AND the majority vote are all row-local array
+    # expressions — the n×100 crossJoin blowup, the per-target rank
+    # window (a full shuffle of n×100 rows), the vote aggregate and the
+    # second window all disappear. The only shuffle left is the
+    # label²-bounded confusion aggregate. Values are unchanged: the
+    # comparator is exactly the window order (cosine DESC, seed_id ASC
+    # — total, since seed_id is unique), and the vote argmax sorts by
+    # (votes DESC, label ASC), the w_vote order.
+    seeds_arr = vecs.filter(F.col("vec_id") < _KNN_SEEDS).agg(
+        F.collect_list(
+            F.struct(
+                F.col("vec_id").alias("seed_id"),
+                F.col("label").alias("seed_label"),
+                F.col("v").alias("sv"),
+                F.col("nrm").alias("snrm"),
+            )
+        ).alias("seeds")
     )
     targets = vecs.filter(F.col("vec_id") >= _KNN_SEEDS)
-    sims = targets.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        F.col("label").alias("true_label"),
-        "seed_label",
-        "seed_id",
-        F.round(
-            SIM.dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("snrm")), 6
-        ).alias("cosine"),
+    t = targets.crossJoin(F.broadcast(seeds_arr))
+    sims = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct(
+            F.round(
+                SIM.dot(F.col("v"), s["sv"]) / (F.col("nrm") * s["snrm"]), 6
+            ).alias("cosine"),
+            s["seed_id"].alias("seed_id"),
+            s["seed_label"].alias("seed_label"),
+        ),
     )
-    w_nn = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "seed_id")
-    nn = sims.withColumn("rk", F.row_number().over(w_nn)).filter(
-        F.col("rk") <= _KNN_K
+    top_k = F.slice(
+        F.array_sort(
+            sims,
+            lambda l, r: (
+                F.when(l["cosine"] > r["cosine"], -1)
+                .when(l["cosine"] < r["cosine"], 1)
+                .when(l["seed_id"] < r["seed_id"], -1)
+                .when(l["seed_id"] > r["seed_id"], 1)
+                .otherwise(0)
+            ),
+        ),
+        1,
+        _KNN_K,
     )
-    votes = nn.groupBy("vec_id", "true_label", "seed_label").agg(
-        F.count(F.lit(1)).alias("n_votes")
+    # majority vote with (n_votes DESC, seed_label ASC) tie order: sort
+    # the k (−votes, label) pairs and take the first — no driver-known
+    # label domain needed. let_bound evaluates top_k once per row.
+    predicted = let_bound(
+        top_k,
+        lambda t5: F.element_at(
+            F.array_sort(
+                F.transform(
+                    t5,
+                    lambda x: F.struct(
+                        (
+                            -F.size(
+                                F.filter(
+                                    t5,
+                                    lambda y: y["seed_label"]
+                                    == x["seed_label"],
+                                )
+                            )
+                        ).alias("nv"),
+                        x["seed_label"].alias("seed_label"),
+                    ),
+                )
+            ),
+            1,
+        )["seed_label"],
     )
-    w_vote = Window.partitionBy("vec_id").orderBy(
-        F.col("n_votes").desc(), "seed_label"
-    )
-    predicted = (
-        votes.withColumn("vrk", F.row_number().over(w_vote))
-        .filter(F.col("vrk") == 1)
-        .select("true_label", F.col("seed_label").alias("predicted_label"))
-    )
-    return predicted.groupBy("true_label", "predicted_label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    return (
+        t.select(
+            F.col("label").alias("true_label"),
+            predicted.alias("predicted_label"),
+        )
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
     )
 
 

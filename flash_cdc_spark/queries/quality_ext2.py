@@ -142,9 +142,13 @@ def q_quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
     )
-    dw = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=False)
+    # The per-(doc, word) counts carry the TRUE source along (doc_id →
+    # source is functional, so the extra group key is free) — the r6
+    # version joined `documents` back on doc_id later just to recover
+    # it (guide §2.4: one less shuffle join).
+    dw = toks.groupBy(
+        "doc_id", F.col("source").alias("true_source"), "w"
+    ).agg(F.count(F.lit(1)).alias("c"))
     cached = _NB_STATE.get(sf_dir)
     if cached is None:
         vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cg")).filter(
@@ -194,40 +198,60 @@ def q_quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = (lik_rows, def_rows)
         _NB_STATE[sf_dir] = cached
     lik_rows, def_rows = cached
-    lik = spark.createDataFrame(lik_rows, "source string, w string, ll double")
-    defaults = spark.createDataFrame(
-        def_rows, "source string, d double, prior double"
+    # r10 apply-path rewrite (guide §2.4/§3.1): the trained likelihood
+    # table pivots to ONE broadcast row per vocab word holding the
+    # per-source ll vector (sources sorted — known driver-side from the
+    # memoized per-class defaults), so the whole scoring pass is the dw
+    # aggregate plus ONE more groupBy: per (doc, true_source) compute
+    # n_tok, the in-vocab mass, and the S known-mass sums in a single
+    # shuffle. The r6 plan's three separate doc-keyed aggregates
+    # (dstats/dvoc/known), the documents join, the defaults cross join,
+    # the two left joins and the per-doc argmax window all collapse
+    # into row-local arithmetic. Value-identical: the k sums aggregate
+    # the SAME c·ll product multiset (add order was already
+    # partial-agg-arbitrary), OOV words contribute exact +0.0 terms
+    # (ll < 0 strictly, so no signed-zero edge), and the argmax fold
+    # follows the window's exact (score DESC, source ASC) tie order.
+    defaults_by_source = {s: (dd, prior) for s, dd, prior in def_rows}
+    sources = sorted(defaults_by_source)
+    lls_by_word: dict[str, dict[str, float]] = {}
+    for s, w_, ll in lik_rows:
+        lls_by_word.setdefault(w_, {})[s] = ll
+    lik_wide = spark.createDataFrame(
+        [(w_, [m[s] for s in sources]) for w_, m in lls_by_word.items()],
+        "w string, lls array<double>",
     )
-    vocab = lik.select("w").distinct()
-    dstats = dw.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
-    dvoc = (
-        dw.join(F.broadcast(vocab), "w")
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_voc"))
+    joined = dw.join(F.broadcast(lik_wide), "w", "left")
+    per_doc = joined.groupBy("doc_id", "true_source").agg(
+        F.sum("c").alias("n_tok"),
+        F.coalesce(
+            F.sum(F.when(F.col("lls").isNotNull(), F.col("c"))), F.lit(0)
+        ).alias("n_voc"),
+        *[
+            F.sum(
+                F.col("c") * F.coalesce(F.col("lls")[i], F.lit(0.0))
+            ).alias(f"_k{i}")
+            for i in range(len(sources))
+        ],
     )
-    known = (
-        dw.join(F.broadcast(lik), "w")
-        .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("c") * F.col("ll")).alias("k"))
+    score_cols = [
+        F.round(
+            F.lit(defaults_by_source[s][1])
+            + F.col(f"_k{i}")
+            + (F.col("n_tok") - F.col("n_voc"))
+            * F.lit(defaults_by_source[s][0]),
+            6,
+        ).alias(f"_s{i}")
+        for i, s in enumerate(sources)
+    ]
+    scored = per_doc.select("doc_id", "true_source", *score_cols)
+    svals = [F.col(f"_s{i}") for i in range(len(sources))]
+    best = svals[0] if len(svals) == 1 else F.greatest(*svals)
+    predicted = F.coalesce(
+        *[F.when(sv == best, F.lit(s)) for sv, s in zip(svals, sources)]
     )
-    score = F.round(
-        F.col("prior")
-        + F.coalesce(F.col("k"), F.lit(0.0))
-        + (F.col("n_tok") - F.coalesce(F.col("n_voc"), F.lit(0)))
-        * F.col("d"),
-        6,
-    )
-    scoredocs = (
-        dstats.join(d.select("doc_id", F.col("source").alias("true_source")), "doc_id")
-        .crossJoin(F.broadcast(defaults))
-        .join(dvoc, "doc_id", "left")
-        .join(known, ["doc_id", "source"], "left")
-        .select("doc_id", "true_source", "source", score.alias("score"))
-    )
-    rk = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "source")
     return (
-        scoredocs.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") == 1)
+        scored.select("doc_id", "true_source", predicted.alias("source"))
         .groupBy("true_source", F.col("source").alias("predicted"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

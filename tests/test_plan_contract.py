@@ -175,10 +175,21 @@ def test_model_curation_plans_stay_broadcast(spark, sf_dir):
 
     # the detail section repeats node names as "(n) <Name>", which
     # must not double-count — match the tree form "<Name> (" only
+    from flash_cdc_spark.queries import quality_ext
+
+    # training path (memo cleared): the weight join must be broadcast
+    quality_ext._LOGREG_STATE.pop(sf_dir, None)
     lr = _plan(q_quality_logreg_score(spark, sf_dir))
     assert "BroadcastHashJoin" in lr
     # one stats cross-join (single-row) is the only permitted BNLJ
     assert lr.count("BroadcastNestedLoopJoin (") <= 1, lr
+    # memo path (r10): weights inline as literals — no weight join at
+    # all, no melt explode; the single-row stats cross-join remains
+    # (building the plan above already trained + memoized the weights)
+    lr2 = _plan(q_quality_logreg_score(spark, sf_dir))
+    assert "BroadcastHashJoin" not in lr2, lr2
+    assert "Generate" not in lr2, lr2
+    assert lr2.count("BroadcastNestedLoopJoin (") <= 1, lr2
 
     dsir = _plan(q_train_dsir_weights(spark, sf_dir))
     assert "BroadcastHashJoin" in dsir
