@@ -22,7 +22,7 @@ never reach the 6-dp output rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators.dedup import let_bound
@@ -782,30 +782,47 @@ def q_text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()
             )
         ]
-    # Scoring is MAP-ONLY (r10, guide §2.4/§2.3): the trained profile
-    # is ≤ #langs × K literal trigrams, so each document's per-language
-    # overlap |doc tris ∩ profile_lang| is one array_intersect against
-    # a literal array — no trigram explode, no profile join, no
-    # (doc × lang) shuffle, no per-doc rank window. The argmax with the
-    # window's exact tie order (hits DESC, cand ASC) is the coalesce-
-    # over-langs-ascending fold: the FIRST lang (ascending) reaching
-    # the max wins. Docs with zero hits for every language were absent
-    # from the r6 join output — filter best >= 1 to match. The only
-    # shuffle left is the #langs²-bounded confusion aggregate.
+    # Scoring is MAP-ONLY (r10, guide §2.4/§2.3) and HOF-free: a
+    # trigram is in a doc's DISTINCT-trigram array iff lower(text)
+    # CONTAINS it, so each per-language overlap |doc tris ∩
+    # profile_lang| is a sum of K `contains` terms over the profile's
+    # literal trigrams — no trigram-array build (the interpreted
+    # transform/array_distinct/array_intersect chain cost ~6 s at
+    # sf0.1), no explode, no profile join, no (doc × lang) shuffle;
+    # the whole scoring pass is one WholeStageCodegen span. The argmax
+    # with the r6 window's exact tie order (hits DESC, cand ASC) is
+    # the coalesce-over-langs-ascending fold: the FIRST lang
+    # (ascending) reaching the max wins. Docs with zero hits for every
+    # language were absent from the r6 join output — filter best >= 1
+    # to match. The `_mid` column is a pushdown barrier (guide §4.4's
+    # duplicate-evaluation fix, applied to built-ins): the zero-hit
+    # filter would otherwise be pushed below the hits projection and
+    # re-inline all #langs × K contains calls into the Filter node,
+    # evaluating the scoring twice per row. A nondeterministic
+    # expression in the projection stops the push; `_mid >= 0` is
+    # always true, so results are unchanged. The only shuffle left is
+    # the #langs²-bounded confusion aggregate.
     by_lang: dict[str, list[str]] = {}
     for cand, tri in _LANGID_PROFILE[sf_dir]:
         by_lang.setdefault(cand, []).append(tri)
     langs = sorted(by_lang)
-    hit_cols = [
-        F.size(
-            F.array_intersect(
-                F.col("_tris"), F.array(*[F.lit(t) for t in by_lang[lg]])
-            )
-        ).alias(f"_h{i}")
-        for i, lg in enumerate(langs)
-    ]
-    scored = d.select(F.col("lang").alias("true_lang"), tri_arr.alias("_tris")).select(
-        "true_lang", *hit_cols
+    base = d.select(F.col("lang").alias("true_lang"), F.lower("text").alias("_lt"))
+
+    def hits_for(lg: str) -> Column:
+        # one F.expr per language: building 100 Column objects per
+        # profile term costs ~1500 py4j round-trips (~6 s of driver
+        # time per construction); a single parsed SQL string is one.
+        def q(t: str) -> str:
+            return t.replace("\\", "\\\\").replace("'", "\\'")
+
+        return F.expr(
+            " + ".join(f"cast(contains(_lt, '{q(t)}') as int)" for t in by_lang[lg])
+        )
+
+    scored = base.select(
+        "true_lang",
+        *[hits_for(lg).alias(f"_h{i}") for i, lg in enumerate(langs)],
+        F.monotonically_increasing_id().alias("_mid"),
     )
     hits = [F.col(f"_h{i}") for i in range(len(langs))]
     best = hits[0] if len(hits) == 1 else F.greatest(*hits)
@@ -813,8 +830,7 @@ def q_text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.when(h == best, F.lit(lg)) for h, lg in zip(hits, langs)]
     )
     return (
-        scored.withColumn("_best", best)
-        .filter(F.col("_best") >= 1)
+        scored.filter((best >= 1) & (F.col("_mid") >= 0))
         .select("true_lang", predicted.alias("predicted_lang"))
         .groupBy("true_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

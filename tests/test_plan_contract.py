@@ -245,3 +245,25 @@ def test_zorder_layout_single_shuffle(spark, sf_dir):
     # "Exchange (n)" is the tree node; the detail section repeats the
     # name as "(n) Exchange", which must not double-count
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_langid_scoring_is_map_only_single_eval(spark, sf_dir):
+    """q_text_langid_profile's r10 scoring contract: per-language hits
+    are codegen `contains` sums evaluated ONCE per row — the zero-hit
+    filter must not be pushed below the hits projection (the barrier
+    column blocks it; a pushed filter would re-inline every contains
+    term into the Filter node and double the scoring work), and the
+    scoring pass has no explode, no join, and exactly one exchange
+    (the bounded confusion aggregate)."""
+    import re
+
+    import flash_cdc_spark.queries.quality_ext as qx
+
+    plan = _plan(QUERIES["q_text_langid_profile"](spark, sf_dir))
+    n_profile = len(qx._LANGID_PROFILE[sf_dir])
+    assert len(re.findall(r"[Cc]ontains\(", plan)) == n_profile
+    for line in plan.splitlines():
+        if line.startswith("Condition"):
+            assert "ontains(" not in line, line
+    assert "Generate" not in plan and "Join" not in plan
+    assert plan.count("Exchange (") == 1, plan
