@@ -8,14 +8,34 @@ standard large-graph CC formulation on Spark (what GraphFrames/GraphX
 run under the hood, expressed with joins so it needs no extra library).
 
 Scale notes:
-- per iteration: one join edges⋈labels + one groupBy — both shuffle on
-  node id; iterations ≈ graph diameter (near-dup graphs are unions of
-  small cliques → a handful of rounds);
+- per blocking round: TWO propagation steps (each = neighbor-min join +
+  pointer-jump self-join) share one lineage, one convergence check and
+  one ``localCheckpoint`` — the per-round cost on a contracted pair
+  graph is almost entirely scheduling/shuffle fixed cost, so halving
+  the blocking-action count halves the loop's wall clock (guide §2.4:
+  the shuffles per unit of label progress are unchanged; only the
+  job-boundary overhead drops);
+- round 1 needs no edges⋈labels join at all: labels start as the
+  identity, so the first neighbor-min is a plain ``groupBy(dst)
+  .min(src)`` over the edge list (and the separate distinct-nodes
+  relation the r3-r9 versions checkpointed is never built — every node
+  appears as a ``dst`` once both orientations are present);
 - ``localCheckpoint`` after each round truncates the lineage, keeping
   plan size constant over iterations (the classic iterative-Spark trap);
 - convergence is checked with a changed-count aggregate, not a fixed
   round count, so results are exact (required for the recursive-CTE
-  oracle to match).
+  oracle to match);
+- below ``driver_threshold`` edges the component labels are computed
+  with a driver-side union-find instead of the join loop — the same
+  size-gated local-vs-distributed decision Spark itself makes for
+  broadcast joins. A contracted near-dup rep graph is metadata-sized
+  long before the corpus is (sf0.1: 67k edges ≈ 1 MB), and five
+  blocking shuffle rounds over a 1 MB relation is pure fixed cost. The
+  collect is bounded by contract (≤ ``driver_threshold`` rows of two
+  longs; the threshold is checked with an aggregate on the already-
+  checkpointed edge list before anything is pulled), and above the
+  threshold the verified distributed loop runs unchanged — that is the
+  100 TB path.
 """
 
 from __future__ import annotations
@@ -25,16 +45,51 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components"]
 
+# ~8 MB of (long, long) rows — broadcast-scale, far below driver limits.
+DRIVER_CC_MAX_EDGES = 500_000
+
+
+def _driver_union_find(edge_rows: list, nodes: set) -> list[tuple[int, int]]:
+    """Exact min-label CC on the driver: union-find with path
+    compression, then label every component by its minimum member —
+    identical semantics to the distributed fixpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    roots = {n: find(n) for n in nodes}
+    for n, r in roots.items():
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return [(n, comp_min[roots[n]]) for n in nodes]
+
 
 def connected_components(
     edges: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 50,
+    assume_distinct_pairs: bool = False,
+    driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Return ``(node, cluster_id)`` where ``cluster_id`` is the minimum
     node id of the component. ``edges`` is undirected input (one row per
-    pair, either orientation)."""
+    pair, either orientation). With ``assume_distinct_pairs`` the caller
+    asserts the input is already distinct with ``src < dst`` per row (no
+    self-loops, no reversed duplicates) — both SimHash candidate
+    generators guarantee this — and the union-orientations distinct
+    (one full shuffle of the edge list) is skipped."""
     # NB (r3, measured): do NOT shrink shuffle partitions for the loop.
     # A/B at sf0.1 on local[32]: loop at 4 partitions = 6.7-12.6 s,
     # session default 32 = 5.4-5.7 s — on a many-core executor the
@@ -42,59 +97,83 @@ def connected_components(
     # already coalesces the genuinely tiny shuffles.
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    und = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    und = fwd.unionByName(rev)
+    if not assume_distinct_pairs:
+        und = und.distinct()
+    und = und.localCheckpoint(eager=True)
 
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    spark = edges.sparkSession
+    if driver_threshold > 0:
+        n_edges = und.count() // 2
+        if n_edges <= driver_threshold:
+            rows = und.collect()
+            nodes = {r[0] for r in rows} | {r[1] for r in rows}
+            edge_list = [(r[0], r[1]) for r in rows if r[0] != r[1]]
+            labeled = _driver_union_find(edge_list, nodes)
+            return spark.createDataFrame(labeled, "node bigint, cluster_id bigint")
 
-    for _ in range(max_iterations):
+    def step(lbls: DataFrame) -> DataFrame:
+        """One propagation step: adopt min neighbor label, then jump to
+        the adopted label's own label (chains halve — O(log diameter)
+        convergence). Extra columns (label0) pass through untouched."""
+        carry = [c for c in lbls.columns if c not in ("node", "label")]
         neighbor_min = (
-            und.join(labels, und.src == labels.node)
+            und.join(lbls.select("node", "label"), und.src == F.col("node"))
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nmin"))
         )
-        propagated = labels.join(
-            neighbor_min, labels.node == F.col("node2"), "left"
+        propagated = lbls.join(
+            neighbor_min, lbls.node == F.col("node2"), "left"
         ).select(
             "node",
-            F.col("label").alias("label0"),
+            *carry,
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                 "label"
             ),
         )
-        # pointer-jumping shortcut: also adopt my (new) label's label, so
-        # label chains halve every round — convergence in O(log diameter)
-        # rounds instead of O(diameter) (the per-round cost here is
-        # scheduling/shuffle overhead, so round COUNT is what matters)
         ptr = propagated.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        # fold the convergence test into the SAME pass as the label
-        # update (a _changed indicator summed from the checkpointed
-        # result) — a separate old-vs-new join would add a second
-        # shuffle + action per round. The sum rides the checkpoint job
-        # itself via observe(): metrics fire when the eager
-        # localCheckpoint materializes, so each round runs ONE blocking
-        # job, not checkpoint + a follow-up agg action (VERDICT r2
-        # minor #4; a fresh Observation per round — they're single-use).
+        return propagated.join(ptr, propagated.label == F.col("pnode"), "left").select(
+            "node",
+            *carry,
+            F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+
+    # Round 1, join-free first step: labels are the identity, so the
+    # first neighbor-min is min(src) per dst over the edge list itself,
+    # and the node relation IS neighbor_min's key set (both orientations
+    # are present, so every node occurs as a dst). A second full step
+    # rides the same blocking round; round 1 always changes a label on
+    # a non-empty self-loop-free edge set, so it needs no observation.
+    first = (
+        und.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("label"))
+    )
+    ptr1 = first.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+    jumped = first.join(ptr1, first.label == F.col("pnode"), "left").select(
+        "node",
+        F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias(
+            "label"
+        ),
+    )
+    labels = step(jumped).localCheckpoint(eager=True)
+
+    # Rounds 2+: two steps per blocking round; the convergence indicator
+    # compares against the round-start label (labels only decrease, so
+    # any change in either step shows up).
+    for _ in range(max(0, (max_iterations - 2 + 1) // 2)):
+        start = labels.select("node", "label", F.col("label").alias("label0"))
+        after = step(step(start))
         obs = Observation()
         new_labels = (
-            propagated.join(ptr, propagated.label == F.col("pnode"), "left")
-            .select(
+            after.select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias(
-                    "label"
-                ),
-                (
-                    F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label")))
-                    < F.col("label0")
-                )
-                .cast("int")
-                .alias("_changed"),
+                "label",
+                (F.col("label") < F.col("label0")).cast("int").alias("_changed"),
             )
             .observe(obs, F.sum("_changed").alias("changed"))
             .localCheckpoint(eager=True)

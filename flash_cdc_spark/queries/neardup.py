@@ -1448,7 +1448,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH,
     ).select("doc_a", "doc_b")
-    cc = connected_components(rep_pairs)
+    # candidate generators emit distinct src<dst pairs (operator contract)
+    cc = connected_components(rep_pairs, assume_distinct_pairs=True)
     labeled = grp.join(cc, grp.doc_id == cc.node, "left").select(
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         "n",
@@ -1702,7 +1703,8 @@ def q_dedup_clusters64(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         max_bucket_width=SIMHASH_MAX_BUCKET_WIDTH,
     ).select("doc_a", "doc_b")
-    cc = connected_components(rep_pairs)
+    # candidate generators emit distinct src<dst pairs (operator contract)
+    cc = connected_components(rep_pairs, assume_distinct_pairs=True)
     labeled = grp.join(cc, grp.doc_id == cc.node, "left").select(
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         "n",

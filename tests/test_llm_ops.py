@@ -173,27 +173,72 @@ def test_frame_sampling_counts(spark):
     assert per_doc[1] == [0, 64, 128, 192]
 
 
-def test_connected_components_basic(spark):
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_connected_components_basic(spark, driver_threshold):
     from flash_cdc_spark.operators.graph import connected_components
 
     # two components: {1,2,3,4} (chain+extra edge) and {10,11}; singleton 99 absent
+    # threshold 0 forces the distributed join loop; the default takes the
+    # size-gated driver union-find — results must be identical
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (1, 4), (10, 11)], "doc_a long, doc_b long"
     )
-    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, driver_threshold=driver_threshold).collect()
+    }
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_connected_components_long_chain_converges(spark):
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_connected_components_long_chain_converges(spark, driver_threshold):
     from flash_cdc_spark.operators.graph import connected_components
 
-    # a 12-node chain needs multiple propagation rounds
+    # a 25-node chain needs multiple double-step propagation rounds
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(25)], "doc_a long, doc_b long"
     )
-    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, driver_threshold=driver_threshold).collect()
+    }
     assert set(cc.values()) == {0}
-    assert len(cc) == 13
+    assert len(cc) == 26
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_connected_components_unordered_dup_and_self_loop_edges(spark, driver_threshold):
+    from flash_cdc_spark.operators.graph import connected_components
+
+    # generic-input contract (assume_distinct_pairs NOT set): reversed
+    # duplicates, repeated rows and self-loops must not break either path
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (5, 5), (7, 6)], "doc_a long, doc_b long"
+    )
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, driver_threshold=driver_threshold).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_connected_components_assume_distinct_matches_generic(spark):
+    from flash_cdc_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (4, 9)], "doc_a long, doc_b long"
+    )
+    generic = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    fast = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, driver_threshold=0, assume_distinct_pairs=True
+        ).collect()
+    }
+    assert generic == fast
 
 
 def test_multiprobe_recall_beats_single_probe(spark):
