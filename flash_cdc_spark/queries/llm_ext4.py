@@ -1019,7 +1019,12 @@ def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("doc").alias("doc_b"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    pairsim = a.join(b, "query_id").select(
+    # every join below is over bounded relations (#queries × pool rows
+    # at most) — broadcast them explicitly (guide §3.1): post-window
+    # relations carry no size stats, so the planner was picking
+    # SortMergeJoin for all of them (24 SMJ / 25 Exchange in the r10
+    # before-plan, pure fixed cost on tens of rows)
+    pairsim = a.join(F.broadcast(b), "query_id").select(
         "query_id",
         "doc_a",
         "doc_b",
@@ -1033,11 +1038,13 @@ def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1d = s1.select("query_id", F.col("doc").alias("s1_doc"))
     m2 = (
-        cand.join(s1d, "query_id")
+        cand.join(F.broadcast(s1d), "query_id")
         .filter(F.col("doc") != F.col("s1_doc"))
         .join(
-            pairsim.withColumnRenamed("doc_a", "doc").withColumnRenamed(
-                "doc_b", "s1_doc"
+            F.broadcast(
+                pairsim.withColumnRenamed("doc_a", "doc").withColumnRenamed(
+                    "doc_b", "s1_doc"
+                )
             ),
             ["query_id", "doc", "s1_doc"],
         )
@@ -1063,11 +1070,11 @@ def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("s2_doc"), F.col("dcos").alias("d2"),
     )
     m3 = (
-        cand.join(s1d, "query_id")
-        .join(s2d, "query_id")
+        cand.join(F.broadcast(s1d), "query_id")
+        .join(F.broadcast(s2d), "query_id")
         .filter((F.col("doc") != F.col("s1_doc")) & (F.col("doc") != F.col("s2_doc")))
-        .join(p1, ["query_id", "doc", "s1_doc"])
-        .join(p2, ["query_id", "doc", "s2_doc"])
+        .join(F.broadcast(p1), ["query_id", "doc", "s1_doc"])
+        .join(F.broadcast(p2), ["query_id", "doc", "s2_doc"])
         .select(
             "query_id",
             "doc",
