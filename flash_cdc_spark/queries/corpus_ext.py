@@ -67,55 +67,51 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same gram machinery, different question).
 
     Scale: distinct grams per doc are length-bounded; document
-    frequency is one partial-aggregatable groupBy on the gram key (the
-    only fact-sized shuffle). A gram with document frequency 1 belongs
-    to exactly ONE doc, so the unique-gram count attributes through
-    the df aggregate itself (min(doc_id) of a 1-doc gram IS the doc) —
-    no gram-keyed join of the full gram relation back onto the df
-    table (the r8 rewrite dropped that corpus-scale shuffle join; the
-    join that remains is per-DOC sized). A doc's novelty is exact int
-    ratios rounded to 9 dp before the source average. At 100 TB this
-    is the same shape as the Bloom contamination audit — swap the
-    exact df relation for a counting Bloom if the gram table dominates.
+    frequency is a count window over the gram key (one fact-sized
+    shuffle, arbitrarily many gram groups — never single-partition),
+    and the per-doc gram total rides each gram row so the unique-gram
+    share re-aggregates by doc without joining the gram relation back
+    onto a df table. A doc's novelty is exact int ratios rounded to
+    9 dp before the source average. At 100 TB this is the same shape
+    as the Bloom contamination audit — swap the exact df window for a
+    counting Bloom if the gram table dominates.
     """
     d = load_table(spark, sf_dir, "documents")
     # shingles_col already array_distincts per doc, so the exploded
-    # (doc_id, source, g) rows are globally distinct by construction —
-    # the r6 version's DataFrame .distinct() here was a full shuffle of
-    # the gram stream for nothing (guide §2.4: remove shuffles outright)
-    docs = d.select(
+    # (doc_id, source, g) rows are globally distinct by construction.
+    # The shingling itself (tokenize + slide + array_distinct over the
+    # full text) is the expensive per-row work, so it must appear in
+    # exactly ONE subtree: a separate map-side totals relation would
+    # recompute it for every doc (Spark reuses exchanges, not
+    # projections), which is precisely what made the first cut of this
+    # rewrite SLOWER than the r6 explode+distinct it replaced. Instead
+    # the per-doc gram count rides every gram row and document
+    # frequency comes from a count window over the gram key — one
+    # shuffle, no join, every doc retained (a doc with zero unique
+    # grams still aggregates, as sum of an empty indicator set).
+    g = d.select(
         "doc_id", "source", shingles_col(tokens_col("text"), n=5).alias("sh")
-    )
-    grams = docs.select(
-        "doc_id", "source", F.explode("sh").alias("g")
-    )
-    uniq = (
-        grams.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).alias("docs_with"),
-            F.min("doc_id").alias("doc1"),
-        )
-        .filter(F.col("docs_with") == 1)
-        .groupBy("doc1")
-        .agg(F.count(F.lit(1)).alias("n_unique"))
-    )
-    # per-doc gram count = the distinct-shingle array size — map-side,
-    # replacing the r6 groupBy over the exploded stream (guide §2.3:
-    # aggregate before you shuffle / don't shuffle what a row already
-    # knows). explode drops empty arrays, so filter size > 0 to match.
-    totals = docs.filter(F.size("sh") > 0).select(
-        "doc_id", "source", F.size("sh").cast("bigint").alias("n_grams")
-    )
-    per_doc = totals.join(
-        uniq, totals["doc_id"] == uniq["doc1"], "left"
-    ).select(
+    ).filter(F.size("sh") > 0).select(
         "doc_id",
         "source",
-        F.round(
-            F.coalesce(F.col("n_unique"), F.lit(0)).cast("bigint")
-            / F.col("n_grams").cast("double"),
-            9,
-        ).alias("novelty"),
+        F.size("sh").cast("bigint").alias("n_grams"),
+        F.explode("sh").alias("g"),
+    )
+    per_doc = (
+        g.withColumn(
+            "docs_with", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .groupBy("doc_id", "source", "n_grams")
+        .agg(
+            F.sum((F.col("docs_with") == 1).cast("bigint")).alias("n_unique")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.col("n_unique") / F.col("n_grams").cast("double"), 9
+            ).alias("novelty"),
+        )
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
