@@ -67,18 +67,44 @@ def _train_sample(vecs: DataFrame, id_col: str) -> DataFrame:
     return vecs.filter(bucket == 0)
 
 
-def _d2(v_col: Column, center: list[float]) -> Column:
-    """Squared L2 distance to a driver-side center, rounded 9 dp:
-    JVM-side zip_with/aggregate — no UDF, no join."""
-    w = F.array(*[F.lit(float(x)) for x in center])
-    sq = F.zip_with(v_col, w, lambda x, c: (x - c) * (x - c))
-    return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 9)
+def _d2_sql(v: str, center: list[float], offset: int | None = None) -> str:
+    """Squared L2 distance to a driver-side center as ONE SQL string:
+    the same zip_with/aggregate fold the Column path builds (IEEE-
+    identical values, same execution profile), but parsed in a single
+    F.expr instead of k x dim F.lit py4j round-trips (~0.5 s of driver
+    time per cells_ranked call). ``offset`` addresses a PQ subspace via
+    slice(), exactly as the Column path did."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in center) + ")"
+    # offset=None: the vector IS the full center dimension (IVF) — no
+    # slice. Any integer offset (INCLUDING 0) addresses a PQ subspace,
+    # where the slice is load-bearing: zip_with pads the shorter side
+    # with NULLs, so folding a 64-dim vector against a 16-dim center
+    # yields NULL distances (caught by the PQ oracle compare when the
+    # first cut skipped the slice at offset 0).
+    sub = v if offset is None else f"slice({v}, {offset + 1}, {len(center)})"
+    return (
+        f"round(aggregate(zip_with({sub}, {arr}, "
+        "(x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x), 9)"
+    )
 
 
-def cells_ranked(v_col: Column, centers: list[tuple[int, list[float]]]) -> Column:
+def cells_ranked(
+    v_col: Column | str,
+    centers: list[tuple[int, list[float]]],
+    offset: int | None = None,
+) -> Column:
     """Array of (d2, cell) structs sorted ascending — element 1 is the
     assigned cell, elements 1..nprobe the probe cells (struct ordering =
-    d2 then cell id, the same tie-break the oracle's row_number uses)."""
+    d2 then cell id, the same tie-break the oracle's row_number uses).
+    Pass the vector column by NAME for the single-parse text path;
+    Column input keeps the Column-built HOF form."""
+    if isinstance(v_col, str):
+        structs = ", ".join(
+            f"named_struct('d2', {_d2_sql(v_col, c, offset)}, "
+            f"'cell', CAST({int(cid)} AS INT))"
+            for cid, c in centers
+        )
+        return F.expr(f"array_sort(array({structs}))")
     structs = F.array(
         *[
             F.struct(_d2(v_col, c).alias("d2"), F.lit(cid).cast("int").alias("cell"))
@@ -86,6 +112,13 @@ def cells_ranked(v_col: Column, centers: list[tuple[int, list[float]]]) -> Colum
         ]
     )
     return F.array_sort(structs)
+
+
+def _d2(v_col: Column, center: list[float]) -> Column:
+    """HOF fallback for Column-expression inputs (same math/order)."""
+    w = F.array(*[F.lit(float(x)) for x in center])
+    sq = F.zip_with(v_col, w, lambda x, c: (x - c) * (x - c))
+    return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 9)
 
 
 def train_kmeans(
@@ -115,7 +148,7 @@ def train_kmeans(
         # projection as the struct-field access makes Spark rename the
         # struct fields to col1/col2 before resolution
         assigned = sample.select(
-            F.element_at(cells_ranked(F.col(v_col), centers), 1)["cell"].alias("cell"),
+            F.element_at(cells_ranked(v_col, centers), 1)["cell"].alias("cell"),
             F.col(v_col),
         ).select("cell", F.posexplode(v_col).alias("d", "x"))
         rows = (
@@ -166,7 +199,7 @@ def assigned_corpus(
         (
             vecs.select("vec_id", "v", "nrm")
             .withColumn(
-                "cell", F.element_at(cells_ranked(F.col("v"), centers), 1)["cell"]
+                "cell", F.element_at(cells_ranked("v", centers), 1)["cell"]
             )
             .write.partitionBy("cell")
             .mode("overwrite")

@@ -94,7 +94,7 @@ def encode(
             F.struct(
                 F.lit(i).alias("m"),
                 F.element_at(
-                    IVF.cells_ranked(_sub(v_col, i, sub_dim), book), 1
+                    IVF.cells_ranked(v_col, book, offset=i * sub_dim), 1
                 )["cell"].alias("code"),
             )
             for i, book in enumerate(books)

@@ -62,16 +62,85 @@ def planes_sql_values() -> str:
     return "(VALUES " + ",".join(rows) + ") AS planes(p, d, w)"
 
 
+# --- expression-TEXT builders (r10) -------------------------------------
+# The Column-API forms of these ops were the round's worst driver cost:
+# per-element py4j Column construction (lsh_bucket alone built 8x64
+# F.lit columns ~= 0.3-0.5 s of construction per call). Each builder
+# here emits the SAME expression the Column API built - higher-order
+# zip_with/aggregate folds over literal arrays - as ONE SQL string
+# parsed by a single F.expr call: identical runtime expression tree
+# (bit-identical results, same interpreted-HOF execution profile),
+# ~zero py4j chatter to build. An UNROLLED per-element variant was
+# measured first and rejected: it constructed fast but the 1000+-node
+# expression trees fell out of efficient evaluation and ran 3-10x
+# slower per row than the HOF fold.
+
+
+def _arr_sql(values: list[float]) -> str:
+    return "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+
+
+def vec_sql(emb: str = "embedding") -> str:
+    """``array<double>`` projection of a raw embedding column as SQL
+    (same transform() the Column path builds)."""
+    return f"transform({emb}, x -> CAST(x AS DOUBLE))"
+
+
+def _vref(v: str, cast: bool) -> str:
+    return vec_sql(v) if cast else v
+
+
+def dot_sql(
+    a: str, b: str, cast_a: bool = False, cast_b: bool = False
+) -> str:
+    return (
+        f"aggregate(zip_with({_vref(a, cast_a)}, {_vref(b, cast_b)}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def plane_dot_sql(v: str, p: int, cast: bool = False) -> str:
+    """dot(v, plane_p) with the plane weights inlined as double literals
+    (repr round-trips the exact float64, same bits F.lit would ship)."""
+    return (
+        f"aggregate(zip_with({_vref(v, cast)}, {_arr_sql(PLANES[p])}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(v: str, cast: bool = False) -> str:
+    return "sqrt(" + dot_sql(v, v, cast, cast) + ")"
+
+
+def bucket_sql(v: str, cast: bool = False) -> str:
+    """P-bit sign-LSH signature as one SQL expression (bigint)."""
+    terms = [
+        f"(CASE WHEN ({plane_dot_sql(v, p, cast)}) >= 0 "
+        f"THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(N_PLANES)
+    ]
+    return "CAST(0 AS BIGINT) + " + " + ".join(terms)
+
+
 def as_double_vec(c: Column | str = "embedding") -> Column:
-    col = F.col(c) if isinstance(c, str) else c
-    return F.transform(col, lambda x: x.cast("double"))
+    if isinstance(c, str):
+        return F.expr(vec_sql(c))
+    return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(
+    a: Column | str, b: Column | str, cast_a: bool = False, cast_b: bool = False
+) -> Column:
+    """Dot product. Named columns take the single-parse text path;
+    Column expressions keep the Column-built HOF form."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b, cast_a=cast_a, cast_b=cast_b))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
-def l2_norm(v: Column) -> Column:
+def l2_norm(v: Column | str, cast: bool = False) -> Column:
+    if isinstance(v, str):
+        return F.expr(norm_sql(v, cast=cast))
     return F.sqrt(dot(v, v))
 
 
@@ -79,9 +148,11 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot(a, b) / (norm_a * norm_b)
 
 
-def lsh_bucket(v: Column) -> Column:
+def lsh_bucket(v: Column | str, cast: bool = False) -> Column:
     """P-bit sign-LSH signature as an integer bucket id: bit p set iff
     dot(v, plane_p) >= 0."""
+    if isinstance(v, str):
+        return F.expr(bucket_sql(v, cast=cast))
     out = F.lit(0).cast("bigint")
     for p in range(N_PLANES):
         plane = F.array(*[F.lit(w) for w in PLANES[p]])
@@ -92,8 +163,11 @@ def lsh_bucket(v: Column) -> Column:
 
 
 def _with_vec(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
-    v = as_double_vec(emb_col)
-    return df.select(F.col(id_col), v.alias("v"), l2_norm(v).alias("nrm"))
+    return df.select(
+        F.col(id_col),
+        F.expr(vec_sql(emb_col)).alias("v"),
+        F.expr(norm_sql(emb_col, cast=True)).alias("nrm"),
+    )
 
 
 def brute_force_topk(
@@ -111,7 +185,7 @@ def brute_force_topk(
     pairs = c.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        F.round(dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -131,10 +205,10 @@ def lsh_topk(
     """ANN top-k restricted to same-LSH-bucket candidates: one shuffle on
     the bucket id instead of a full cross product. (Probing adjacent
     buckets would raise recall; this is the single-probe variant.)"""
-    c = _with_vec(corpus, id_col, emb_col).withColumn("bucket", lsh_bucket(F.col("v")))
+    c = _with_vec(corpus, id_col, emb_col).withColumn("bucket", lsh_bucket("v"))
     q = (
         _with_vec(probes, id_col, emb_col)
-        .withColumn("bucket", lsh_bucket(F.col("v")))
+        .withColumn("bucket", lsh_bucket("v"))
         .select(
             F.col(id_col).alias("query_id"),
             F.col("v").alias("qv"),
@@ -147,7 +221,7 @@ def lsh_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        F.round(dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
         "bucket",
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -350,7 +350,9 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-reduction drift cannot flip the reported neighbor."""
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    vecs = e.select(
+        "vec_id", v.alias("v"), SIM.l2_norm("embedding", cast=True).alias("nrm")
+    )
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
     corpus = IVF.assigned_corpus(vecs, centers, cache_key=sf_dir)
 
@@ -369,7 +371,7 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cell",
         F.round(
-            SIM.dot(F.col("v"), F.col("b_v")) / (F.col("nrm") * F.col("b_nrm")), 6
+            SIM.dot("v", "b_v") / (F.col("nrm") * F.col("b_nrm")), 6
         ).alias("cos"),
     )
     return (

@@ -220,7 +220,9 @@ def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path differs — pruned scan vs full scan."""
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    vecs = e.select(
+        "vec_id", v.alias("v"), SIM.l2_norm("embedding", cast=True).alias("nrm")
+    )
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
     # the shared memoized layout (operators/ivf.py) — the same index
     # the topk/multiprobe queries read
@@ -247,7 +249,7 @@ def q_sim_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").cast("int").alias("cell"),
         F.round(
-            SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            SIM.dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -614,7 +614,7 @@ def q_sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = all_vecs.filter(F.col("vec_id") % 10 != 7)
     delta = all_vecs.filter(F.col("vec_id") % 10 == 7)
     centers = IVF.train_kmeans(base, cache_key=f"{sf_dir}#ivf-base")
-    cell_of = F.element_at(IVF.cells_ranked(F.col("v"), centers), 1)["cell"]
+    cell_of = F.element_at(IVF.cells_ranked("v", centers), 1)["cell"]
     assigned = base.select(cell_of.alias("cell"), F.lit(0).alias("is_delta")).unionAll(
         delta.select(cell_of.alias("cell"), F.lit(1).alias("is_delta"))
     )
@@ -986,7 +986,9 @@ def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    vecs = e.select(
+        "vec_id", v.alias("v"), SIM.l2_norm("embedding", cast=True).alias("nrm")
+    )
     probes = vecs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1000,7 +1002,7 @@ def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             "nrm",
             F.round(
-                SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+                SIM.dot("qv", "v") / (F.col("qn") * F.col("nrm")),
                 6,
             ).alias("qcos"),
         )
@@ -1029,7 +1031,7 @@ def q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         F.round(
-            SIM.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            SIM.dot("va", "vb") / (F.col("na") * F.col("nb")), 6
         ).alias("dcos"),
     )
     lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)

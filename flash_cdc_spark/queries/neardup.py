@@ -379,8 +379,9 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket histogram over all embeddings (8 deterministic
     hyperplanes → 256 buckets). Checks the whole signature pipeline."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = SIM.as_double_vec("embedding")
-    bucketed = e.select("vec_id", SIM.lsh_bucket(v).alias("bucket"))
+    bucketed = e.select(
+        "vec_id", SIM.lsh_bucket("embedding", cast=True).alias("bucket")
+    )
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
@@ -441,11 +442,11 @@ def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
     vecs = e.select(
-        "vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm")
-    ).withColumn("bucket", SIM.lsh_bucket(F.col("v")))
+        "vec_id", v.alias("v"), SIM.l2_norm("embedding", cast=True).alias("nrm")
+    ).withColumn("bucket", SIM.lsh_bucket("v"))
     a, b = vecs.alias("a"), vecs.alias("b")
     cos = F.round(
-        SIM.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        SIM.dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -1147,7 +1148,12 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-reduction order can't flip an argmin (VERDICT r2 #3)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    vecs = e.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        SIM.l2_norm("embedding", cast=True).alias("nrm"),
+    )
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
     # read the assignment from the memoized cell-partitioned layout
     # (offline index build) instead of re-evaluating k distance
@@ -1166,7 +1172,7 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").cast("int").alias("cell"),
-        F.round(SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        F.round(SIM.dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -1313,7 +1319,9 @@ def q_sim_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared sample/seed CTEs are emitted once)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vecs = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    vecs = e.select(
+        "vec_id", v.alias("v"), SIM.l2_norm("embedding", cast=True).alias("nrm")
+    )
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
     corpus = IVF.assigned_corpus(vecs, centers, cache_key=sf_dir)
     books = PQ.train_codebooks(vecs, dim=SIM.DIM, cache_key=sf_dir)
@@ -1496,8 +1504,13 @@ def q_sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Still one shuffle on the bucket id."""
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
-    bucketed = vecs.withColumn("bucket", SIM.lsh_bucket(F.col("v")))
+    vecs = e.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        SIM.l2_norm("embedding", cast=True).alias("nrm"),
+    )
+    bucketed = vecs.withColumn("bucket", SIM.lsh_bucket("v"))
     masks = [0] + [2**p for p in range(SIM.N_PLANES)]
     probes = (
         bucketed.filter(F.col("vec_id") < 10)
@@ -1520,7 +1533,7 @@ def q_sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+                SIM.dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6
             ).alias("cosine"),
         )
         .distinct()
@@ -1577,13 +1590,18 @@ def q_sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-probe (candidate superset)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vecs = e.select("vec_id", "label", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    vecs = e.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        SIM.l2_norm("embedding", cast=True).alias("nrm"),
+    )
     centers = IVF.train_kmeans(vecs, cache_key=sf_dir)
     # corpus assignment from the memoized layout; the ranked-cells
     # expression is evaluated only on the 10 probe rows (nprobe fan-out
     # is a probe-side cost, never a corpus-side one)
     corpus = IVF.assigned_corpus(vecs, centers, cache_key=sf_dir)
-    ranked_cells = IVF.cells_ranked(F.col("v"), centers)
+    ranked_cells = IVF.cells_ranked("v", centers)
     probes = (
         vecs.filter(F.col("vec_id") < 10)
         .select(
@@ -1601,7 +1619,7 @@ def q_sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(SIM.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+        F.round(SIM.dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6).alias(
             "cosine"
         ),
     )

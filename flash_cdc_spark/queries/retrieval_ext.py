@@ -208,7 +208,9 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double_vec("embedding")
-    vec = e.select("vec_id", v.alias("v"), SIM.l2_norm(v).alias("nrm"))
+    vec = e.select(
+        "vec_id", v.alias("v"), SIM.l2_norm("embedding", cast=True).alias("nrm")
+    )
     probe = vec.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("pv"), F.col("nrm").alias("pn")
     )
@@ -218,7 +220,7 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(
-                SIM.dot(F.col("v"), F.col("pv")) / (F.col("nrm") * F.col("pn")), 6
+                SIM.dot("v", "pv") / (F.col("nrm") * F.col("pn")), 6
             ).alias("cosine"),
         )
     )

@@ -43,9 +43,21 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
     already sufficient, so it never inserts a shuffle at scale."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # The partition-count probe (df.rdd) plans the scan subtree on the
+    # driver — ~0.1 s per call. The decision is a pure function of the
+    # (immutable) input DataFrame and the target, so memoize it on the
+    # DataFrame object itself: combined with load_table's per-session
+    # plan memo this makes repeated constructions of the same query
+    # pay the probe once per process instead of once per call.
+    memo = getattr(df, "_flash_minpar", None)
+    if memo is not None and memo[0] == target:
+        return memo[1]
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    try:
+        df._flash_minpar = (target, out)
+    except AttributeError:
+        pass
+    return out
 
 
 @contextmanager
@@ -130,6 +142,16 @@ def get_spark(
         # --- Scan parallelism: default 128MB split is right for the 100 TB
         #     target; local parquet files are far smaller anyway ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- Driver-side plan-construction cost ---
+        # PySpark 4 wraps EVERY DataFrame/Column op to capture the Python
+        # call site for error context: one conf.get round-trip, a Python
+        # inspect-stack walk, and a JVM set/clear per operation (~2.6 ms
+        # measured on this box vs ~0.5 ms with it off — a 5× tax on plan
+        # construction, which the r10 audit measured at over HALF the
+        # batch-bench wall time across 111 queries). Error messages lose
+        # only the Python line annotation; plans and results are
+        # unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # --- Quiet + deterministic local runs ---
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.session.timeZone", "UTC")
