@@ -1096,16 +1096,29 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-20 ranks that bounded relation. All-integer output."""
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    basket = (
+    # r10 (guide §2.4): the r5 shape shuffled the fact stream twice —
+    # a (okey, brand) distinct, then a self-join reshuffle on okey. One
+    # collect_set groupBy (partial-aggregable) replaces both, and the
+    # ≤-basket-sized pair expansion happens array-side on the sorted
+    # set (a < b by construction), feeding straight into the
+    # brand²-bounded support census. Same pairs, same counts.
+    basket_sets = (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
     )
-    b = basket.select(F.col("okey"), F.col("brand").alias("brand_b"))
     pairs = (
-        basket.withColumnRenamed("brand", "brand_a")
-        .join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        basket_sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.brand_a", "pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
