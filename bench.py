@@ -79,17 +79,37 @@ ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 # one and a fixed 0.22 s gate would never see "quiet" — the wait loop
 # would stall the whole run (the driver benches at a lower core count
 # to measure scaling). The effective limit is therefore
-# max(CALIB_IDLE, 1.7 × min calibration sample seen this run): the
-# running minimum IS the process's observed idle floor at whatever
-# parallelism it runs, any quiet moment tightens it, and on a
-# 32-core idle host it reduces to the 0.22 constant.
+# max(CALIB_IDLE, 1.7 × calibration floor).
+#
+# r11 (ADVICE r10): the floor is SEEDED from a dedicated multi-sample
+# idle calibration at startup (median of 3 back-to-back samples, taken
+# before any query runs) instead of starting at +inf, and every later
+# sample is compared against the PRE-sample floor — the sample under
+# test no longer participates in the limit it is checked against, so
+# the gate cannot degenerate to 'within 1.7x of itself' under
+# sustained whole-run contention. Later quiet moments may still
+# tighten the floor (min), but never below half the startup seed, so
+# one anomalously fast sample cannot permanently over-tighten the
+# gate.
 CALIB_IDLE = float(os.environ.get("SPARK_GRAFT_CALIB_IDLE", "0.22"))
 _calib_floor = float("inf")
+_calib_seed = float("inf")
+
+
+def _seed_calib_floor(samples: list[float]) -> None:
+    global _calib_floor, _calib_seed
+    _calib_seed = statistics.median(samples)
+    _calib_floor = _calib_seed
 
 
 def _note_calib(sample: float) -> float:
+    """Fold an already-COMPARED sample into the floor (never below half
+    the startup seed — see the gate note above)."""
     global _calib_floor
-    _calib_floor = min(_calib_floor, sample)
+    if _calib_seed != float("inf"):
+        _calib_floor = max(min(_calib_floor, sample), 0.5 * _calib_seed)
+    else:
+        _calib_floor = min(_calib_floor, sample)
     return sample
 
 
@@ -111,6 +131,32 @@ STREAMING_QUERIES = {
     "q_streaming_latest_state",
     "q_streaming_dlq_delivery",
 }
+
+# Fixed per-query subset echoed in a COMPACT line right before the
+# headline (r11, VERDICT r10 #2): the driver's ~2000-char tail capture
+# truncated the full per-query stderr dict every round since r9, so its
+# round-over-round and 8-vs-32-core per-query comparisons parsed
+# nothing. This subset is FIXED (so any two runs share its keys), data-
+# heavy (the queries whose scaling behaviour matters), and small enough
+# that the line always survives the tail. The full map still goes to
+# stderr + BENCH_LOCAL.json.
+TAIL_PQ = [
+    "q01_pricing_summary",
+    "q13_customer_distribution",
+    "q_events_sessionize",
+    "q_text_tfidf_top_terms",
+    "q_dedup_prefix_jaccard_join",
+    "q_dedup_containment_pairs",
+    "q_text_ngram_novelty",
+    "q_dedup_editdist_verify",
+    "q_quality_knn_label_prop",
+    "q_text_langid_profile",
+    "q_market_basket_pairs",
+    "q_stats_spearman_corr",
+    "q_events_sla_percentiles",
+    "q_sim_ann_ivfadc_topk",
+    "q_multimodal_dhash_neardup",
+]
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -262,7 +308,7 @@ def _calibrate(spark) -> float:
     spark.range(200_000_000).selectExpr(
         "count(if(id % 7 = 0, 1, NULL))"
     ).collect()
-    return _note_calib(time.perf_counter() - start)
+    return time.perf_counter() - start
 
 
 def _wait_quiet(spark, tries: int = 20, pause: float = 15.0) -> float:
@@ -271,13 +317,16 @@ def _wait_quiet(spark, tries: int = 20, pause: float = 15.0) -> float:
     return the last sample so the caller can record the conditions the
     following measurement actually ran under. The idle limit adapts to
     the run's observed calibration floor (see _calib_limit) so the gate
-    works unchanged at any core count."""
+    works unchanged at any core count; each sample is compared against
+    the limit as it stood BEFORE the sample (ADVICE r10)."""
     sample = _calibrate(spark)
     attempts = 0
     while sample > _calib_limit() and attempts < tries:
+        _note_calib(sample)
         time.sleep(pause)
         sample = _calibrate(spark)
         attempts += 1
+    _note_calib(sample)
     return sample
 
 
@@ -295,11 +344,16 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
     load_table(spark, sf_dir, "events").count()
     _calibrate(spark)  # warm the sentinel's codegen path once
+    # Dedicated idle-floor calibration (ADVICE r10): the gate limit is
+    # anchored on the median of three startup samples, not on whatever
+    # minimum happens to drift by mid-run.
+    _seed_calib_floor([_calibrate(spark) for _ in range(3)])
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     calibration: dict[str, float] = {}
     remeasured: dict[str, int] = {}
+    attempt_medians: dict[str, list[float]] = {}
     remeasure_budget = MAX_REMEASURE_TOTAL
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -322,11 +376,19 @@ def main() -> None:
             run()  # warmup, uncounted
             samples = sorted(run() for _ in range(ITERS))
             post = _calibrate(spark)
+            quiet = post <= _calib_limit()  # pre-sample limit (ADVICE r10)
+            _note_calib(post)
             attempts.append((statistics.median(samples), samples, post))
-            if post <= _calib_limit() or remeasure_budget <= 0:
+            if quiet or remeasure_budget <= 0:
                 break
             remeasure_budget -= 1
             remeasured[name] = remeasured.get(name, 0) + 1
+        if len(attempts) > 1:
+            # Bias guardrail (VERDICT r10 #8): min-median selection under
+            # sustained contention can only lower numbers — record every
+            # attempt's median so the selection is auditable in the
+            # artifact.
+            attempt_medians[name] = [round(a[0], 3) for a in attempts]
         _, samples, post = min(attempts, key=lambda t: t[0])
         med = statistics.median(samples)
         trimmed = samples[1:-1] if len(samples) >= 4 else samples
@@ -390,6 +452,8 @@ def main() -> None:
         "spread_pct": spread,
         "calibration_sec": calibration,
         "remeasured": remeasured,
+        "attempt_medians": attempt_medians,
+        "calib_seed": round(_calib_seed, 3),
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "streaming_queries": sorted(STREAMING_QUERIES & set(timings)),
@@ -410,23 +474,59 @@ def main() -> None:
             "in `remeasured`) any group whose post-measurement sentinel "
             "shows the host was busy while the iterations ran — every "
             "recorded median was taken under verified-quiet conditions. "
-            "Since r10 the quiet limit is max(0.22, 1.7*calib_floor) "
-            "where calib_floor is the run's minimum calibration sample — "
+            "Since r10 the quiet limit is max(0.22, 1.7*calib_floor) — "
             "the sentinel is fixed WORK, so its idle reading scales with "
-            "1/cores and an absolute limit would stall low-core runs."
+            "1/cores and an absolute limit would stall low-core runs. "
+            "Since r11 (ADVICE r10) calib_floor is SEEDED from a 3-sample "
+            "idle calibration at startup (calib_seed, median), each gate "
+            "sample is compared against the pre-sample floor, the floor "
+            "never drops below half the seed, and when a query is "
+            "re-measured every attempt's median is recorded in "
+            "attempt_medians so the keep-the-minimum rule is auditable."
         ),
     }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    # Previous run's per-query medians (whatever BENCH_LOCAL.json held
+    # when this process started — the prior round's committed run in
+    # the driver's flow) for the compact delta line below.
+    prev_queries: dict[str, float] = {}
+    try:
+        with open(local_path) as f:
+            prev_queries = json.load(f).get("queries", {}) or {}
+    except Exception:
+        pass
     with open(local_path, "w") as f:
         json.dump(full_result, f, indent=1, sort_keys=True)
         f.write("\n")
     # Full result → stderr (humans / BENCH_LOCAL mirrors it); the LAST
     # line on ANY stream is the COMPACT headline (driver tail capture
-    # is ~2000 chars of combined stdout+stderr — VERDICT r8 #4).
+    # is ~2000 chars of combined stdout+stderr — VERDICT r8 #4). r11
+    # (VERDICT r10 #2): two compact per-query lines print to stdout
+    # immediately before the headline so the tail capture can
+    # reconstruct per-query comparisons — a FIXED data-heavy subset
+    # (TAIL_PQ: identical keys in every run, so 8-core and 32-core
+    # passes and successive rounds all share them) and the top-12
+    # |delta| queries vs the pre-run BENCH_LOCAL baseline.
     print(json.dumps({"spread_pct": spread}), file=sys.stderr, flush=True)
     print(json.dumps({"queries": timings}), file=sys.stderr, flush=True)
+    pq_fixed = {n: timings[n] for n in TAIL_PQ if n in timings}
+    deltas = sorted(
+        (
+            (n, prev_queries[n], timings[n])
+            for n in timings
+            if n in prev_queries
+        ),
+        key=lambda t: -abs(t[2] - t[1]),
+    )[:12]
+    print(json.dumps({"pq_fixed": pq_fixed}), flush=True)
+    print(
+        json.dumps(
+            {"delta_vs_prev": {n: [round(p, 2), round(v, 2)] for n, p, v in deltas}}
+        ),
+        flush=True,
+    )
     print(json.dumps(headline), flush=True)
     spark.stop()
 

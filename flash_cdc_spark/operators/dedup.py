@@ -487,7 +487,9 @@ def signature_index(
             # cheaper than invoking the builder thunk: returns the
             # existing default session without constructing plans
             spark = SparkSession.builder.getOrCreate()
-    return spark.read.parquet(_SIG_LAYOUTS[key])
+    from flash_cdc_spark.tables import read_layout
+
+    return read_layout(spark, _SIG_LAYOUTS[key])
 
 
 def simhash64_signatures(

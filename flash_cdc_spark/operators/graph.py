@@ -106,7 +106,15 @@ def connected_components(
         # orientation-, duplicate- and self-loop-insensitive, so the
         # raw rows are usable as-is; if the probe overflows, fall
         # through to the distributed loop having spent one bounded job.
-        head = fwd.limit(driver_threshold + 1).toPandas()
+        # NULL src/dst rows are dropped BEFORE the pull (ADVICE r10:
+        # pandas turns nullable-bigint NULLs into float64 NaN, which
+        # would corrupt node ids or crash the createDataFrame below —
+        # no caller emits NULL ids, but nothing upstream enforces it).
+        # Threshold semantics: the gate counts RAW forward rows, not
+        # distinct undirected edges, so a duplicate-heavy small graph
+        # can overflow into the distributed loop — a perf-only
+        # conservatism (the distributed loop is always correct).
+        head = fwd.na.drop().limit(driver_threshold + 1).toPandas()
         if len(head) <= driver_threshold:
             srcs = head["src"].to_numpy().tolist()
             dsts = head["dst"].to_numpy().tolist()

@@ -107,15 +107,24 @@ def cells_ranked(
         return F.expr(f"array_sort(array({structs}))")
     structs = F.array(
         *[
-            F.struct(_d2(v_col, c).alias("d2"), F.lit(cid).cast("int").alias("cell"))
+            F.struct(
+                _d2(v_col, c, offset).alias("d2"),
+                F.lit(cid).cast("int").alias("cell"),
+            )
             for cid, c in centers
         ]
     )
     return F.array_sort(structs)
 
 
-def _d2(v_col: Column, center: list[float]) -> Column:
-    """HOF fallback for Column-expression inputs (same math/order)."""
+def _d2(v_col: Column, center: list[float], offset: int | None = None) -> Column:
+    """HOF fallback for Column-expression inputs (same math/order).
+    ``offset`` slices the PQ subspace exactly as the text path does
+    (ADVICE r10: the Column branch used to IGNORE offset, so a Column +
+    offset call folded the full vector against a sub-dim center and
+    zip_with's NULL padding produced NULL distances)."""
+    if offset is not None:
+        v_col = F.slice(v_col, offset + 1, len(center))
     w = F.array(*[F.lit(float(x)) for x in center])
     sq = F.zip_with(v_col, w, lambda x, c: (x - c) * (x - c))
     return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 9)
@@ -207,7 +216,9 @@ def assigned_corpus(
         )
         atexit.register(shutil.rmtree, layout, ignore_errors=True)
         _LAYOUTS[cache_key] = layout
-    return spark.read.parquet(_LAYOUTS[cache_key])
+    from flash_cdc_spark.tables import read_layout
+
+    return read_layout(spark, _LAYOUTS[cache_key])
 
 
 def probe_cells(
@@ -227,10 +238,29 @@ def probe_cells(
     from pyspark.sql import Window
 
     spark = probes.sparkSession
-    cdf = spark.createDataFrame(
-        [(int(cid), [float(x) for x in c]) for cid, c in centers],
-        "pcell int, w array<double>",
+    # per-session relation memo: createDataFrame on 16 rows costs
+    # ~0.1 s of py4j/driver time per CALL; the centers are a trained
+    # memo, so the tiny relation is too (plan-only — broadcast and
+    # execution happen per query as before)
+    ckey = (
+        "ivf_cdf",
+        tuple((int(cid), tuple(float(x) for x in c)) for cid, c in centers),
     )
+    memo = getattr(spark, "_flash_expr_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            spark._flash_expr_memo = memo
+        except AttributeError:
+            memo = None
+    cdf = memo.get(ckey) if memo is not None else None
+    if cdf is None:
+        cdf = spark.createDataFrame(
+            [(int(cid), [float(x) for x in c]) for cid, c in centers],
+            "pcell int, w array<double>",
+        )
+        if memo is not None:
+            memo[ckey] = cdf
     sq = F.zip_with(F.col(v_col), F.col("w"), lambda x, c: (x - c) * (x - c))
     d2 = F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 9)
     w_rank = Window.partitionBy(id_col).orderBy("d2", "pcell")

@@ -38,7 +38,11 @@ __all__ = [
     "train_codebooks",
     "encode",
     "encoded_corpus",
+    "encode_wide",
+    "encoded_corpus_wide",
     "adc_lut",
+    "adc_lut_maps",
+    "adc_distance",
     "pq_cte",
 ]
 
@@ -50,6 +54,13 @@ PQ_ITERS = 2  # Lloyd refinement passes (same as IVF)
 def _sub(v_col: str | Column, m: int, sub_dim: int) -> Column:
     col = F.col(v_col) if isinstance(v_col, str) else v_col
     return F.slice(col, m * sub_dim + 1, sub_dim)
+
+
+# Codebook-list memo: IVF.train_kmeans memoizes each subspace, but the
+# per-subspace ``vecs.select`` slice plans were still being BUILT on
+# every call (~0.1 s of py4j traffic per query construction, r11
+# profile). Keyed on the same identity the per-subspace memos use.
+_TRAINED_BOOKS: dict[tuple, list] = {}
 
 
 def train_codebooks(
@@ -65,6 +76,9 @@ def train_codebooks(
     relational k-means on each subvector slice. Seeds are the same
     md5-ranked sample ids in every subspace (their subvectors), the
     standard PQ setup with a deterministic twist both engines share."""
+    bkey = (cache_key, dim, m, k, iters)
+    if cache_key is not None and bkey in _TRAINED_BOOKS:
+        return _TRAINED_BOOKS[bkey]
     sub_dim = dim // m
     books = []
     for i in range(m):
@@ -77,6 +91,8 @@ def train_codebooks(
                 cache_key=None if cache_key is None else f"{cache_key}#pq{i}",
             )
         )
+    if cache_key is not None:
+        _TRAINED_BOOKS[bkey] = books
     return books
 
 
@@ -139,7 +155,145 @@ def encoded_corpus(
         ).parquet(layout)
         atexit.register(shutil.rmtree, layout, ignore_errors=True)
         _CODE_LAYOUTS[cache_key] = layout
-    return spark.read.parquet(_CODE_LAYOUTS[cache_key])
+    from flash_cdc_spark.tables import read_layout
+
+    return read_layout(spark, _CODE_LAYOUTS[cache_key])
+
+
+def encode_wide(
+    vecs: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+    v_col: str = "v",
+) -> DataFrame:
+    """One narrow pass producing the PIVOTED code table ``(vec_id,
+    codes array<int>)`` — ``codes[m+1]`` is subspace ``m``'s code. One
+    row per vector instead of ``m`` (r11, VERDICT r10 #3): the ADC scan
+    that reads it emits one row per (vector, probe) with NO per-pair
+    aggregate, because the distance sum becomes a row-local expression
+    (:func:`adc_distance`). Code values are the IDENTICAL
+    ``cells_ranked`` argmin expressions :func:`encode` evaluates."""
+    sub_dim = dim // len(books)
+    arr = F.array(
+        *[
+            F.element_at(
+                IVF.cells_ranked(v_col, book, offset=i * sub_dim), 1
+            )["cell"]
+            for i, book in enumerate(books)
+        ]
+    )
+    return vecs.select("vec_id", arr.alias("codes"))
+
+
+_CODE_LAYOUTS_WIDE: dict[str, str] = {}
+
+
+def encoded_corpus_wide(
+    vecs: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+    cache_key: str,
+    v_col: str = "v",
+    cells: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Pivoted counterpart of :func:`encoded_corpus`: the corpus code
+    table ``(vec_id, codes)`` — plus the IVF ``cell`` assignment,
+    partitioned by it, when ``cells`` (the coarse-quantizer centers)
+    are given — as a LAZY read of a memoized parquet layout. With
+    ``cells`` this IS the IVFADC index (Jégou et al. 2011 §IV): one
+    nightly build, searches read ~``m`` small ints per vector from the
+    probed cells only."""
+    spark = vecs.sparkSession
+    key = f"{cache_key}#wide{'+cells' if cells is not None else ''}"
+    if key not in _CODE_LAYOUTS_WIDE:
+        import atexit
+        import shutil
+        import tempfile
+
+        layout = tempfile.mkdtemp(prefix="flash_pq_codes_wide_")
+        df = encode_wide(vecs, books, dim=dim, v_col=v_col)
+        if cells is not None:
+            assigned = vecs.select(
+                "vec_id",
+                F.element_at(IVF.cells_ranked(v_col, cells), 1)["cell"].alias(
+                    "cell"
+                ),
+            )
+            df = df.join(assigned, "vec_id")
+            df.write.partitionBy("cell").mode("overwrite").parquet(layout)
+        else:
+            df.write.mode("overwrite").parquet(layout)
+        atexit.register(shutil.rmtree, layout, ignore_errors=True)
+        _CODE_LAYOUTS_WIDE[key] = layout
+    from flash_cdc_spark.tables import read_layout
+
+    return read_layout(spark, _CODE_LAYOUTS_WIDE[key])
+
+
+def adc_lut_maps(
+    probes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+    id_col: str = "query_id",
+    v_col: str = "qv",
+) -> DataFrame:
+    """Pivoted ADC lookup table: ``(query_id, luts array<map<int,
+    double>>)`` with ``luts[m+1][code] = d2(query, m, code)`` — one row
+    per probe (vs ``m·k`` rows from :func:`adc_lut`), always broadcast.
+    Keyed as MAPS because codebook cell ids may be non-contiguous (a
+    Lloyd cell that loses all members drops out). Each d2 entry is the
+    same slice → squared-diff → left-fold → 9-dp-round expression the
+    long LUT computes, emitted as ONE parsed SQL string per probe row
+    (the r10 lesson: per-literal Column construction costs a py4j
+    round-trip per node)."""
+    sub_dim = dim // len(books)
+    spark = probes.sparkSession
+    # per-session parsed-Column memo: the one F.expr below parses a
+    # ~20 KB SQL string (m·k lookup entries, each a full slice/fold
+    # chain) — ~0.1 s per CALL; the codebooks are a trained memo, so
+    # the parsed expression tree is reusable as-is
+    ekey = (
+        "adc_lut_maps",
+        v_col,
+        sub_dim,
+        tuple(
+            tuple((int(cid), tuple(float(x) for x in c)) for cid, c in book)
+            for book in books
+        ),
+    )
+    memo = getattr(spark, "_flash_expr_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            spark._flash_expr_memo = memo
+        except AttributeError:
+            memo = None
+    expr = memo.get(ekey) if memo is not None else None
+    if expr is None:
+        maps = []
+        for i, book in enumerate(books):
+            entries = ", ".join(
+                f"{int(cid)}, {IVF._d2_sql(v_col, list(center), offset=i * sub_dim)}"
+                for cid, center in book
+            )
+            maps.append(f"map({entries})")
+        expr = F.expr("array(" + ", ".join(maps) + ")")
+        if memo is not None:
+            memo[ekey] = expr
+    return probes.select(id_col, expr.alias("luts"))
+
+
+def adc_distance(codes_col: Column, luts_col: Column, m: int = PQ_M) -> Column:
+    """Row-local ADC distance ``round(Σ_m luts[m][codes[m]], 9)`` —
+    terms added in ascending-``m`` order, the per-(query, neighbor)
+    aggregate the long form paid a shuffle for."""
+    total: Column | None = None
+    for i in range(m):
+        term = F.element_at(
+            F.element_at(luts_col, i + 1), F.element_at(codes_col, i + 1)
+        )
+        total = term if total is None else total + term
+    return F.round(total, 9)
 
 
 def adc_lut(

@@ -11,7 +11,36 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "default_sf_dir",
+    "read_layout",
+]
+
+
+def read_layout(spark: SparkSession, path: str) -> "DataFrame":
+    """Per-session analyzed-plan memo for PROCESS-IMMUTABLE parquet
+    layouts (the mkdtemp index memos: IVF cell layout, PQ code tables,
+    signature indexes). ``spark.read.parquet`` re-lists the directory
+    and re-reads footer schemas on every call (~0.1 s of driver time);
+    these layouts are written exactly once per process and never
+    change, so caching the analyzed DataFrame is always safe — a plan,
+    never data: every execution still scans the parquet files. Same
+    device as ``load_table``'s memo, minus the staleness key (the path
+    is unique per write by construction)."""
+    memo = getattr(spark, "_flash_layout_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            spark._flash_layout_memo = memo
+        except AttributeError:
+            return spark.read.parquet(path)
+    if path not in memo:
+        memo[path] = spark.read.parquet(path)
+    return memo[path]
 
 TABLE_NAMES = (
     "region",
@@ -32,11 +61,26 @@ def default_sf_dir() -> str:
 
 
 def _stat_key(path: str) -> tuple:
-    """Identity of the bytes behind ``path`` (file or parquet dir):
-    mtime+size of the path itself — regenerating a fixture in place
-    changes it, so a memoized plan can never serve a stale file list."""
+    """Identity of the bytes behind ``path``: mtime+size of the path,
+    plus — for a parquet DIRECTORY — the max child (mtime_ns, size)
+    (ADVICE r10: rewriting a part file in place with the same filename
+    set changes neither the directory's mtime nor its size, so the
+    path-only key could serve a stale plan/schema for dir fixtures)."""
     st = os.stat(path)
-    return (path, st.st_mtime_ns, st.st_size)
+    child_key: tuple = ()
+    if os.path.isdir(path):
+        children = [
+            os.path.join(path, n) for n in os.listdir(path)
+        ]
+        stats = []
+        for c in children:
+            try:
+                cst = os.stat(c)
+            except OSError:
+                continue
+            stats.append((cst.st_mtime_ns, cst.st_size))
+        child_key = (len(stats), max(stats) if stats else None)
+    return (path, st.st_mtime_ns, st.st_size, child_key)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

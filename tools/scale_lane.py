@@ -1,0 +1,288 @@
+"""Scale lane (r11, VERDICT r10 #1): make core-count scaling measurable
+again.
+
+After the r10 construction-cost work the whole sf0.1 bench sits at the
+driver/scheduling fixed-cost floor — the r10 driver's 8-core pass
+matched its 32-core pass (median per-query c8/c32 = 0.93), so the bench
+could no longer distinguish a data-parallel plan from a serial one.
+This lane times the most data-heavy headline queries against a
+REPLICATED fixture (default ×8 facts, with the small corpus tables
+replicated harder so their queries leave the floor too) at the current
+``$SPARK_GRAFT_CPUS``, so two runs at different core counts yield
+per-query ``{low_core_sec, high_core_sec, ratio}``.
+
+Replication is deterministic and FK-consistent (same construction as
+``tools/scale_probe.py``): fact keys are offset per replica; the
+dimension tables (part/supplier/nation/region) are NOT replicated, so
+dimension joins stay broadcast-shaped exactly as they would at 100 TB.
+Replica texts keep the dedup-probe structure (replica 0 original, even
+doc_ids byte-identical across replicas, odd doc_ids salted) — the
+honest worst case for the dedup lane members.
+
+Usage:
+    SPARK_GRAFT_CPUS=32 python tools/scale_lane.py run
+    SPARK_GRAFT_CPUS=8  python tools/scale_lane.py run
+    python tools/scale_lane.py merge          # -> SCALE_LANE.json
+
+``run`` writes ``scale_lane_c<cpus>.json`` next to SCALE_LANE.json;
+``merge`` combines the highest and lowest core-count run files present.
+The fixture is built once under ``--fixture-dir`` (default
+``/tmp/flash_scale_fixture``) and reused by both runs — it is INPUT
+data (every measured execution scans it from parquet); delete the
+directory to force a rebuild.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3"))
+
+# Per-table replication factors. Facts replicate ×8 (VERDICT r10 #1);
+# the tiny corpus tables (5k docs / 2k vectors at sf0.1) replicate
+# harder so the text/embedding lane members get enough rows to leave
+# the fixed-cost floor. FK groups share one factor.
+REPS = {
+    "lineitem": 8,
+    "orders": 8,
+    "customer": 8,
+    "events": 16,
+    "documents": 16,
+    "embeddings": 32,
+}
+COPY_TABLES = ("region", "nation", "part", "supplier")
+
+# The lane: the TAIL_PQ fixed subset from bench.py (the per-query names
+# the driver's tail capture sees), so lane scaling ratios and bench
+# medians key on the same queries.
+# Queries expected to sit near the fixed-cost floor EVEN at lane scale,
+# with the reason on record (VERDICT r10 #1 asked for explicit
+# annotation):
+FIXED_COST_EXPECTED = {
+    # bounded post-scan state: the heavy stage is a brand²-bounded
+    # aggregate over ≤7-item baskets; at lane scale the scan is ~1 s of
+    # 32-core work, so scheduling floor still shows through at 8 cores
+    "q_market_basket_pairs": "brand²-bounded census over a short scan",
+}
+
+
+def _lane_queries() -> list[str]:
+    import bench
+
+    return list(bench.TAIL_PQ)
+
+
+def build_fixture(spark, src_dir: str, out_dir: str) -> None:
+    """Replicate ``src_dir`` into ``out_dir`` with FK-consistent offsets."""
+    os.makedirs(out_dir, exist_ok=True)
+    big = 10_000_000
+    bigo = 100_000_000
+    for name in COPY_TABLES:
+        df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    def reps_df(n: int):
+        return spark.range(n).select(F.col("id").alias("rep"))
+
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    li.crossJoin(reps_df(REPS["lineitem"])).select(
+        (F.col("l_orderkey") + F.col("rep") * bigo).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    o = spark.read.parquet(f"{src_dir}/orders.parquet")
+    o.crossJoin(reps_df(REPS["orders"])).select(
+        (F.col("o_orderkey") + F.col("rep") * bigo).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("rep") * big).alias("o_custkey"),
+        *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
+    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    c = spark.read.parquet(f"{src_dir}/customer.parquet")
+    c.crossJoin(reps_df(REPS["customer"])).select(
+        (F.col("c_custkey") + F.col("rep") * big).alias("c_custkey"),
+        *[col for col in c.columns if col != "c_custkey"],
+    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+    e = spark.read.parquet(f"{src_dir}/events.parquet")
+    e.crossJoin(reps_df(REPS["events"])).select(
+        (F.col("event_id") + F.col("rep") * bigo).alias("event_id"),
+        (F.col("user_id") + F.col("rep") * big).alias("user_id"),
+        *[col for col in e.columns if col not in ("event_id", "user_id")],
+    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    d = spark.read.parquet(f"{src_dir}/documents.parquet")
+    d.crossJoin(reps_df(REPS["documents"])).select(
+        (F.col("doc_id") + F.col("rep") * big).alias("doc_id"),
+        F.when(
+            (F.col("rep") == 0) | (F.col("doc_id") % 2 == 0), F.col("text")
+        )
+        .otherwise(
+            F.concat(F.lit("rep"), F.col("rep"), F.lit(" "), F.col("text"))
+        )
+        .alias("text"),
+        *[col for col in d.columns if col not in ("doc_id", "text")],
+    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    v = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    # jitter replica coordinates deterministically (same device as
+    # scale_probe.synth_embeddings) so replicas are near- but not
+    # exact-duplicate vectors
+    jit = F.transform(
+        "embedding",
+        lambda x, i: (
+            x.cast("double")
+            + F.when(F.col("rep") == 0, F.lit(0.0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.col("rep"), i), F.lit(1000)
+                ).cast("double")
+                / 10000.0
+                - 0.05
+            )
+        ).cast("float"),
+    )
+    v.crossJoin(reps_df(REPS["embeddings"])).select(
+        (F.col("vec_id") + F.col("rep") * big).alias("vec_id"),
+        jit.alias("embedding"),
+        *[col for col in v.columns if col not in ("vec_id", "embedding")],
+    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    with open(os.path.join(out_dir, "_FIXTURE_META.json"), "w") as f:
+        json.dump({"src": src_dir, "reps": REPS}, f)
+
+
+def cmd_run(fixture_dir: str) -> int:
+    from flash_cdc_spark.operators.global_order import release_persisted_inputs
+    from flash_cdc_spark.queries import QUERIES
+    from flash_cdc_spark.session import get_spark
+    from flash_cdc_spark.tables import default_sf_dir
+
+    spark = get_spark(app_name="scale-lane")
+    cpus = spark.sparkContext.defaultParallelism
+    if not os.path.exists(os.path.join(fixture_dir, "_FIXTURE_META.json")):
+        print(f"building fixture at {fixture_dir} ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        build_fixture(spark, default_sf_dir(), fixture_dir)
+        print(
+            f"fixture built in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    out: dict[str, dict] = {}
+    for name in _lane_queries():
+        fn = QUERIES[name]
+        spark.sparkContext.setJobDescription(f"scale-lane {name} c{cpus}")
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            fn(spark, fixture_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t0
+
+        run()  # warmup: memo builds, codegen
+        samples = sorted(run() for _ in range(ITERS))
+        med = statistics.median(samples)
+        out[name] = {
+            "median_sec": round(med, 3),
+            "samples": [round(s, 3) for s in samples],
+        }
+        print(f"{name}: {med:.3f}s {out[name]['samples']}", file=sys.stderr)
+        release_persisted_inputs()
+        spark.catalog.clearCache()
+    spark.sparkContext.setJobDescription(None)
+    result = {
+        "cpus": cpus,
+        "iters": ITERS,
+        "reps": REPS,
+        "fixture_dir": fixture_dir,
+        "queries": out,
+    }
+    path = os.path.join(REPO, f"scale_lane_c{cpus}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {path}")
+    spark.stop()
+    return 0
+
+
+def cmd_merge() -> int:
+    runs = []
+    for path in glob.glob(os.path.join(REPO, "scale_lane_c*.json")):
+        m = re.search(r"scale_lane_c(\d+)\.json$", path)
+        if m:
+            with open(path) as f:
+                runs.append((int(m.group(1)), json.load(f)))
+    if len(runs) < 2:
+        print("need at least two scale_lane_c<cpus>.json run files", file=sys.stderr)
+        return 2
+    runs.sort()
+    low_c, low = runs[0]
+    high_c, high = runs[-1]
+    per_query = {}
+    for name in low["queries"]:
+        if name not in high["queries"]:
+            continue
+        lo = low["queries"][name]["median_sec"]
+        hi = high["queries"][name]["median_sec"]
+        per_query[name] = {
+            "low_core_sec": lo,
+            "high_core_sec": hi,
+            "ratio_low_over_high": round(lo / hi, 2) if hi else None,
+            "fixed_cost_expected": FIXED_COST_EXPECTED.get(name),
+        }
+    ratios = sorted(
+        v["ratio_low_over_high"]
+        for v in per_query.values()
+        if v["ratio_low_over_high"] is not None
+    )
+    merged = {
+        "cpus_low": low_c,
+        "cpus_high": high_c,
+        "core_ratio": round(high_c / low_c, 2),
+        "reps": low["reps"],
+        "iters": low["iters"],
+        "median_ratio": ratios[len(ratios) // 2] if ratios else None,
+        "per_query": per_query,
+        "notes": (
+            "Replicated-fixture core-scaling lane (VERDICT r10 #1): each "
+            "query timed (warmup + median of iters, noop sink) at two "
+            "core counts over the same deterministic fixture. "
+            "ratio_low_over_high ≈ core_ratio means the query is "
+            "data-parallel bound; ≈1 means fixed-cost bound at this "
+            "scale (annotated when expected)."
+        ),
+    }
+    path = os.path.join(REPO, "SCALE_LANE.json")
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {path}")
+    return 0
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    fixture_dir = "/tmp/flash_scale_fixture"
+    if "--fixture-dir" in args:
+        fixture_dir = args[args.index("--fixture-dir") + 1]
+    if args and args[0] == "run":
+        return cmd_run(fixture_dir)
+    if args and args[0] == "merge":
+        return cmd_merge()
+    print(__doc__, file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
