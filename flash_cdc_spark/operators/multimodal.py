@@ -1057,3 +1057,40 @@ def video_frame_luma(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_luma, schema=out_schema)
+
+
+def video_luma_profile(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-VIDEO luminance profile: one output row per video carrying
+    the frame-ordered array of exact integer raster sums (plus the
+    fixed per-frame pixel count — the synth emits constant-dimension
+    clips). The pivoted form of :func:`video_frame_luma` (r11): frame
+    order is preserved by the parse, so consumers compute frame-to-
+    frame deltas and cut statistics ROW-LOCALLY — no per-video window
+    shuffle, no re-aggregation; the decode output never crosses an
+    exchange."""
+    out_schema = f"{id_col} bigint, n_px int, luma array<bigint>"
+
+    def _luma(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, npx, arrs = [], [], []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                sums = []
+                px = 0
+                for frame in parse_pgm_stream(bytes(blob)):
+                    w, h, _maxval, raster = parse_pgm(frame)
+                    sums.append(
+                        int(
+                            np.frombuffer(raster, dtype=np.uint8)
+                            .astype(np.int64)
+                            .sum()
+                        )
+                    )
+                    px = w * h
+                ids.append(int(did))
+                npx.append(px)
+                arrs.append(sums)
+            yield pd.DataFrame({id_col: ids, "n_px": npx, "luma": arrs})
+
+    return df.select(id_col, binary_col).mapInPandas(_luma, schema=out_schema)

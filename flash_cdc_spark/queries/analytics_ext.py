@@ -478,8 +478,10 @@ def q_sales_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     window in the plan.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ep = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    # narrow factors keep the product Long-backed (r11, see q01 —
+    # TPC-H bounds make (14,2)×(3,2) exact)
+    ep = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
     rev = li.groupBy("l_partkey").agg(
         F.round(F.sum(ep * disc), 2).cast("double").alias("revenue")
     )

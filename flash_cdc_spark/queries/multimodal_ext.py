@@ -297,26 +297,53 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole); the per-video lag/aggregate partitions on doc_id (6 rows
     per key, Exchange hashpartitioning — never a global window).
     """
+    from flash_cdc_spark.operators.dedup import let_bound
+
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     vids = d.withColumn(
         "media", MM.synth_scene_video_udf()(F.col("doc_id"))
     )
-    lum = MM.video_frame_luma(vids)
-    w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    deltas = lum.select(
-        "doc_id",
-        "frame_idx",
-        "n_px",
-        (F.col("luma_sum") - F.lag("luma_sum").over(w)).alias("dlt"),
+    # r11 (guide §2.4): the decode emits the frame-ORDERED luma array
+    # per video, so the lag deltas and every cut statistic are
+    # row-local array expressions — the per-video lag window and the
+    # doc_id re-aggregation (the plan's only exchanges, carrying the
+    # whole decode output) are gone; the plan is scan → ArrowEval →
+    # project. Identical values: deltas pair adjacent frames exactly
+    # as lag did, the cut compare stays integral, first cut = head of
+    # the ascending delta list, and cut_lift divides the same
+    # integers.
+    prof = MM.video_luma_profile(vids)
+    deltas = F.expr(
+        "transform(slice(luma, 2, greatest(size(luma) - 1, 0)), "
+        "(x, i) -> struct(CAST(i + 1 AS INT) AS frame_idx, "
+        "x - element_at(luma, i + 1) AS dlt))"
     )
-    is_cut = F.abs(F.col("dlt")) > F.lit(_SCENE_CUT_T) * F.col("n_px")
-    return deltas.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_frames"),
-        F.sum(F.when(is_cut, 1).otherwise(0)).cast("int").alias("n_cuts"),
-        F.min(F.when(is_cut, F.col("frame_idx")))
-        .cast("int")
-        .alias("first_cut_frame"),
-        F.max(
-            F.when(is_cut, F.col("dlt").cast("double") / F.col("n_px"))
-        ).alias("cut_lift"),
+    cuts = F.filter(
+        deltas,
+        lambda s: F.abs(s["dlt"]) > F.lit(_SCENE_CUT_T) * F.col("n_px"),
+    )
+    agg = let_bound(
+        cuts,
+        lambda c: F.struct(
+            F.size(c).cast("int").alias("n_cuts"),
+            F.when(F.size(c) > 0, F.element_at(c, 1)["frame_idx"])
+            .cast("int")
+            .alias("first_cut_frame"),
+            F.array_max(
+                F.transform(
+                    c, lambda s: s["dlt"].cast("double") / F.col("n_px")
+                )
+            ).alias("cut_lift"),
+        ),
+    )
+    return prof.select(
+        "doc_id",
+        F.size("luma").cast("int").alias("n_frames"),
+        agg.alias("_a"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        F.col("_a.n_cuts").alias("n_cuts"),
+        F.col("_a.first_cut_frame").alias("first_cut_frame"),
+        F.col("_a.cut_lift").alias("cut_lift"),
     )

@@ -42,9 +42,19 @@ def main() -> None:
     _calibrate(spark)
     from flash_cdc_spark.operators.global_order import release_persisted_inputs
 
+    quiet = float(os.environ.get("SPARK_GRAFT_QTIME_QUIET", "0"))
     for name in names:
         fn = QUERIES[name]
         pre = _calibrate(spark)
+        # optional quiet gate (r11): with SPARK_GRAFT_QTIME_QUIET=<sec>
+        # wait until the sentinel reads under the limit (<=20 tries)
+        # before measuring — same idea as bench.py's gate, for
+        # trustworthy single-query A/Bs on a bursty host
+        tries = 0
+        while quiet and pre > quiet and tries < 20:
+            time.sleep(10)
+            pre = _calibrate(spark)
+            tries += 1
 
         def run() -> tuple[float, float]:
             t0 = time.perf_counter()
