@@ -184,8 +184,14 @@ def q_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same projection directly — the encode→decode roundtrip must be
     lossless."""
     # FIXTURES.md §1 envelope derived from events: id, replay cursor,
-    # topic, schema_id, binary JSON payload
-    ev = load_table(spark, sf_dir, "events")
+    # topic, schema_id, binary JSON payload. r11: same min-parallelism
+    # guard the Avro twin has carried since r4 — the single-row-group
+    # events file otherwise runs the whole to_json/from_json codec
+    # chain on ONE core (no-op at scale, where the scan has thousands
+    # of splits).
+    from flash_cdc_spark.session import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(load_table(spark, sf_dir, "events"))
     n_ids = (F.col("event_id") % 3 + 1).cast("int")
     record_ids = F.transform(
         F.sequence(F.lit(0), n_ids - 1),

@@ -2078,7 +2078,14 @@ def q_graph_jaccard_link_prediction(
     ).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.unionByName(rev).distinct()
+    # r11 (§2.4): the band generator emits DISTINCT src<dst pairs
+    # (operator contract, same guarantee the CC caller relies on), so
+    # fwd ∪ rev is distinct by construction — the `.distinct()` here
+    # was a full edge shuffle that only existed to materialize a
+    # shareable exchange for the three consumers (e1, e2, anti-join).
+    # An eager localCheckpoint shares the same materialization without
+    # the shuffle and without re-running the band join per consumer.
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("cnt"))
     e1 = edges.select(F.col("src").alias("b"), F.col("dst").alias("a"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))

@@ -84,44 +84,51 @@ def _lane_queries() -> list[str]:
 
 
 def build_fixture(spark, src_dir: str, out_dir: str) -> None:
-    """Replicate ``src_dir`` into ``out_dir`` with FK-consistent offsets."""
+    """Replicate ``src_dir`` into ``out_dir`` with FK-consistent offsets.
+
+    Reads go through ``load_table`` so the events ``ts`` normalization
+    (nanos/ntz variants) applies before the replicated fixture is
+    written — the lane fixture then round-trips through the same
+    reader the queries use."""
+    from flash_cdc_spark.tables import load_table as _lt
+
     os.makedirs(out_dir, exist_ok=True)
     big = 10_000_000
     bigo = 100_000_000
     for name in COPY_TABLES:
-        df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        df = _lt(spark, src_dir, name)
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
     def reps_df(n: int):
         return spark.range(n).select(F.col("id").alias("rep"))
 
-    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    li = _lt(spark, src_dir, "lineitem")
     li.crossJoin(reps_df(REPS["lineitem"])).select(
         (F.col("l_orderkey") + F.col("rep") * bigo).alias("l_orderkey"),
         *[c for c in li.columns if c != "l_orderkey"],
     ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
-    o = spark.read.parquet(f"{src_dir}/orders.parquet")
+    o = _lt(spark, src_dir, "orders")
     o.crossJoin(reps_df(REPS["orders"])).select(
         (F.col("o_orderkey") + F.col("rep") * bigo).alias("o_orderkey"),
         (F.col("o_custkey") + F.col("rep") * big).alias("o_custkey"),
         *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
     ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
-    c = spark.read.parquet(f"{src_dir}/customer.parquet")
+    c = _lt(spark, src_dir, "customer")
     c.crossJoin(reps_df(REPS["customer"])).select(
         (F.col("c_custkey") + F.col("rep") * big).alias("c_custkey"),
         *[col for col in c.columns if col != "c_custkey"],
     ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
-    e = spark.read.parquet(f"{src_dir}/events.parquet")
+    e = _lt(spark, src_dir, "events")
     e.crossJoin(reps_df(REPS["events"])).select(
         (F.col("event_id") + F.col("rep") * bigo).alias("event_id"),
         (F.col("user_id") + F.col("rep") * big).alias("user_id"),
         *[col for col in e.columns if col not in ("event_id", "user_id")],
     ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
-    d = spark.read.parquet(f"{src_dir}/documents.parquet")
+    d = _lt(spark, src_dir, "documents")
     d.crossJoin(reps_df(REPS["documents"])).select(
         (F.col("doc_id") + F.col("rep") * big).alias("doc_id"),
         F.when(
@@ -134,7 +141,7 @@ def build_fixture(spark, src_dir: str, out_dir: str) -> None:
         *[col for col in d.columns if col not in ("doc_id", "text")],
     ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
-    v = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    v = _lt(spark, src_dir, "embeddings")
     # jitter replica coordinates deterministically (same device as
     # scale_probe.synth_embeddings) so replicas are near- but not
     # exact-duplicate vectors
