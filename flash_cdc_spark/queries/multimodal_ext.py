@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from flash_cdc_spark.operators import multimodal as MM
 from flash_cdc_spark.queries import query
+from flash_cdc_spark.session import ensure_min_parallelism
 from flash_cdc_spark.tables import load_table
 
 
@@ -51,7 +52,7 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: blobs are synthesized and decoded executor-side in
     Arrow batches — the driver never sees a byte of media; one narrow
     pass, no shuffle before the final stats projection."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     wavs = d.select("doc_id").withColumn("media", MM.synth_wav_udf()(F.col("doc_id")))
     feats = MM.decode_wav_features(wavs, "media")
     return feats.select(
@@ -115,7 +116,7 @@ def q_multimodal_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow ramp whose loudness depends on doc_id, so quiet clips take
     large gains (up to ~25×) and clip hard while loud clips attenuate
     cleanly — both branches of the normalizer are on the gate."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     # doc_id*131 spreads the waveform band across the full int16 range
     # (bare doc_id 0..n gives uniformly loud bands), so the fixture
     # exercises BOTH branches: quiet clips gain >1 and clip, loud clips
@@ -206,7 +207,7 @@ def q_multimodal_audio_silence_trim(
     Scale: one ``mapInPandas`` pass, blobs never leave the executors,
     fixed-width output per clip, no shuffle.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     # doc_id*131 spreads each clip's narrow ramp across the full int16
     # range (bare doc_id parks every clip in the loud negative band,
     # leaving the trim branches untested — same device as the
@@ -299,7 +300,7 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flash_cdc_spark.operators.dedup import let_bound
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
     vids = d.withColumn(
         "media", MM.synth_scene_video_udf()(F.col("doc_id"))
     )

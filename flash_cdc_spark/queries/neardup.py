@@ -549,7 +549,7 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     misparse, wrong raster offset, or byte-order bug all mismatch.
     Compressed formats (JPEG/PNG) need a codec this container lacks;
     they drop into the same ``decode_pgm_features`` shape."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     imgs = d.select("doc_id").withColumn("media", MM.synth_pgm_udf()(F.col("doc_id")))
     feats = MM.decode_pgm_features(imgs, "media")
     return feats.select(
@@ -595,7 +595,7 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     header all mismatch. This is the preprocess-resize step of every
     image pipeline; an interpolating PIL/torchvision resizer drops
     into the same executor-side slot. Blobs never touch the driver."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     imgs = d.select("doc_id").withColumn(
         "media", MM.synth_pgm_udf()(F.col("doc_id"))
     )
@@ -680,7 +680,7 @@ def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: image count n, bands keep expected bucket width ≈ n/2¹⁶
     per band; the verify join touches only co-bucketed pairs. Linear
     shuffle, no n² anywhere."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
     imgs = d.withColumn("media", MM.synth_pgm_grouped_udf()(F.col("doc_id")))
     # ingest-time signature index: decode+hash once per (process,
     # corpus), every search reads the stored signature table
@@ -747,7 +747,7 @@ def q_multimodal_audiohash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     closed-form sample formula and brute-forces pairs. Same 100 TB
     shape as the image path: constant per-clip hash work, linear
     banding shuffle, never all-pairs."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
     clips = d.withColumn("media", MM.synth_wav_grouped_udf()(F.col("doc_id")))
     sig = signature_index(
         lambda: MM.audiohash_features(clips, "media"), sf_dir, "audiohash"
@@ -832,7 +832,7 @@ def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sample every Nth frame for long videos), the hash join is a
     linear shuffle on the 64-bit key, and the pair aggregate touches
     only videos that actually share a frame."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
     vids = d.withColumn("media", MM.synth_video_udf()(F.col("doc_id")))
     # the signature index matters doubly here: the self-join would
     # otherwise run the mapInPandas decode subtree TWICE per search
@@ -915,7 +915,7 @@ def q_multimodal_video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     device as q_dedup_clusters' signature-group contraction — applied
     to the content-ID modality.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
     vids = d.withColumn("media", MM.synth_video_udf()(F.col("doc_id")))
     sig = signature_index(
         lambda: MM.video_frame_hashes(vids, "media"), sf_dir, "videohash"
@@ -1021,7 +1021,7 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The feature vector is projected to scalar columns — array cells
     are unhashable in the driver's pandas canonicalization."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     imgs = d.select("doc_id").withColumn("media", MM.synth_pgm_udf()(F.col("doc_id")))
     feats = MM.decode_media_features(imgs, "media")
     return feats.select(

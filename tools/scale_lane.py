@@ -95,6 +95,12 @@ def build_fixture(spark, src_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     big = 10_000_000
     bigo = 100_000_000
+    # Replicated tables are written MULTI-FILE (repartition before the
+    # write, scaled with the replication factor): the source fixtures
+    # are single-row-group files, and a single-file ×16 table would
+    # serialize every scan into one task — the lane would then measure
+    # the file layout, not the plan. Production data at this volume is
+    # many files; the lane fixture mirrors that.
     for name in COPY_TABLES:
         df = _lt(spark, src_dir, name)
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
@@ -106,27 +112,27 @@ def build_fixture(spark, src_dir: str, out_dir: str) -> None:
     li.crossJoin(reps_df(REPS["lineitem"])).select(
         (F.col("l_orderkey") + F.col("rep") * bigo).alias("l_orderkey"),
         *[c for c in li.columns if c != "l_orderkey"],
-    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    ).drop("rep").repartition(2 * REPS["lineitem"]).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
     o = _lt(spark, src_dir, "orders")
     o.crossJoin(reps_df(REPS["orders"])).select(
         (F.col("o_orderkey") + F.col("rep") * bigo).alias("o_orderkey"),
         (F.col("o_custkey") + F.col("rep") * big).alias("o_custkey"),
         *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
-    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    ).drop("rep").repartition(2 * REPS["orders"]).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
     c = _lt(spark, src_dir, "customer")
     c.crossJoin(reps_df(REPS["customer"])).select(
         (F.col("c_custkey") + F.col("rep") * big).alias("c_custkey"),
         *[col for col in c.columns if col != "c_custkey"],
-    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+    ).drop("rep").repartition(2 * REPS["customer"]).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
     e = _lt(spark, src_dir, "events")
     e.crossJoin(reps_df(REPS["events"])).select(
         (F.col("event_id") + F.col("rep") * bigo).alias("event_id"),
         (F.col("user_id") + F.col("rep") * big).alias("user_id"),
         *[col for col in e.columns if col not in ("event_id", "user_id")],
-    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    ).drop("rep").repartition(2 * REPS["events"]).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     d = _lt(spark, src_dir, "documents")
     d.crossJoin(reps_df(REPS["documents"])).select(
@@ -139,7 +145,7 @@ def build_fixture(spark, src_dir: str, out_dir: str) -> None:
         )
         .alias("text"),
         *[col for col in d.columns if col not in ("doc_id", "text")],
-    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    ).drop("rep").repartition(2 * REPS["documents"]).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     v = _lt(spark, src_dir, "embeddings")
     # jitter replica coordinates deterministically (same device as
@@ -162,7 +168,7 @@ def build_fixture(spark, src_dir: str, out_dir: str) -> None:
         (F.col("vec_id") + F.col("rep") * big).alias("vec_id"),
         jit.alias("embedding"),
         *[col for col in v.columns if col not in ("vec_id", "embedding")],
-    ).drop("rep").write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    ).drop("rep").repartition(2 * REPS["embeddings"]).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
     with open(os.path.join(out_dir, "_FIXTURE_META.json"), "w") as f:
         json.dump({"src": src_dir, "reps": REPS}, f)
@@ -184,10 +190,40 @@ def cmd_run(fixture_dir: str) -> int:
             f"fixture built in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+
+    # Sentinel quiet gate, same design as bench.py (r11): this host
+    # shows minute-scale ambient bursts; an ungated 32-core lane run
+    # measured a simple scan-aggregate 2.5× slower than the 8-core run
+    # that followed it — core-ratio readings are meaningless unless
+    # every query is measured under verified-quiet conditions. The
+    # fixed-work sentinel's idle reading scales with 1/cores, so the
+    # limit anchors on a 3-sample startup floor.
+    def _calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "count(if(id % 7 = 0, 1, NULL))"
+        ).collect()
+        return time.perf_counter() - t0
+
+    _calib()  # warm the sentinel's codegen
+    floor = statistics.median(_calib() for _ in range(3))
+    limit = max(0.22, 1.7 * floor)
+
+    def wait_quiet(tries: int = 20, pause: float = 10.0) -> float:
+        s = _calib()
+        n = 0
+        while s > limit and n < tries:
+            time.sleep(pause)
+            s = _calib()
+            n += 1
+        return s
+
     out: dict[str, dict] = {}
+    calib: dict[str, float] = {}
     for name in _lane_queries():
         fn = QUERIES[name]
         spark.sparkContext.setJobDescription(f"scale-lane {name} c{cpus}")
+        wait_quiet()
 
         def run() -> float:
             t0 = time.perf_counter()
@@ -198,18 +234,31 @@ def cmd_run(fixture_dir: str) -> int:
 
         run()  # warmup: memo builds, codegen
         samples = sorted(run() for _ in range(ITERS))
+        post = _calib()
+        if post > limit:
+            # burst during the measurement: re-take once under quiet
+            wait_quiet()
+            run()
+            samples = sorted(run() for _ in range(ITERS))
+            post = _calib()
         med = statistics.median(samples)
         out[name] = {
             "median_sec": round(med, 3),
             "samples": [round(s, 3) for s in samples],
         }
-        print(f"{name}: {med:.3f}s {out[name]['samples']}", file=sys.stderr)
+        calib[name] = round(post, 3)
+        print(
+            f"{name}: {med:.3f}s {out[name]['samples']} calib={post:.2f}",
+            file=sys.stderr,
+        )
         release_persisted_inputs()
         spark.catalog.clearCache()
     spark.sparkContext.setJobDescription(None)
     result = {
         "cpus": cpus,
         "iters": ITERS,
+        "calib_floor": round(floor, 3),
+        "calibration_sec": calib,
         "reps": REPS,
         "fixture_dir": fixture_dir,
         "queries": out,
